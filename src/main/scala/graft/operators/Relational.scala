@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY §2.3–§2.7) over the star-schema
+  * fixtures, expressed Spark-first: declarative DataFrame plans so Catalyst
+  * handles pushdown / pruning / join selection, with explicit `broadcast`
+  * hints for the dimension tables we know are small (nation/region/supplier
+  * stay tiny at any scale factor — they are TPC-H-style fixed dimensions).
+  *
+  * Every query ends with a deterministic `orderBy` over its full key so the
+  * output is reproducible row-for-row against the DuckDB oracle.
+  */
+object Relational {
+
+  /** Pricing-summary aggregate (running pipeline stats pattern,
+    * reference pipeline.py:210-213). Map-side partial aggregation is free
+    * via hash aggregate; 2-column grouping key shuffles only group rows.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_revenue"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Projection + predicate (presence/threshold filters, SURVEY §2.3).
+    * Filter and 4-column projection both reach the parquet scan
+    * (PushedFilters + ReadSchema pruning).
+    */
+  def q2FilterProj(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1995-02-01"))
+      .filter(col("l_discount") > 0.05 && col("l_quantity") < 10.0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Multi-way join + aggregate (articles⟕pdf_map / articles⟕db-row joins,
+    * SURVEY §2.4, generalized). nation and region are broadcast — at 100 TB
+    * the fact tables shuffle on the join key once, dims never shuffle.
+    */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord  = Tables.orders(spark, dir)
+    val li   = Tables.lineitem(spark, dir)
+    val nat  = broadcast(Tables.nation(spark, dir))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Top-k per group via window (vector top-k / re-rank top-k shape,
+    * SURVEY §2.6). row_number over (partition, order) — single shuffle on
+    * the partition key; rank ties broken by key for determinism.
+    */
+  def q4TopkWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Semi join (retrieved ⋉ expected / recall membership, SURVEY §2.4):
+    * customers having at least one urgent order. left_semi never widens
+    * rows, so no dedup pass is needed after the join.
+    */
+  def q5SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    cust.join(urgent, Seq("c_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Anti join (skip-if-exists / quarantine pruning, SURVEY §2.7):
+    * customers with no urgent orders.
+    */
+  def q6AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    cust.join(ord, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_nationkey")
+      .orderBy("c_custkey")
+  }
+
+  /** Distinct (distinct PMCIDs, SURVEY §2.5): distinct (supplier, part)
+    * pairs shipped, with partial aggregation before the shuffle.
+    */
+  def q7Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_suppkey", "l_returnflag")
+      .distinct()
+      .orderBy("l_suppkey", "l_returnflag")
+
+  /** Union of heterogeneous record streams (80/20 corpus merge,
+    * SURVEY §2.7) — unionByName with a provenance tag.
+    */
+  def q8Union(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+              col("c_nationkey").as("nationkey"), lit("customer").as("kind"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+              col("s_nationkey").as("nationkey"), lit("supplier").as("kind"))
+    cust.unionByName(supp)
+      .groupBy("kind", "nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("acctbal"), 2).as("bal"))
+      .orderBy("kind", "nationkey")
+  }
+
+  /** Running sum window (token-budget pack_context shape, SURVEY §2.5):
+    * cumulative spend per customer in order-date order.
+    */
+  def q9RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("running_spend", round(sum("o_totalprice").over(w), 2))
+      .select("o_custkey", "o_orderkey", "running_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Priority coalesce cascade (body resolution FULL→ABSTRACT→NONE,
+    * reference fetch_pubmed.py:275-299) as a when/otherwise column.
+    */
+  def q10Cascade(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("section",
+        when(col("n_chars") >= 400, "FULL")
+          .when(col("n_chars") >= 200, "ABSTRACT")
+          .otherwise("NONE"))
+      .groupBy("section")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("section")
+
+  /** Latest-partition selection (newest index wins,
+    * reference eval_snapshot.py:45-52): scalar max month then prune to it.
+    * At scale the inner max is a partition-listing operation, not a scan.
+    */
+  def q11LatestPartition(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("mon", date_trunc("month", col("ts")))
+    val latest = ev.agg(max("mon")).head().getTimestamp(0)
+    ev.filter(col("mon") === lit(latest))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  /** Grouped stats summary (section-count summary,
+    * reference fetch_pubmed.py:422-426).
+    */
+  def q12GroupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("n_chars"), 4).as("avg_chars"),
+           max("n_chars").as("max_chars"))
+      .orderBy("lang", "source")
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local dev harness mirroring the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+SQL from oracle_sql.json in DuckDB with the sf tables registered as views,
+sorts columns by name and rows by all columns, and diffs exactly.
+Not part of the Scala deliverable — dev tooling only.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        qdir = f"{out_dir}/{name}"
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"MISSING  {name}: no spark output")
+            n_fail += 1
+            continue
+        got = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        exp = canon(con.execute(oracles[name]).fetchdf())
+        ok_schema = list(got.columns) == list(exp.columns)
+        ok_rows = len(got) == len(exp)
+        ok_vals = False
+        if ok_schema and ok_rows:
+            try:
+                pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                              check_exact=True)
+                ok_vals = True
+            except AssertionError as e:
+                msg = str(e).splitlines()
+                print(f"VALDIFF  {name}: {msg[0] if msg else e}")
+                # show first differing rows
+                neq = (got.astype(str) != exp.astype(str)).any(axis=1)
+                print(got[neq].head(3))
+                print(exp[neq].head(3))
+        if ok_schema and ok_rows and ok_vals:
+            print(f"PASS     {name} ({len(got)} rows)")
+            n_pass += 1
+        else:
+            if not ok_schema:
+                print(f"SCHEMA   {name}: spark={list(got.columns)} oracle={list(exp.columns)}")
+            elif not ok_rows:
+                print(f"ROWCOUNT {name}: spark={len(got)} oracle={len(exp)}")
+            n_fail += 1
+    # rows-only queries (no oracle)
+    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(qdir.rstrip("/"))
+        if name not in oracles:
+            files = glob.glob(f"{qdir}/*.parquet")
+            n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+            print(f"{'ROWSOK' if n > 0 else 'EMPTY!'}   {name} ({n} rows, no oracle)")
+            if n == 0: n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
