@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * kept identical on both sides.
   */
 object SparkEntry {
-  import graft.operators.Relational
+  import graft.operators.{Relational, TextOps}
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -30,6 +30,16 @@ object SparkEntry {
     "q10_cascade"         -> Relational.q10Cascade _,
     "q11_latest_partition" -> Relational.q11LatestPartition _,
     "q12_group_stats"     -> Relational.q12GroupStats _,
+    "q13_clean_text"      -> TextOps.q13CleanText _,
+    "q14_token_stats"     -> TextOps.q14TokenStats _,
+    "q15_lang_id"         -> TextOps.q15LangId _,
+    "q16_quality"         -> TextOps.q16Quality _,
+    "q17_fingerprint"     -> TextOps.q17Fingerprint _,
+    "q18_passages"        -> TextOps.q18Passages _,
+    "q19_word_chunks"     -> TextOps.q19WordChunks _,
+    "q20_pmcid_norm"      -> TextOps.q20PmcidNorm _,
+    "q21_citations"       -> TextOps.q21Citations _,
+    "q22_bullet_dedup"    -> TextOps.q22BulletDedup _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -111,5 +121,121 @@ object SparkEntry {
          round(avg(n_chars), 4) AS avg_chars,
          CAST(max(n_chars) AS BIGINT) AS max_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "q13_clean_text" ->
+      """SELECT doc_id, trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               '<p>Intro</p> [12] ' || text || '!!! (Smith et al., 2020a) (fig 3) end-' || chr(10) || 'note' || chr(10) || 'Figure 2 spurious caption' || chr(10) || 'more text' || chr(10) || 'References' || chr(10) || '[99] dropped tail',
+                               '<[^>]+>', ' ', 'g'),
+                             '[\x00-\x08\x0b\x0c\x0e-\x1f]', ' ', 'g'),
+                           '([!?.,;:]){2,}', '\1', 'g'),
+                         '\[[^\]]{1,20}\]', ' ', 'g'),
+                       '\([A-Z][A-Za-z]+ et al\.?,? ?\d{4}[a-z]?\)', ' ', 'g'),
+                     '(?i)\((?:fig(?:ure)?\.? ?\d+[a-z]?)\)', ' ', 'g'),
+                   '(?im)^(?:figure|table)\s+\d+[^\n]*$', ' ', 'g'),
+                 '(?is)\n\s*(?:references|bibliography)\b.*$', ''),
+               '(?is)\n\s*(?:methods|materials and methods|acknowledg(?:e)?ments?|funding|conflicts? of interest)\b.*$', ''),
+             '(\w+)-\s*\n\s*(\w+)', '\1\2', 'g'),
+           '\s+', ' ', 'g')) AS clean
+         FROM documents ORDER BY doc_id""",
+    "q14_token_stats" ->
+      """SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q15_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+           len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for|with)\b')) AS en,
+           len(regexp_extract_all(text, '\b(der|die|das|und|nicht|ein|ist|mit)\b')) AS de,
+           len(regexp_extract_all(text, '\b(el|la|los|las|que|por|para|con)\b')) AS es,
+           len(regexp_extract_all(text, '\b(le|les|des|une|est|dans|pour|avec)\b')) AS fr,
+           len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
+         FROM documents)
+         SELECT doc_id, CASE
+           WHEN greatest(en,de,es,fr,zh) = 0 THEN 'und'
+           WHEN en = greatest(en,de,es,fr,zh) THEN 'en'
+           WHEN de = greatest(en,de,es,fr,zh) THEN 'de'
+           WHEN es = greatest(en,de,es,fr,zh) THEN 'es'
+           WHEN fr = greatest(en,de,es,fr,zh) THEN 'fr'
+           ELSE 'zh' END AS lang_pred
+         FROM s ORDER BY doc_id""",
+    "q16_quality" ->
+      """WITH s AS (SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+           CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+           CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
+         FROM documents)
+         SELECT doc_id, round((
+           least(n_chars / 500.0, 1.0)
+           + (1.0 - least(n_punct / greatest(n_words, 1.0) * 2.0, 1.0))
+           + least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0)
+           + CASE WHEN n_chars / greatest(n_words, 1.0) >= 3.0
+                   AND n_chars / greatest(n_words, 1.0) <= 10.0 THEN 1.0 ELSE 0.5 END
+           ) / 4.0, 4) AS quality
+         FROM s ORDER BY doc_id""",
+    "q17_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q18_passages" ->
+      """WITH w AS (SELECT doc_id, text,
+           unnest(generate_series(0, greatest(CAST(floor((length(text)-1)/250) AS BIGINT), 0))) AS i
+         FROM documents),
+         p AS (SELECT doc_id, i, trim(substr(text, CAST(i*250+1 AS BIGINT), 300)) AS passage
+               FROM w)
+         SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS passage_id,
+           passage
+         FROM p WHERE passage <> ''
+         ORDER BY doc_id, passage_id""",
+    "q19_word_chunks" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents),
+         c AS (SELECT doc_id,
+                 unnest(generate_series(0, greatest(CAST(ceil(len(words)/100.0) AS BIGINT), 1) - 1)) AS i,
+                 words
+               FROM w),
+         x AS (SELECT doc_id, i,
+                 array_to_string(list_slice(words, CAST(i*100+1 AS BIGINT), CAST(i*100+100 AS BIGINT)), ' ') AS chunk
+               FROM c)
+         SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS chunk_id,
+           chunk
+         FROM x WHERE chunk <> ''
+         ORDER BY doc_id, chunk_id""",
+    "q20_pmcid_norm" ->
+      """WITH r AS (SELECT doc_id, CASE
+           WHEN doc_id % 3 = 0 THEN 'pmc-id: PMC' || doc_id || '; PMC999'
+           WHEN doc_id % 3 = 1 THEN '  ' || doc_id || ' ;PMC888'
+           ELSE 'PMC' || doc_id END AS raw_pmcid
+         FROM documents),
+         n AS (SELECT doc_id,
+           trim(string_split(regexp_replace(raw_pmcid, '(?i)^\s*pmc-?id:?\s*', ''), ';')[1]) AS first
+         FROM r)
+         SELECT doc_id,
+           CASE WHEN first = '' THEN NULL
+                ELSE 'PMC' || regexp_replace(first, '(?i)^PMC', '') END AS pmcid
+         FROM n ORDER BY doc_id""",
+    "q21_citations" ->
+      """SELECT doc_id,
+         'PMID: ' || doc_id || ' | DOI: 10.1000/j.' || doc_id AS citations
+         FROM documents ORDER BY doc_id""",
+    "q22_bullet_dedup" ->
+      """WITH keyed AS (SELECT source, doc_id,
+           substr(regexp_replace(lower(text), '[^a-z]', '', 'g'), 1, 60) AS k
+         FROM documents),
+         dedup AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rk FROM keyed),
+         capped AS (SELECT source, doc_id, k,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rs
+           FROM dedup WHERE rk = 1)
+         SELECT source, doc_id, k FROM capped WHERE rs <= 10
+         ORDER BY source, doc_id""",
   )
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.Tables
+import graft.text.{Chunker, CleanText, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-processing operator surface (SURVEY §2.8–§2.9 + training-data text
+  * analysis) over the `documents` fixture. Everything here is a pure
+  * column-expression pipeline — single narrow stage fused into the parquet
+  * scan by whole-stage codegen; the only shuffles are the final group-bys.
+  */
+object TextOps {
+
+  /** Synthesis of a "dirty" document (fixture text is already clean): wraps
+    * the corpus text with the exact artifact classes the reference cleaner
+    * targets, so `clean_text` is exercised end-to-end on every row.
+    */
+  private def dirty(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).withColumn("dirty",
+      concat(
+        lit("<p>Intro</p> [12] "), col("text"),
+        lit("!!! (Smith et al., 2020a) (fig 3) end-\nnote\nFigure 2 spurious caption\nmore text\nReferences\n[99] dropped tail")))
+
+  /** Order-exact composite clean (text_cleaner.py:105-133). */
+  def q13CleanText(spark: SparkSession, dir: String): DataFrame =
+    dirty(spark, dir)
+      .select(col("doc_id"), CleanText.cleanText(col("dirty")).as("clean"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens + BPE-ish pre-tokenizer count. */
+  def q14TokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Stopword-profile language ID + accuracy summary vs the labeled lang. */
+  def q15LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Surface-statistics quality score (corpus filtering first pass). */
+  def q16Quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** md5 document fingerprint over normalized text (exact-dedup identity). */
+  def q17Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Overlapping 300/50 char passages (passage_splitter.py:16-28) via
+    * native sequence/transform + posexplode — generator with no UDF.
+    */
+  def q18Passages(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(Chunker.passages(col("text"), 300, 50)).as(Seq("passage_id", "passage")))
+      .orderBy("doc_id", "passage_id")
+
+  /** Fixed 100-word chunk windows (text_cleaner.py fallback path). */
+  def q19WordChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(Chunker.wordChunks(col("text"), 100)).as(Seq("chunk_id", "chunk")))
+      .orderBy("doc_id", "chunk_id")
+
+  /** PMCID normalization (pipeline.py:99-106,126-131) over synthesized
+    * noisy ids: label prefix, `;` lists, missing `PMC` prefix.
+    */
+  def q20PmcidNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("raw_pmcid",
+        when(col("doc_id") % 3 === 0, concat(lit("pmc-id: PMC"), col("doc_id"), lit("; PMC999")))
+          .when(col("doc_id") % 3 === 1, concat(lit("  "), col("doc_id"), lit(" ;PMC888")))
+          .otherwise(concat(lit("PMC"), col("doc_id"))))
+      .select(col("doc_id"), CleanText.normalizePmcid(col("raw_pmcid")).as("pmcid"))
+      .orderBy("doc_id")
+
+  /** Citation extraction (postprocess.py:36,169-171): unique ordered
+    * `(PMID|PMCID|DOI): v` mentions, joined for cross-engine compare.
+    */
+  def q21Citations(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("body",
+        concat(lit("intro PMID: "), col("doc_id"), lit(" then DOI: 10.1000/j."),
+               col("doc_id"), lit(" and again PMID: "), col("doc_id")))
+      .select(col("doc_id"),
+        array_join(CleanText.extractCitations(col("body")), " | ").as("citations"))
+      .orderBy("doc_id")
+
+  /** Normalized-key dedup with cap (main.py:253-296): key = lowercase
+    * alpha-only first-60-chars; keep lowest doc_id per key; ≤10 per source.
+    */
+  def q22BulletDedup(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .withColumn("k", CleanText.dedupKey(col("text")))
+    val wKey = Window.partitionBy("k").orderBy("doc_id")
+    val wSrc = Window.partitionBy("source").orderBy("doc_id")
+    keyed
+      .withColumn("rk", row_number().over(wKey)).filter(col("rk") === 1)
+      .withColumn("rs", row_number().over(wSrc)).filter(col("rs") <= 10)
+      .select(col("source"), col("doc_id"), col("k"))
+      .orderBy("source", "doc_id")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All pure column expressions (codegen'd, no UDFs) so they run at full
+  * scan throughput — at 100 TB these are applied in the same stage as the
+  * parquet scan, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(split(trim(c), "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation —
+    * the standard pre-tokenizer shape, as a codegen'd regex count.
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private def countMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Stopword-profile language ID (n-gram/stopword heuristic). Scores tiny
+    * per-language function-word lists and takes a deterministic argmax
+    * (strict-greater precedence en → de → es → fr → zh). Deterministic and
+    * cross-engine reproducible; swap the word lists for real profiles in a
+    * production corpus.
+    */
+  def langId(c: Column): Column = {
+    val en = countMatches(c, "\\b(the|and|of|to|in|is|that|for|with)\\b")
+    val de = countMatches(c, "\\b(der|die|das|und|nicht|ein|ist|mit)\\b")
+    val es = countMatches(c, "\\b(el|la|los|las|que|por|para|con)\\b")
+    val fr = countMatches(c, "\\b(le|les|des|une|est|dans|pour|avec)\\b")
+    val zh = countMatches(c, "[\\x{4e00}-\\x{9fff}]")
+    val m = greatest(en, de, es, fr, zh)
+    when(m === lit(0), "und")
+      .when(en === m, "en").when(de === m, "de").when(es === m, "es")
+      .when(fr === m, "fr").otherwise("zh")
+  }
+
+  /** Quality score ∈ [0,1] from cheap surface statistics (length band,
+    * punctuation ratio, stopword ratio, mean word length band) — the usual
+    * first-pass corpus filter. Rounded for cross-engine stability.
+    */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast("double")
+    val nWords = tokenCount(c).cast("double")
+    val nPunct = length(regexp_replace(c, "[^!?.,;:]", "")).cast("double")
+    val nStop  = countMatches(c, "\\b(the|and|of|to|in|a|is|that)\\b").cast("double")
+    val meanWordLen = nChars / greatest(nWords, lit(1.0))
+    val lenScore   = least(nChars / lit(500.0), lit(1.0))
+    val punctScore = lit(1.0) - least(nPunct / greatest(nWords, lit(1.0)) * 2.0, lit(1.0))
+    val stopScore  = least(nStop / greatest(nWords, lit(1.0)) * 5.0, lit(1.0))
+    val wlenScore  = when(meanWordLen >= 3.0 && meanWordLen <= 10.0, 1.0).otherwise(0.5)
+    round((lenScore + punctScore + stopScore + wlenScore) / 4.0, 4)
+  }
+
+  /** Document fingerprint: md5 of the casefolded, whitespace-normalized
+    * text — the exact-dedup identity. Stable across engines.
+    */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")).cast("binary"))
+
+  /** 64-bit rolling polynomial fingerprint (Karp–Rabin over the normalized
+    * text, base 31, natural Long overflow). Cheaper than md5 at scale and
+    * order-sensitive; not SQL-portable, so verified by ScalaTest instead of
+    * the DuckDB oracle.
+    */
+  val rollingHash: String => Long = { s =>
+    if (s == null) 0L
+    else {
+      val t = s.toLowerCase.replaceAll("\\s+", " ").trim
+      var h = 1125899906842597L
+      var i = 0
+      while (i < t.length) { h = 31 * h + t.charAt(i); i += 1 }
+      h
+    }
+  }
+
+  def rollingHashUdf = udf(rollingHash)
+}
