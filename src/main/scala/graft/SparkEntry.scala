@@ -11,10 +11,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   import graft.operators.{Relational, ScaleOps, TextOps}
+  import graft.multimodal.Multimodal
+  import graft.query.Retrieval
+  import graft.streaming.Events
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full reference dataflow: clean → passage-split → embed → cosine
+    * retrieve with over-fetch + threshold cascade → lexical re-rank →
+    * token-budget context packing.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q3JoinAgg(spark, "/root/testdata/sf0.001")
+    Retrieval.flagship(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -50,6 +57,12 @@ object SparkEntry {
     "q30_recall_at_k"     -> ScaleOps.q30RecallAtK _,
     "q31_threshold_cascade" -> ScaleOps.q31ThresholdCascade _,
     "q32_pack_context"    -> ScaleOps.q32PackContext _,
+    "q33_tumbling_window" -> Events.q33Tumbling _,
+    "q34_sliding_window"  -> Events.q34Sliding _,
+    "q35_sessionize"      -> Events.q35Sessions _,
+    "q36_dedup_events"    -> Events.q36DedupEvents _,
+    "q37_media_pipeline"  -> Multimodal.q37MediaPipeline _,
+    "q38_retrieval"       -> ((s: SparkSession, dir: String) => Retrieval.flagship(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -333,5 +346,55 @@ object SparkEntry {
            FROM t)
          SELECT lang, doc_id, n_tokens, run_tokens FROM r WHERE run_tokens <= 800
          ORDER BY lang, doc_id""",
+    "q33_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS wstart, event_type,
+         count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    "q34_sliding_window" ->
+      """WITH x AS (SELECT
+           unnest([time_bucket(INTERVAL '30 minutes', ts),
+                   time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS wstart,
+           event_type, value
+         FROM events)
+         SELECT wstart, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM x GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    "q35_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss, value FROM events),
+         l AS (SELECT *, lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev FROM e),
+         f AS (SELECT *, CASE WHEN prev IS NULL OR tss - prev > 1800 THEN 1 ELSE 0 END AS ns FROM l),
+         s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tss, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(tss) AS session_start_s, max(tss) AS session_end_s,
+           round(sum(value), 2) AS total_value
+         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q36_dedup_events" ->
+      """WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type, value
+                      ORDER BY event_id) AS rk FROM events)
+         SELECT event_id, user_id, event_type, value FROM r WHERE rk = 1
+         ORDER BY event_id""",
+    "q37_media_pipeline" ->
+      """WITH m AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+           text, octet_length(encode(text)) AS n_bytes,
+           CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS first
+         FROM documents),
+         d AS (SELECT doc_id, media_type, n_bytes,
+           64 + n_bytes % 512 AS width,
+           64 + (first % 128) * 2 AS height,
+           CASE WHEN media_type = 'video' THEN 1 + n_bytes % 30 ELSE 1 END AS n_frames,
+           CASE WHEN media_type = 'audio' THEN n_bytes / 1000.0 ELSE 0.0 END AS duration_s,
+           md5(text) AS content_hash
+         FROM m)
+         SELECT doc_id, media_type, CAST(n_bytes AS INT) AS n_bytes,
+           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(n_frames AS INT) AS n_frames,
+           round(duration_s, 3) AS duration_s,
+           CAST(floor(width * least(256, greatest(width, height)) / greatest(width, height)) AS INT) AS out_w,
+           CAST(floor(height * least(256, greatest(width, height)) / greatest(width, height)) AS INT) AS out_h,
+           CASE WHEN media_type = 'video' THEN CAST((n_frames - 1) // 5 AS INT) + 1 ELSE 0 END AS n_sampled,
+           content_hash
+         FROM d ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,159 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Event-time analytics over the `events` table (SURVEY §2.11): tumbling /
+  * sliding windows, sessionization, and keyed dedup. The batch forms are
+  * the oracle-checkable surface; `streamingTumbling` / `streamingSessions`
+  * run the SAME logic through Structured Streaming (file source →
+  * watermark → windowed state) proving the incremental path.
+  *
+  * Scale: windowed aggregation state is bounded by the watermark; session
+  * state by the gap timeout. Both shuffle once on the grouping key.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event_type via the `window()` operator —
+    * identical semantics batch or streaming.
+    */
+  def q33Tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total_value"))
+      .orderBy("wstart", "event_type")
+
+  /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
+  def q34Sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total_value"))
+      .orderBy("wstart", "event_type")
+
+  /** Batch sessionization, 30-minute inactivity gap: classic
+    * lag + cumulative-new-session-flag windows. Session bounds exported as
+    * whole epoch seconds (ns-vs-µs storage precision must not leak into
+    * the oracle compare).
+    */
+  def q35Sessions(spark: SparkSession, dir: String): DataFrame = {
+    // order on whole seconds (+ event_id tiebreak) so any sub-second
+    // storage-precision difference cannot reorder rows vs the oracle
+    val byUser = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("tss", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("tss", unix_timestamp(col("ts")))
+      .withColumn("prev_tss", lag("tss", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_tss").isNull || col("tss") - col("prev_tss") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("tss").as("session_start_s"),
+        max("tss").as("session_end_s"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Keyed exact dedup: first event per (user_id, event_type, value),
+    * "first" by event_id (deterministic under any storage precision).
+    */
+  def q36DedupEvents(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type", "value").orderBy("event_id")
+    Tables.events(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- //
+  // Structured Streaming forms (exercised by ScalaTest with a memory
+  // sink; the driver's batch oracle covers the semantics above).
+  // ---------------------------------------------------------------- //
+
+  /** Tumbling windowed counts as a streaming query over the same parquet,
+    * with a 1-hour watermark: the incremental equivalent of q33.
+    */
+  def streamingTumbling(spark: SparkSession, dir: String,
+                        queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.apply(spark, dir, "events").schema
+    val src = spark.readStream.schema(schema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total_value"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private case class Ev(user_id: Long, tsSec: Long, value: Double)
+  private case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start_s: Long, session_end_s: Long,
+                        n_events: Long, total_value: Double)
+
+  /** Stateful sessionization with `flatMapGroupsWithState` (30-min gap,
+    * processing-time flush): the streaming counterpart of q35. Emits a
+    * session when the gap is exceeded within a batch; flushes the open
+    * session at timeout.
+    */
+  def streamingSessions(spark: SparkSession, dir: String,
+                        queryName: String): StreamingQuery = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.apply(spark, dir, "events").schema
+    val src = spark.readStream.schema(schema)
+      .parquet(s"$dir/events.parquet")
+      .select((col("ts") / lit(1000000000L)).cast("long").as("tsSec"),
+        col("user_id"), col("value"))
+      .as[(Long, Long, Double)]
+      .map { case (t, u, v) => Ev(u, t, v) }
+
+    val fn: (Long, Iterator[Ev], GroupState[SessionState]) => Iterator[SessionOut] =
+      (user, events, state) => {
+        val sorted = events.toSeq.sortBy(_.tsSec)
+        var cur = state.getOption
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        sorted.foreach { e =>
+          cur match {
+            case Some(s) if e.tsSec - s.end <= 1800 =>
+              cur = Some(SessionState(s.start, e.tsSec, s.n + 1, s.total + e.value))
+            case Some(s) =>
+              out += SessionOut(user, s.start, s.end, s.n, s.total)
+              cur = Some(SessionState(e.tsSec, e.tsSec, 1, e.value))
+            case None =>
+              cur = Some(SessionState(e.tsSec, e.tsSec, 1, e.value))
+          }
+        }
+        cur match {
+          case Some(s) if state.hasTimedOut =>
+            out += SessionOut(user, s.start, s.end, s.n, s.total)
+            state.remove()
+          case Some(s) =>
+            state.update(s)
+            state.setTimeoutDuration("30 minutes")
+          case None => ()
+        }
+        out.iterator
+      }
+
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout())(fn)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}
