@@ -85,8 +85,9 @@ object Events {
                         queryName: String): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.apply(spark, dir, "events").schema
+    // file-source basePath must be a directory; select the table via glob
     val src = spark.readStream.schema(schema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     src.withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -98,15 +99,18 @@ object Events {
       .start()
   }
 
-  private case class Ev(user_id: Long, tsSec: Long, value: Double)
-  private case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class Ev(user_id: Long, tsSec: Long, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
   case class SessionOut(user_id: Long, session_start_s: Long, session_end_s: Long,
                         n_events: Long, total_value: Double)
 
-  /** Stateful sessionization with `flatMapGroupsWithState` (30-min gap,
-    * processing-time flush): the streaming counterpart of q35. Emits a
-    * session when the gap is exceeded within a batch; flushes the open
-    * session at timeout.
+  /** Stateful sessionization with `flatMapGroupsWithState` (30-min gap):
+    * the streaming counterpart of q35. Emits a session as soon as the gap
+    * is exceeded; the currently-open session per user stays in state.
+    * NoTimeout keeps bounded-input runs terminating (ProcessingTimeTimeout
+    * never lets an AvailableNow query finish); a 24/7 deployment would use
+    * EventTimeTimeout + withWatermark to flush idle sessions and bound
+    * state.
     */
   def streamingSessions(spark: SparkSession, dir: String,
                         queryName: String): StreamingQuery = {
@@ -114,7 +118,7 @@ object Events {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.apply(spark, dir, "events").schema
     val src = spark.readStream.schema(schema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
       .select((col("ts") / lit(1000000000L)).cast("long").as("tsSec"),
         col("user_id"), col("value"))
       .as[(Long, Long, Double)]
@@ -136,21 +140,13 @@ object Events {
               cur = Some(SessionState(e.tsSec, e.tsSec, 1, e.value))
           }
         }
-        cur match {
-          case Some(s) if state.hasTimedOut =>
-            out += SessionOut(user, s.start, s.end, s.n, s.total)
-            state.remove()
-          case Some(s) =>
-            state.update(s)
-            state.setTimeoutDuration("30 minutes")
-          case None => ()
-        }
+        cur.foreach(state.update)
         out.iterator
       }
 
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.ProcessingTimeTimeout())(fn)
+        GroupStateTimeout.NoTimeout())(fn)
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())

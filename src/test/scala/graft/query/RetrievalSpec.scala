@@ -1,0 +1,51 @@
+package graft.query
+
+import graft.{SparkSpec, Tables}
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+
+  test("recall@10 >= 0.80 on the near-dup eval set (reference quality gate)") {
+    // eval set mirrors FIXTURES.md §6: query = text of one member of a
+    // planted near-dup pair, expected = the OTHER member. The gate mirrors
+    // continuous.py:35-36 (recall@10 >= 0.80).
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select(col("doc_a"), col("doc_b"))
+    val evalSet = pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("text")), "doc_a")
+      .select(col("doc_a").as("query_id"), col("text").as("query_text"),
+        col("doc_b").as("expected_doc"))
+    assert(evalSet.count() >= 10, "need a meaningful eval set")
+    val recall = Retrieval.recallAtK(spark, sfDir, evalSet, 10)
+    assert(recall >= 0.80, s"recall@10 = $recall")
+  }
+
+  test("flagship pipeline: every query packs within the token budget") {
+    val out = Retrieval.flagship(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val maxRun = rows.map(_.getAs[Long]("run_tokens")).max
+    assert(maxRun <= 800)
+    // ranks are dense from 1 within each query
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.head == 1 && ranks.toSeq == (1 to ranks.length))
+    }
+  }
+
+  test("retrieve honors k and the over-fetch pool keeps scores ordered by re-rank") {
+    val docs = Tables.documents(spark, sfDir)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+    val idx = Retrieval.buildIndex(spark, sfDir)
+    val res = Retrieval.retrieve(queries, idx, k = 4).collect()
+    res.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.length <= 4)
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      val re = byRank.map(_.getAs[Double]("re_score"))
+      assert(re.zip(re.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
