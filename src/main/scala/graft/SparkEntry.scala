@@ -63,6 +63,9 @@ object SparkEntry {
     "q36_dedup_events"    -> Events.q36DedupEvents _,
     "q37_media_pipeline"  -> Multimodal.q37MediaPipeline _,
     "q38_retrieval"       -> ((s: SparkSession, dir: String) => Retrieval.flagship(s, dir)),
+    "q39_postprocess"     -> TextOps.q39PostProcess _,
+    "q40_train_filter"    -> TextOps.q40TrainFilter _,
+    "q41_month_query"     -> TextOps.q41MonthQuery _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -310,6 +313,27 @@ object SparkEntry {
                FROM s)
          SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, score
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q29_knn_ivf" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv, label FROM embeddings WHERE vec_id >= 10),
+         ci AS (SELECT label, unnest(generate_series(1, 64)) AS i, cv FROM c),
+         cent AS (SELECT label, i, avg(cv[i]) AS m FROM ci GROUP BY label, i),
+         centv AS (SELECT label, list(m ORDER BY i) AS ce FROM cent GROUP BY label),
+         probe AS (SELECT qid, label, qv FROM (
+             SELECT q.qid, centv.label, q.qv,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 round(list_dot_product(q.qv, centv.ce) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(centv.ce, centv.ce))), 4) DESC,
+                 centv.label ASC) AS pr
+             FROM q, centv) WHERE pr <= 2),
+         s AS (SELECT probe.qid, c.nid,
+             round(list_dot_product(probe.qv, c.cv) /
+               (sqrt(list_dot_product(probe.qv, probe.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 4) AS score
+           FROM probe JOIN c ON c.label = probe.label),
+         r AS (SELECT qid, nid, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM s)
+         SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, score
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "q30_recall_at_k" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS expected FROM embeddings WHERE vec_id < 20),
          c AS (SELECT vec_id AS nid, embedding AS cv, label AS nl FROM embeddings WHERE vec_id >= 20),
@@ -396,5 +420,43 @@ object SparkEntry {
            CASE WHEN media_type = 'video' THEN CAST((n_frames - 1) // 5 AS INT) + 1 ELSE 0 END AS n_sampled,
            content_hash
          FROM d ORDER BY doc_id""",
+    "q39_postprocess" ->
+      """WITH g AS (SELECT doc_id,
+           '<pad> ' || substr(text, 1, 120) || '. tail fragment witho' || ' </s>' ||
+             chr(10) || 'Acknowledgments' || chr(10) || 'thanks to' AS gen
+         FROM documents),
+         s1 AS (SELECT doc_id,
+           replace(replace(replace(replace(replace(gen, '<pad>', ' '), '</s>', ' '),
+             '<s>', ' '), '<unk>', ' '), '###', ' ') AS t FROM g),
+         s2 AS (SELECT doc_id, regexp_replace(t,
+           '(?is)\n\s*(?:acknowledg(?:e)?ments?|funding|references)\b.*$', '') AS t FROM s1),
+         s3 AS (SELECT doc_id,
+           CASE WHEN regexp_extract(t, '(?s)^(.*[.!?])', 1) = '' THEN t
+                ELSE regexp_extract(t, '(?s)^(.*[.!?])', 1) END AS t FROM s2)
+         SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS answer
+         FROM s3 ORDER BY doc_id""",
+    "q40_train_filter" ->
+      """WITH r AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text END AS text_field,
+           CASE WHEN doc_id % 3 = 1 THEN 'summarize doc ' || doc_id END AS instruction,
+           CASE WHEN doc_id % 3 = 1 THEN substr(text, 1, 60) END AS output
+         FROM documents)
+         SELECT doc_id,
+           CASE WHEN text_field IS NOT NULL THEN 'text' ELSE 'instruction' END AS record_type,
+           coalesce(text_field, '### Instruction:' || chr(10) || instruction ||
+             chr(10) || '### Response:' || chr(10) || output) AS to_text
+         FROM r
+         WHERE text_field IS NOT NULL OR (instruction IS NOT NULL AND output IS NOT NULL)
+         ORDER BY doc_id""",
+    "q41_month_query" ->
+      """WITH m AS (SELECT DISTINCT CAST(date_trunc('month', ts) AS DATE) AS mon FROM events),
+         q AS (SELECT mon,
+           '"' || strftime(mon, '%Y/%m') || '/01"[PDAT] : "' ||
+             strftime(last_day(mon), '%Y/%m/%d') || '"[PDAT] AND hasabstract[text]' AS query_str
+         FROM m)
+         SELECT CAST(mon AS VARCHAR) AS mon, query_str,
+           regexp_extract(query_str, '"(\d{4})/(\d{2})/01"\[PDAT\]', 1) AS year_back,
+           regexp_extract(query_str, '"(\d{4})/(\d{2})/01"\[PDAT\]', 2) AS month_back
+         FROM q ORDER BY mon""",
   )
 }

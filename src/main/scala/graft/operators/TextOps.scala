@@ -95,6 +95,64 @@ object TextOps {
         array_join(CleanText.extractCitations(col("body")), " | ").as("citations"))
       .orderBy("doc_id")
 
+  /** Post-generation processing chain (postprocess.py): synthesized
+    * "model output" per doc → special-token strip → boilerplate-tail cut →
+    * trim to last sentence end → whitespace collapse.
+    */
+  def q39PostProcess(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("gen",
+        concat(lit("<pad> "), substring(col("text"), 1, 120),
+          lit(". tail fragment witho"), lit(" </s>\nAcknowledgments\nthanks to")))
+      .select(col("doc_id"),
+        CleanText.collapseWs(
+          CleanText.trimToLastPeriodCol(
+            CleanText.truncateBoilerplateTail(
+              CleanText.stripSpecialTokens(col("gen"))))).as("answer"))
+      .orderBy("doc_id")
+
+  /** Training-record union-shape filter (train_lora.py:87-111): accept
+    * `{text}` or `{instruction, output}`, drop malformed, project the
+    * unified to_text form.
+    */
+  def q40TrainFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text")).otherwise(lit(null)).as("text_field"),
+        when(col("doc_id") % 3 === 1, concat(lit("summarize doc "), col("doc_id")))
+          .otherwise(lit(null)).as("instruction"),
+        when(col("doc_id") % 3 === 1, substring(col("text"), 1, 60))
+          .otherwise(lit(null)).as("output"))
+      .filter(col("text_field").isNotNull ||
+        (col("instruction").isNotNull && col("output").isNotNull))
+      .select(col("doc_id"),
+        when(col("text_field").isNotNull, "text").otherwise("instruction").as("record_type"),
+        coalesce(col("text_field"),
+          concat(lit("### Instruction:\n"), col("instruction"),
+            lit("\n### Response:\n"), col("output"))).as("to_text"))
+      .orderBy("doc_id")
+
+  /** PubMed month-query construction + inverse extraction
+    * (pipeline.py:57-63, 113-116): calendar-aware `[PDAT]` range per
+    * event month, then the year/month regex round-trip.
+    */
+  def q41MonthQuery(spark: SparkSession, dir: String): DataFrame = {
+    val months = Tables.events(spark, dir)
+      .select(date_trunc("month", col("ts")).cast("date").as("mon")).distinct()
+    months
+      .withColumn("query_str", concat(
+        lit("\""), date_format(col("mon"), "yyyy/MM"), lit("/01\"[PDAT] : \""),
+        date_format(last_day(col("mon")), "yyyy/MM/dd"),
+        lit("\"[PDAT] AND hasabstract[text]")))
+      .withColumn("year_back",
+        regexp_extract(col("query_str"), "\"(\\d{4})/(\\d{2})/01\"\\[PDAT\\]", 1))
+      .withColumn("month_back",
+        regexp_extract(col("query_str"), "\"(\\d{4})/(\\d{2})/01\"\\[PDAT\\]", 2))
+      .select(col("mon").cast("string").as("mon"), col("query_str"),
+        col("year_back"), col("month_back"))
+      .orderBy("mon")
+  }
+
   /** Normalized-key dedup with cap (main.py:253-296): key = lowercase
     * alpha-only first-60-chars; keep lowest doc_id per key; ≤10 per source.
     */

@@ -127,6 +127,30 @@ object CleanText {
 
   def trimToLastPeriodUdf = udf(trimToLastPeriod)
 
+  /** Special-token strip (inference/postprocess.py:25-34,57-61):
+    * remove `<pad>`, `</s>`, `###`-style generation artifacts.
+    */
+  def stripSpecialTokens(c: Column): Column = {
+    val toks = Seq("<pad>", "</s>", "<s>", "<unk>", "###")
+    toks.foldLeft(c)((acc, t) => regexp_replace(acc, java.util.regex.Pattern.quote(t), " "))
+  }
+
+  /** Boilerplate-tail removal (postprocess.py:41-48,150-156): cut at
+    * Acknowledgments/Funding/References heads anywhere after a newline.
+    */
+  def truncateBoilerplateTail(c: Column): Column =
+    regexp_replace(c,
+      "(?is)\\n\\s*(?:acknowledg(?:e)?ments?|funding|references)\\b.*$", "")
+
+  /** Column form of trim-to-last-sentence-end (postprocess.py:69-72):
+    * greedy match up to the final `.?!`; unchanged when none exists.
+    * (Regex form so the DuckDB oracle can reproduce it exactly.)
+    */
+  def trimToLastPeriodCol(c: Column): Column = {
+    val cut = regexp_extract(c, "(?s)^(.*[.!?])", 1)
+    when(cut === "", c).otherwise(cut)
+  }
+
   /** Citation extraction (inference/postprocess.py:36,169-171):
     * unique `(PMID|PMCID|DOI): value` mentions in first-seen order.
     */
