@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch ingestion (reference run_pipeline, SURVEY §3.2) as partitioned
+  * lake maintenance: month-partitioned writes, idempotent MERGE-style
+  * upsert, next-missing-month selection.
+  *
+  * Scale notes: `partitionBy(year, month)` keeps every downstream
+  * month-scoped read partition-pruned; the upsert is left-anti + union +
+  * dynamic partition overwrite — only touched partitions rewrite, which is
+  * the Spark-native equivalent of the reference's per-row
+  * insert-or-reuse (pipeline.py:181-198) without a transactional store.
+  */
+object Ingest {
+
+  /** Write a month-partitioned corpus (dual-write shape of
+    * pipeline.py:66-93 collapses to ONE partitioned dataset; the
+    * per-article view is a filter, not a second copy).
+    */
+  def writePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("year", date_format(col(tsCol), "yyyy"))
+      .withColumn("month", date_format(col(tsCol), "MM"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("year", "month")
+      .parquet(path)
+
+  /** Idempotent upsert keyed by `keyCol`: existing rows win (the
+    * reference short-circuits on existing pmid, pipeline.py:135,158).
+    * Dynamic partition overwrite rewrites only the partitions the new
+    * batch touches.
+    */
+  def upsertByKey(spark: SparkSession, newRows: DataFrame, path: String,
+                  keyCol: String, tsCol: String): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val existing =
+      try spark.read.parquet(path).drop("year", "month")
+      catch { case _: Throwable => null }
+    val fresh =
+      if (existing == null) newRows
+      else newRows.join(existing.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val all = if (existing == null) fresh else {
+      // restrict the union to partitions the fresh rows touch; dynamic
+      // overwrite leaves every other partition untouched
+      val touched = fresh.select(date_format(col(tsCol), "yyyy-MM").as("p")).distinct()
+      val kept = existing.join(
+        touched, date_format(existing(tsCol), "yyyy-MM") === touched("p"), "left_semi")
+      fresh.unionByName(kept)
+    }
+    all.withColumn("year", date_format(col(tsCol), "yyyy"))
+      .withColumn("month", date_format(col(tsCol), "MM"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("year", "month")
+      .parquet(path)
+  }
+
+  /** Next missing month in a range (fetch_clean.py:35-53's low-watermark
+    * scan): first (year, month) with no partition directory.
+    */
+  def nextMissingMonth(spark: SparkSession, path: String,
+                       months: Seq[(Int, Int)]): Option[(Int, Int)] = {
+    val existing: Set[(Int, Int)] =
+      try {
+        spark.read.parquet(path)
+          .select(col("year").cast("int"), col("month").cast("int"))
+          .distinct().collect()
+          .map(r => (r.getInt(0), r.getInt(1))).toSet
+      } catch { case _: Throwable => Set.empty }
+    months.find(m => !existing.contains(m))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.{SparkSpec, Tables}
+import graft.sources.Jsonl
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Paths}
+
+class PipelineSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("JSONL permissive read: good rows parsed, malformed quarantined") {
+    val dir = tmpDir("jsonl")
+    val lines = Seq(
+      """{"pmid":"1","title":"a","text":"alpha beta"}""",
+      """{"pmid":"2","title":"b","text":"gamma delta"}""",
+      """{"pmid":"3","title":"c","text":  TRUNCATED""", // malformed
+      """not json at all""")
+    Files.write(Paths.get(dir, "part0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType.fromDDL("pmid STRING, title STRING, text STRING")
+    val df = Jsonl.readPermissive(spark, dir, schema).cache()
+    assert(Jsonl.good(df).count() == 2)
+    val q = Jsonl.quarantine(df).collect()
+    assert(q.length == 2)
+    assert(q.forall(_.getString(1) == "malformed_json"))
+  }
+
+  test("partitioned write prunes by month and upsert is idempotent") {
+    val path = tmpDir("lake") + "/events"
+    val ev = Tables.events(spark, sfDir).select("event_id", "ts", "event_type", "value")
+    Ingest.writePartitioned(ev, "ts", path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == ev.count())
+    assert(back.select("year", "month").distinct().count() >= 1)
+
+    // re-upserting the same rows must not duplicate anything
+    Ingest.upsertByKey(spark, ev, path, "event_id", "ts")
+    assert(spark.read.parquet(path).count() == ev.count())
+
+    // new rows (shifted ids) appear exactly once
+    val shifted = ev.withColumn("event_id", col("event_id") + 1000000)
+    Ingest.upsertByKey(spark, shifted, path, "event_id", "ts")
+    assert(spark.read.parquet(path).count() == 2 * ev.count())
+  }
+
+  test("next-missing-month low watermark") {
+    val path = tmpDir("lake2") + "/events"
+    val ev = Tables.events(spark, sfDir)
+      .filter(month(col("ts")) === 1)
+      .select("event_id", "ts", "event_type", "value")
+    Ingest.writePartitioned(ev, "ts", path)
+    val next = Ingest.nextMissingMonth(spark, path,
+      Seq((2024, 1), (2024, 2), (2024, 3)))
+    assert(next.contains((2024, 2)))
+    // empty lake → first month of the range
+    assert(Ingest.nextMissingMonth(spark, tmpDir("none") + "/x",
+      Seq((2024, 1))).contains((2024, 1)))
+  }
+
+  test("continuous flow passes its quality gate and indexes the corpus") {
+    val res = Continuous.run(spark, sfDir)
+    assert(res.indexedPassages > 0)
+    assert(res.recallAt10 >= 0.80)
+  }
+
+  test("continuous flow fails loudly when the gate is unreachable") {
+    intercept[IllegalStateException] {
+      Continuous.run(spark, sfDir, gate = 1.01)
+    }
+  }
+}
