@@ -66,6 +66,8 @@ object SparkEntry {
     "q39_postprocess"     -> TextOps.q39PostProcess _,
     "q40_train_filter"    -> TextOps.q40TrainFilter _,
     "q41_month_query"     -> TextOps.q41MonthQuery _,
+    "q42_rerank"          -> TextOps.q42Rerank _,
+    "q43_sentence_chunks" -> TextOps.q43SentenceChunks _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -458,5 +460,18 @@ object SparkEntry {
            regexp_extract(query_str, '"(\d{4})/(\d{2})/01"\[PDAT\]', 1) AS year_back,
            regexp_extract(query_str, '"(\d{4})/(\d{2})/01"\[PDAT\]', 2) AS month_back
          FROM q ORDER BY mon""",
+    "q42_rerank" ->
+      """WITH q AS (SELECT doc_id AS query_id, regexp_split_to_array(trim(text), '\s+') AS qw
+           FROM documents WHERE doc_id < 5),
+         c AS (SELECT doc_id AS cand_id, regexp_split_to_array(trim(text), '\s+') AS cw
+           FROM documents WHERE doc_id >= 5 AND doc_id < 105),
+         s AS (SELECT query_id, cand_id,
+             round(CAST(len(list_intersect(qw, cw)) AS DOUBLE) / len(qw), 4) AS re_score
+           FROM q, c),
+         r AS (SELECT query_id, cand_id, re_score,
+             row_number() OVER (PARTITION BY query_id ORDER BY re_score DESC, cand_id ASC) AS rank
+           FROM s)
+         SELECT query_id, CAST(rank AS INT) AS rank, cand_id, re_score
+         FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
   )
 }

@@ -153,6 +153,42 @@ object TextOps {
       .orderBy("mon")
   }
 
+  /** Cross-encoder re-rank stand-in as a standalone operator
+    * (re_rank.py:28-51): query×candidate pairs scored by distinct-word
+    * overlap / query length, window top-3 per query.
+    */
+  def q42Rerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val q = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), split(trim(col("text")), "\\s+").as("qw"))
+    val c = docs.filter(col("doc_id") >= 5 && col("doc_id") < 105)
+      .select(col("doc_id").as("cand_id"), split(trim(col("text")), "\\s+").as("cw"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("re_score").desc, col("cand_id").asc)
+    broadcast(q).crossJoin(c)
+      .withColumn("re_score",
+        round(size(array_intersect(col("qw"), col("cw"))).cast("double") /
+          size(col("qw")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "cand_id", "re_score")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Sentence-aware greedy chunking (text_cleaner.py:136-160) as a
+    * generator query: UDF + posexplode. Lookbehind sentence splitting is
+    * not RE2-expressible, so this is test-verified rather than
+    * oracle-matched.
+    */
+  def q43SentenceChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("sentenced",
+        regexp_replace(col("text"), "\\b(slow|fast|big)\\b", "$1.")) // synth sentence ends
+      .select(col("doc_id"),
+        posexplode(Chunker.sentenceChunksUdf(50)(col("sentenced")))
+          .as(Seq("chunk_id", "chunk")))
+      .orderBy("doc_id", "chunk_id")
+
   /** Normalized-key dedup with cap (main.py:253-296): key = lowercase
     * alpha-only first-60-chars; keep lowest doc_id per key; ≤10 per source.
     */
