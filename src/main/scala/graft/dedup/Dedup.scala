@@ -20,13 +20,33 @@ object Dedup {
 
   /** Distinct word n-gram shingles as an array column; empty when the
     * document has fewer than n words.
+    *
+    * Implemented as a once-per-document scalar UDF: the equivalent
+    * `transform(sequence(...), i -> concat_ws(slice(...)))` chain is a
+    * CodegenFallback higher-order function interpreted per ELEMENT —
+    * measured 10.6 s vs <0.5 s for 260k shingles. A per-row UDF with a
+    * tight JVM loop wins when the per-element native form can't codegen.
     */
-  def wordShingles(c: Column, n: Int = 3): Column = {
-    val words = split(trim(c), "\\s+")
-    when(size(words) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), size(words) - (n - 1)),
-          i => concat_ws(" ", slice(words, i, lit(n))))))
+  def wordShingles(c: Column, n: Int = 3): Column = udf(shingleFn(n)).apply(c)
+
+  private def shingleFn(n: Int): String => Array[String] = { text =>
+    if (text == null) Array.empty[String]
+    else {
+      val words = text.trim.split("\\s+")
+      if (words.length < n) Array.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i <= words.length - n) {
+          val sb = new java.lang.StringBuilder(words(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+          seen.add(sb.toString)
+          i += 1
+        }
+        seen.toArray(Array.empty[String])
+      }
+    }
   }
 
   /** Canonical fingerprint: md5 over the sorted distinct word set — the
@@ -45,26 +65,23 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("fp")
 
-  /** Exploded (id, shingle) inverted index — distinct shingles per doc. */
-  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("sh"))
-
   /** Exact n-gram Jaccard pairs ≥ threshold via the inverted shingle
     * index: join on shingle → per-pair intersection counts → union by
     * |A|+|B|−|A∩B|. Threshold applies to the ROUNDED score (oracle parity).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleIndex(docs, idCol, textCol, n).cache()
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"), "sh")
+    // carry each doc's shingle count THROUGH the join — set sizes ride
+    // along with the pairs, so |A| and |B| need no extra count-joins
+    val sh = docs
+      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shs"))
+      .select(col("id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
+      .cache() // materialize the inverted index once; both join sides reuse it
+    sh.as("a").join(sh.as("b"), "sh")
       .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.withColumnRenamed("id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(counts.withColumnRenamed("id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
@@ -84,7 +101,10 @@ object Dedup {
                       n: Int = 3, numPerms: Int = 64, rowsPerBand: Int = 4,
                       threshold: Double = 0.8): DataFrame = {
     val numBands = numPerms / rowsPerBand
-    val sh = shingleIndex(docs, idCol, textCol, n).cache()
+    val sh = docs
+      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shs"))
+      .select(col("id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
+      .cache()
     // 64-permutation signature: one hash-agg pass over the inverted index
     val minhashCols = (0 until numPerms).map(i =>
       min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
@@ -100,16 +120,14 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard through the inverted index
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(candidates.hint("broadcast"),
+    // verify candidates with exact Jaccard through the inverted index;
+    // per-doc set sizes ride along, no extra count-joins
+    sh.as("a").join(candidates.hint("broadcast"),
         col("a.id") === col("doc_a"))
       .join(sh.as("b"), col("b.id") === col("doc_b") && col("a.sh") === col("b.sh"))
-      .groupBy("doc_a", "doc_b")
+      .groupBy(col("doc_a"), col("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.withColumnRenamed("id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(counts.withColumnRenamed("id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
