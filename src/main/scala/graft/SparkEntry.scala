@@ -68,6 +68,8 @@ object SparkEntry {
     "q41_month_query"     -> TextOps.q41MonthQuery _,
     "q42_rerank"          -> TextOps.q42Rerank _,
     "q43_sentence_chunks" -> TextOps.q43SentenceChunks _,
+    "q44_xml_abstract"    -> TextOps.q44XmlAbstract _,
+    "q45_body_cascade"    -> TextOps.q45BodyCascade _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -473,5 +475,22 @@ object SparkEntry {
            FROM s)
          SELECT query_id, CAST(rank AS INT) AS rank, cand_id, re_score
          FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q44_xml_abstract" ->
+      """SELECT doc_id, 'T' || doc_id AS title,
+         trim(substr(text, 1, 20)) || ' ' || trim(substr(text, 21, 20)) AS abstract
+         FROM documents ORDER BY doc_id""",
+    "q45_body_cascade" ->
+      """WITH c AS (SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN 'full ' || text END AS full_text,
+           CASE WHEN doc_id % 4 = 1 THEN 'pdf ' || substr(text, 1, 50) END AS pdf_text,
+           CASE WHEN doc_id % 4 < 3 THEN 'abs ' || substr(text, 1, 30) END AS abstract
+         FROM documents)
+         SELECT doc_id,
+           CASE WHEN full_text IS NOT NULL THEN 'FULL'
+                WHEN pdf_text IS NOT NULL THEN 'PDF'
+                WHEN abstract IS NOT NULL THEN 'ABSTRACT'
+                ELSE 'NONE' END AS section,
+           coalesce(full_text, pdf_text, abstract) AS body
+         FROM c ORDER BY doc_id""",
   )
 }

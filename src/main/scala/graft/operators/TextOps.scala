@@ -5,6 +5,7 @@ import graft.text.{Chunker, CleanText, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Text-processing operator surface (SURVEY §2.8–§2.9 + training-data text
   * analysis) over the `documents` fixture. Everything here is a pure
@@ -152,6 +153,45 @@ object TextOps {
         col("year_back"), col("month_back"))
       .orderBy("mon")
   }
+
+  /** XML abstract extraction (reference _efetch_abstract,
+    * fetch_pubmed.py:187-219: join `.//AbstractText` nodes): synthesized
+    * per-doc article XML parsed with native `from_xml`, node texts joined.
+    */
+  def q44XmlAbstract(spark: SparkSession, dir: String): DataFrame = {
+    val xmlSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "front STRUCT<title: STRING>, abstract STRUCT<AbstractText: ARRAY<STRING>>")
+    Tables.documents(spark, dir)
+      .withColumn("xml", concat(
+        lit("<article><front><title>T"), col("doc_id"),
+        lit("</title></front><abstract><AbstractText>"), trim(substring(col("text"), 1, 20)),
+        lit("</AbstractText><AbstractText>"), trim(substring(col("text"), 21, 20)),
+        lit("</AbstractText></abstract></article>")))
+      .withColumn("parsed", from_xml(col("xml"), xmlSchema, Map.empty[String, String].asJava))
+      .select(col("doc_id"),
+        col("parsed.front.title").as("title"),
+        array_join(col("parsed.abstract.AbstractText"), " ").as("abstract"))
+      .orderBy("doc_id")
+  }
+
+  /** Body-resolution cascade (fetch_pubmed.py:275-299): priority coalesce
+    * PMC full text → PDF text → abstract → NONE, tagging the source tier.
+    */
+  def q45BodyCascade(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("full_text",
+        when(col("doc_id") % 4 === 0, concat(lit("full "), col("text"))))
+      .withColumn("pdf_text",
+        when(col("doc_id") % 4 === 1, concat(lit("pdf "), substring(col("text"), 1, 50))))
+      .withColumn("abstract",
+        when(col("doc_id") % 4 < 3, concat(lit("abs "), substring(col("text"), 1, 30))))
+      .select(col("doc_id"),
+        when(col("full_text").isNotNull, "FULL")
+          .when(col("pdf_text").isNotNull, "PDF")
+          .when(col("abstract").isNotNull, "ABSTRACT")
+          .otherwise("NONE").as("section"),
+        coalesce(col("full_text"), col("pdf_text"), col("abstract")).as("body"))
+      .orderBy("doc_id")
 
   /** Cross-encoder re-rank stand-in as a standalone operator
     * (re_rank.py:28-51): query×candidate pairs scored by distinct-word

@@ -23,6 +23,21 @@ class EntrySpec extends SparkSpec {
     assert(empty.isEmpty, s"empty results: $empty")
   }
 
+  test("dot_product is SQL-registered and matches the Column API") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, sfDir).limit(5).createOrReplaceTempView("emb_t")
+    val viaSql = spark.sql(
+      "SELECT vec_id, dot_product(embedding, embedding) AS d FROM emb_t ORDER BY vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    import org.apache.spark.sql.functions.col
+    val viaApi = Tables.embeddings(spark, sfDir).limit(5)
+      .select(col("vec_id"),
+        graft.functions.DotProduct(col("embedding"), col("embedding")).as("d"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaSql.toSeq == viaApi.toSeq)
+    assert(viaSql.forall { case (_, d) => math.abs(d - 1.0) < 1e-3 }) // unit vectors
+  }
+
   test("multimodal stub decode is deterministic and schema-stable") {
     val d1 = Multimodal.decode(Multimodal.mediaTable(spark, sfDir))
     val d2 = Multimodal.decode(Multimodal.mediaTable(spark, sfDir))
