@@ -70,6 +70,8 @@ object SparkEntry {
     "q43_sentence_chunks" -> TextOps.q43SentenceChunks _,
     "q44_xml_abstract"    -> TextOps.q44XmlAbstract _,
     "q45_body_cascade"    -> TextOps.q45BodyCascade _,
+    "q46_json_props"      -> Events.q46JsonProps _,
+    "q47_salted_agg"      -> Events.q47SaltedAgg _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -492,5 +494,13 @@ object SparkEntry {
                 ELSE 'NONE' END AS section,
            coalesce(full_text, pdf_text, abstract) AS body
          FROM c ORDER BY doc_id""",
+    "q46_json_props" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+         CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q47_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

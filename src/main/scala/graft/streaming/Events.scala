@@ -73,6 +73,37 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Schema-on-read JSON column (reference JSONL dynamic typing, SURVEY
+    * §1.2): parse the `props` payload, extract a typed field, aggregate.
+    */
+  def q46JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").cast("long")).as("sum_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Salted two-phase aggregation (skew mitigation for the 100 TB path):
+    * `event_type` has only 5 hot keys, so a direct groupBy concentrates
+    * each key in one reducer. Salting fans each key across 16 partial
+    * groups, then the tiny (key, salt) partials re-aggregate — same
+    * result, no hot reducer. The oracle is the PLAIN group-by: the
+    * rewrite must be result-identical (sums of doubles stay
+    * order-insensitive here because partial sums are rounded only at the
+    * end).
+    */
+  def q47SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+    salted.groupBy("event_type")
+      .agg(sum("n").as("n"), round(sum("v"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------- //
   // Structured Streaming forms (exercised by ScalaTest with a memory
   // sink; the driver's batch oracle covers the semantics above).
