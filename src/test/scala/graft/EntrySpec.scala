@@ -38,6 +38,31 @@ class EntrySpec extends SparkSpec {
     assert(viaSql.forall { case (_, d) => math.abs(d - 1.0) < 1e-3 }) // unit vectors
   }
 
+  test("GraftExtensions injects dot_product at session build time") {
+    import org.apache.spark.sql.SparkSession
+    spark.sparkContext // ensure the shared context exists first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // same JVM/SparkContext, fresh session state with the extension
+      val s2 = SparkSession.builder()
+        .master("local[4]").appName("graft-ext")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      val d = s2.sql(
+        "SELECT dot_product(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>), " +
+          "CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS d").head().getDouble(0)
+      assert(d == 11.0)
+      // do NOT stop s2 — it shares the JVM-wide SparkContext
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("multimodal stub decode is deterministic and schema-stable") {
     val d1 = Multimodal.decode(Multimodal.mediaTable(spark, sfDir))
     val d2 = Multimodal.decode(Multimodal.mediaTable(spark, sfDir))
