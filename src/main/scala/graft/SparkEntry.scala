@@ -72,6 +72,7 @@ object SparkEntry {
     "q45_body_cascade"    -> TextOps.q45BodyCascade _,
     "q46_json_props"      -> Events.q46JsonProps _,
     "q47_salted_agg"      -> Events.q47SaltedAgg _,
+    "q48_topk_aggregate"  -> ScaleOps.q48TopkAggregate _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -502,5 +503,18 @@ object SparkEntry {
     "q47_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q48_topk_aggregate" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+         s AS (SELECT qid, nid,
+           round(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])))), 4) AS score
+           FROM q, c),
+         r AS (SELECT qid, nid, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+               FROM s)
+         SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, score
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
   )
 }

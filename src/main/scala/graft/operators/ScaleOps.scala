@@ -74,6 +74,31 @@ object ScaleOps {
       "vec_id", "vec_id", "embedding", 0.45, 0.30)
   }
 
+  /** Brute-force top-k via the bounded TopK AGGREGATOR instead of a
+    * window: map-side partial top-k means only |queries|·k rows shuffle
+    * (the window form ships every scored pair). Identical output to q28,
+    * so they share an oracle.
+    */
+  def q48TopkAggregate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKAggregator
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("nq", sqrt(graft.functions.DotProduct(col("qv"), col("qv"))))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("nc", sqrt(graft.functions.DotProduct(col("cv"), col("cv"))))
+    broadcast(q).crossJoin(c)
+      .withColumn("score",
+        round(graft.functions.DotProduct(col("qv"), col("cv")) / (col("nq") * col("nc")), 4))
+      .groupBy("query_id")
+      .agg(TopKAggregator.topK(5)(col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s._2").as("neighbor_id"), col("s._1").as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.

@@ -50,6 +50,13 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("TopK aggregator equals the window top-k exactly") {
+    import graft.operators.ScaleOps
+    val viaAgg = ScaleOps.q48TopkAggregate(spark, sfDir).collect().toSeq
+    val viaWindow = ScaleOps.q28KnnBrute(spark, sfDir).collect().toSeq
+    assert(viaAgg == viaWindow)
+  }
+
   test("cosine is symmetric and 1.0 on self") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f), Array(3f, 2f, 1f)))
