@@ -73,6 +73,7 @@ object SparkEntry {
     "q46_json_props"      -> Events.q46JsonProps _,
     "q47_salted_agg"      -> Events.q47SaltedAgg _,
     "q48_topk_aggregate"  -> ScaleOps.q48TopkAggregate _,
+    "q49_prompt_clamp"    -> TextOps.q49PromptClamp _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -516,5 +517,16 @@ object SparkEntry {
                FROM s)
          SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, score
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q49_prompt_clamp" ->
+      """WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS words
+         FROM documents)
+         SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+           '### System:' || chr(10) || 'Answer from the context.' || chr(10) ||
+           '### Context:' || chr(10) ||
+           CASE WHEN len(words) <= 64 THEN trim(text)
+                ELSE array_to_string(words[-64:], ' ') END ||
+           chr(10) || '### User:' || chr(10) || 'what about doc ' || doc_id ||
+           '?' || chr(10) || '### Assistant:' || chr(10) || chr(8226) || ' ' AS prompt
+         FROM w ORDER BY doc_id""",
   )
 }

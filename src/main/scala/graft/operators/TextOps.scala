@@ -229,6 +229,25 @@ object TextOps {
           .as(Seq("chunk_id", "chunk")))
       .orderBy("doc_id", "chunk_id")
 
+  /** Prompt assembly with input clamp (prompt_utils.py:69-111: keep the
+    * LAST `MAX_INPUT_TOKENS` context tokens, then the system/context/user
+    * template pre-seeded with the assistant bullet).
+    */
+  def q49PromptClamp(spark: SparkSession, dir: String): DataFrame = {
+    val maxTokens = 64
+    val words = split(trim(col("text")), "\\s+")
+    val clamped = when(size(words) <= maxTokens, trim(col("text")))
+      .otherwise(array_join(slice(words, -maxTokens, maxTokens), " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_tokens"),
+        concat(
+          lit("### System:\nAnswer from the context.\n### Context:\n"), clamped,
+          lit("\n### User:\nwhat about doc "), col("doc_id"),
+          lit("?\n### Assistant:\n• ")).as("prompt"))
+      .orderBy("doc_id")
+  }
+
   /** Normalized-key dedup with cap (main.py:253-296): key = lowercase
     * alpha-only first-60-chars; keep lowest doc_id per key; ≤10 per source.
     */
