@@ -104,10 +104,34 @@ object Events {
       .orderBy("event_type")
   }
 
-  // ---------------------------------------------------------------- //
-  // Structured Streaming forms (exercised by ScalaTest with a memory
-  // sink; the driver's batch oracle covers the semantics above).
-  // ---------------------------------------------------------------- //
+  /** As-of join (composed from built-ins, preference (a) of the custom-
+    * operator ladder): each purchase matched to the same user's latest
+    * signup at-or-before it. Range-join + per-left-row top-1 window; at
+    * scale the join shuffles once on user_id and AQE handles skewed
+    * users. Whole-second event times keep the oracle precision-stable.
+    */
+  def q50AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("tss", unix_timestamp(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tss").as("p_tss"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("tss").as("s_tss"))
+    val w = Window.partitionBy("purchase_id")
+      .orderBy(col("s_tss").desc, col("signup_id").desc)
+    // range predicate must live IN the left-outer condition: filtering
+    // after the join would drop purchases whose only signups are later
+    purchases.as("p")
+      .join(signups.as("s"),
+        col("p.user_id") === col("s.user_id") && col("s.s_tss") <= col("p.p_tss"),
+        "left_outer")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("purchase_id"), col("p.user_id").as("user_id"), col("p_tss"),
+        col("signup_id"), col("s_tss"))
+      .orderBy("purchase_id")
+  }
 
   /** Tumbling windowed counts as a streaming query over the same parquet,
     * with a 1-hour watermark: the incremental equivalent of q33.
