@@ -75,6 +75,9 @@ object SparkEntry {
     "q48_topk_aggregate"  -> ScaleOps.q48TopkAggregate _,
     "q49_prompt_clamp"    -> TextOps.q49PromptClamp _,
     "q50_asof_join"       -> Events.q50AsofJoin _,
+    // no oracle: embeddings come from the Scala hashing embedder (not SQL);
+    // equality with the exact all-pairs scan is pinned by VectorOpsSpec
+    "q62_lsh_neardup"     -> ScaleOps.q62LshNeardup _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -32,4 +32,18 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Ensure a DataFrame entering CPU-heavy narrow work (per-row embedding,
+    * shingling, signature UDFs) has at least the session's default
+    * parallelism. The single-file fixtures arrive as ONE parquet split, so
+    * without this the whole per-row pipeline runs on one core (measured:
+    * 26 s → 5 s on the sign-LSH signature stage). On a real many-file
+    * lake the input already has the splits and this is a no-op — the
+    * repartition only fires on pathologically under-split sources.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target)
+  }
 }

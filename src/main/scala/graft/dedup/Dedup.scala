@@ -1,22 +1,52 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact/canonical
   * fingerprint dedup, exact n-gram Jaccard, MinHash+LSH, and SimHash.
   *
-  * Scale design (100 TB): every variant avoids the quadratic all-pairs
-  * comparison. Exact dedup is a hash group-by (one shuffle on the
-  * fingerprint). Jaccard pairs go through an inverted shingle index
-  * (explode + equi-join on shingle) so only documents sharing a shingle
-  * ever meet. MinHash-LSH reduces that further to band-bucket collisions —
-  * the standard near-dup pass (e.g. the C4/RefinedWeb recipe). SimHash
-  * bands its 64-bit signature into (d+1) chunks so the pigeonhole
-  * principle guarantees recall at hamming distance ≤ d without an
-  * all-pairs scan.
+  * Scale design (100 TB): every variant is candidate-generation →
+  * bounded exact verify, and candidate generation never lets one hot key
+  * collect a large fraction of the corpus:
+  *
+  *  - Exact dedup: one hash group-by on the fingerprint.
+  *  - Jaccard: inverted shingle index with a DOCUMENT-FREQUENCY CAP — a
+  *    shingle shared by more than `maxDf` documents ("of the and") emits
+  *    no candidates, so no join bucket exceeds maxDf docs. A true pair at
+  *    j ≥ t shares the bulk of its shingles and is missed only if every
+  *    shared shingle is corpus-hot (pure boilerplate).
+  *  - MinHash+LSH: per-ROW signatures (one tight loop over the shingle
+  *    array — not 64 separate min() aggregations over an exploded index),
+  *    band join, then exact verify via a shuffle join (no broadcast of
+  *    the data-dependent candidate set).
+  *  - SimHash: per-row 64-bit signature UDF (narrow, no shuffle), then
+  *    16-bit-chunk banding with single-bit multi-probe (math at
+  *    `simhashPairs`).
+  *
+  * Signatures/hashes here are internal to candidate generation; every
+  * emitted pair is verified with EXACT Jaccard (or exact hamming), so
+  * output semantics never depend on the hash choice.
   */
 object Dedup {
+
+  /** FNV-1a 64-bit string hash — stable, allocation-free, used for all
+    * internal signature hashing (MinHash base hash, SimHash bit votes).
+    */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** splitmix64 finalizer — decorrelates band/permutation constants. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 
   /** Distinct word n-gram shingles as an array column; empty when the
     * document has fewer than n words.
@@ -65,115 +95,258 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("fp")
 
-  /** Exact n-gram Jaccard pairs ≥ threshold via the inverted shingle
-    * index: join on shingle → per-pair intersection counts → union by
-    * |A|+|B|−|A∩B|. Threshold applies to the ROUNDED score (oracle parity).
+  /** Sorted distinct FNV-1a hashes of a doc's word n-gram shingles.
+    * 8 bytes/shingle instead of ~25-byte strings: join keys, shuffle
+    * payloads, and the verify intersection all run on primitive longs.
+    * (Collision odds over a corpus of S distinct shingles ≈ S²/2⁶⁵ —
+    * immaterial, and the DuckDB oracle hash-match would surface one.)
     */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // carry each doc's shingle count THROUGH the join — set sizes ride
-    // along with the pairs, so |A| and |B| need no extra count-joins
-    val sh = docs
-      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shs"))
-      .select(col("id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
-      .cache() // materialize the inverted index once; both join sides reuse it
-    sh.as("a").join(sh.as("b"), "sh")
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+  private def hashedShingleFn(n: Int): String => Array[Long] = {
+    val strings = shingleFn(n)
+    text => {
+      val hs = strings(text).map(fnv64)
+      java.util.Arrays.sort(hs)
+      hs
+    }
+  }
+
+  /** (id, shs: sorted Array[Long]) with token-less docs dropped; cached —
+    * candidate generation and exact verify both reuse it.
+    */
+  private def docShingles(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    graft.Tables.widen(docs.select(col(idCol).as("id"), col(textCol).as("txt")))
+      .select(col("id"), udf(hashedShingleFn(n)).apply(col("txt")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .cache()
+
+  /** |a ∩ b| for two SORTED long arrays — single merge pass. */
+  private val interCount = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: the shingle arrays
+    * join onto the BOUNDED candidate set (shuffle join — candidates are
+    * data-dependent, never broadcast), intersection in one per-pair pass,
+    * union by |A|+|B|−|A∩B|. Threshold applies to the ROUNDED score
+    * (oracle parity).
+    */
+  private def verifyJaccard(candidates: DataFrame, docSh: DataFrame,
+                            threshold: Double): DataFrame =
+    candidates
+      .join(docSh.select(col("id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(docSh.select(col("id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .withColumn("inter", interCount(col("shs_a"), col("shs_b")))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("shs_a")) + size(col("shs_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+
+  /** Exact n-gram Jaccard pairs ≥ threshold. Candidates come from the
+    * inverted shingle index with hot shingles (document frequency >
+    * `maxDf`) excluded, so the biggest join bucket holds maxDf docs —
+    * maxDf²/2 pairs — no matter the corpus size; each candidate is then
+    * verified with exact Jaccard over the full (uncapped) shingle sets.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8,
+                   maxDf: Int = 256): DataFrame = {
+    val docSh = docShingles(docs, idCol, textCol, n)
+    val inv = docSh.select(col("id"), size(col("shs")).as("n_sh"),
+      explode(col("shs")).as("sh"))
+    // the HOT side of the df cap is the broadcastable one: shingles with
+    // df > maxDf are the zipf head — a handful of keys even on a corpus
+    // whose rare tail has billions (the rare side must never be joined,
+    // it is as big as the index itself)
+    val hot = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("sh")
+    val hotSet = broadcast(hot)
+    val capped = inv.join(hotSet, Seq("sh"), "left_anti")
+    // intersection counts straight from the bucket lists: one shuffle
+    // (group by shingle), (pair, 1) rows exploded map-side — per-bucket
+    // pair count bounded by maxDf²/2 — then ONE count agg = |A∩B| over
+    // rare shingles. Set sizes ride along inside the bucket structs, so
+    // no join back to the documents is needed.
+    val bucketPairs = udf { ids: Seq[Row] =>
+      val sorted = ids.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toArray
+      val out = Array.newBuilder[(Long, Int, Long, Int)]
+      var i = 0
+      while (i < sorted.length - 1) {
+        var j = i + 1
+        while (j < sorted.length) {
+          out += ((sorted(i)._1, sorted(i)._2, sorted(j)._1, sorted(j)._2))
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    }
+    val interRare = capped.groupBy("sh")
+      .agg(collect_list(struct(col("id"), col("n_sh"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .groupBy(col("p._1").as("doc_a"), col("p._2").as("na"),
+        col("p._3").as("doc_b"), col("p._4").as("nb"))
+      .agg(count(lit(1)).as("inter_rare"))
+    // hot-shingle correction: |A∩B| = inter_rare + |hotA ∩ hotB|. Each
+    // doc's hot-shingle list is at most |hot| long (tiny), empty on most
+    // corpora, so the merge UDF touches only the zipf head.
+    val hotPerDoc = docSh
+      .join(hotSet.select(col("sh").as("hot_sh")),
+        array_contains(col("shs"), col("hot_sh")), "left")
+      .groupBy("id")
+      .agg(sort_array(collect_list("hot_sh")).as("hot_shs"))
+    val withHot = interRare
+      .join(hotPerDoc.select(col("id").as("doc_a"), col("hot_shs").as("hot_a")), "doc_a")
+      .join(hotPerDoc.select(col("id").as("doc_b"), col("hot_shs").as("hot_b")), "doc_b")
+      .withColumn("inter",
+        col("inter_rare") + interCount(col("hot_a"), col("hot_b")))
+    withHot
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-row MinHash band signatures: one pass over the hashed shingle
+    * array computes all `numPerms` permutation minima (affine
+    * permutations a·h+b of the shingle hash) and folds each `rowsPerBand`
+    * group into one 64-bit band signature. Returns numPerms/rowsPerBand
+    * longs.
+    */
+  private def bandSigFn(numPerms: Int, rowsPerBand: Int): Seq[Long] => Array[Long] = {
+    val numBands = numPerms / rowsPerBand
+    val as = Array.tabulate(numPerms)(i => mix64(0xA5A50000L + i) | 1L)
+    val bs = Array.tabulate(numPerms)(i => mix64(0x5EED0000L + i))
+    shs => {
+      val mins = Array.fill(numPerms)(Long.MaxValue)
+      shs.foreach { h =>
+        var i = 0
+        while (i < numPerms) {
+          val v = as(i) * h + bs(i)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      Array.tabulate(numBands) { b =>
+        var acc = mix64(b.toLong)
+        var r = 0
+        while (r < rowsPerBand) { acc = mix64(acc ^ mins(b * rowsPerBand + r)); r += 1 }
+        acc
+      }
+    }
   }
 
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard.
     *
-    * numPerms permutations h_i(s) = xxhash64(i, s); signature banded into
-    * (numPerms / rowsPerBand) bands; candidate pairs collide on any band;
-    * candidates are verified with exact Jaccard so the output equals
-    * `jaccardPairs` whenever LSH recall holds (≥ 1 − (1 − t^r)^b — for
-    * t = 0.9, r = 4, b = 16 the miss probability is ~3e-8).
+    * Signatures are computed per-row in ONE pass (`bandSigFn`); the only
+    * shuffles are the band-bucket self-join and the bounded verify join.
+    * Candidate pairs collide on any band; exact verification makes the
+    * output equal `jaccardPairs` whenever LSH recall holds
+    * (≥ 1 − (1 − t^r)^b — for t = 0.9, r = 4, b = 16 the miss
+    * probability is ~3e-8).
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numPerms: Int = 64, rowsPerBand: Int = 4,
                       threshold: Double = 0.8): DataFrame = {
-    val numBands = numPerms / rowsPerBand
-    val sh = docs
-      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shs"))
-      .select(col("id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
-      .cache()
-    // 64-permutation signature: one hash-agg pass over the inverted index
-    val minhashCols = (0 until numPerms).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    val sig = sh.groupBy("id").agg(minhashCols.head, minhashCols.tail: _*)
-    // band signatures: hash of each band's row slice
-    val bandCols = (0 until numBands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig"))
-    }
-    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val docSh = docShingles(docs, idCol, textCol, n)
+    val bands = udf(bandSigFn(numPerms, rowsPerBand))
+    val banded = docSh
+      .select(col("id"), posexplode(bands(col("shs"))).as(Seq("band", "sig")))
     val candidates = banded.as("a").join(banded.as("b"), Seq("band", "sig"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard through the inverted index;
-    // per-doc set sizes ride along, no extra count-joins
-    sh.as("a").join(candidates.hint("broadcast"),
-        col("a.id") === col("doc_a"))
-      .join(sh.as("b"), col("b.id") === col("doc_b") && col("a.sh") === col("b.sh"))
-      .groupBy(col("doc_a"), col("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    verifyJaccard(candidates, docSh, threshold)
   }
 
-  /** 64-bit SimHash signatures: term-frequency-weighted ± votes per bit of
-    * xxhash64(word), sign → bit.
+  /** 64-bit SimHash signature per document, computed in one narrow
+    * per-row pass: every token occurrence votes ±1 on each bit of its
+    * FNV-1a hash (per-occurrence voting ≡ term-frequency weighting),
+    * sign of the bit sum → bit.
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = docs
-      .select(col(idCol).as("id"), explode(split(trim(col(textCol)), "\\s+")).as("w"))
-      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"s$i"))
-    val sums = tf.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64).map(i =>
-      when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    sums.select(col("id"), simhash.as("simhash"))
+    val sim = udf { (text: String) =>
+      val acc = new Array[Int](64)
+      if (text != null) {
+        val tokens = text.trim.split("\\s+")
+        var t = 0
+        while (t < tokens.length) {
+          if (tokens(t).nonEmpty) {
+            val h = fnv64(tokens(t))
+            var i = 0
+            while (i < 64) {
+              if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+              i += 1
+            }
+          }
+          t += 1
+        }
+      }
+      var sig = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+      sig
+    }
+    docs.select(col(idCol).as("id"), sim(col(textCol)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs at hamming distance ≤ maxDist, via pigeonhole
-    * banding: split the 64-bit signature into (maxDist + 1) chunks — any
-    * pair within distance d must agree on at least one chunk, so the
-    * equi-join on (chunk_idx, chunk_value) has guaranteed recall.
+  /** SimHash near-dup pairs at hamming distance ≤ maxDist via 16-bit
+    * chunk banding with single-bit MULTI-PROBE.
+    *
+    * Bucket math: 4 chunks × 16 bits = 65,536 bucket values per chunk.
+    * Pigeonhole: d ≤ 7 bit errors across 4 chunks means SOME chunk holds
+    * ≤ ⌊7/4⌋ = 1 error, so indexing each doc's exact chunk values (4
+    * rows/doc) and probing each chunk value plus its 16 single-bit flips
+    * (68 rows/doc) guarantees every qualifying pair collides. Expected
+    * collisions ≈ 4 · 17n²/65536 = n²/964 — vs n²/32 for the naive
+    * (d+1)=8-chunk scheme whose 8-bit chunks give only 256 buckets. At
+    * larger scale, grow the chunks again (2 × 32-bit chunks + probes for
+    * d ≤ 3) — bucket count must scale with corpus size, which 8-bit
+    * chunks structurally cannot do.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 7): DataFrame = {
-    val nChunks = maxDist + 1
-    val chunkBits = 64 / nChunks
+    val nChunks = 4
+    val chunkBits = 16
     val mask = (1L << chunkBits) - 1
-    val sig = simhashSignatures(docs, idCol, textCol).cache()
-    val chunkCols = (0 until nChunks).map(ci =>
-      struct(lit(ci).as("ci"),
-        shiftright(col("simhash"), ci * chunkBits).bitwiseAND(mask).as("cv")))
-    val chunked = sig.select(col("id"), col("simhash"),
-        explode(array(chunkCols: _*)).as("c"))
-      .select(col("id"), col("simhash"), col("c.ci").as("ci"), col("c.cv").as("cv"))
-    chunked.as("a").join(chunked.as("b"), Seq("ci", "cv"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+    val errPerChunk = maxDist / nChunks
+    require(errPerChunk <= 1,
+      s"maxDist $maxDist needs >1-bit probes with $nChunks chunks — not implemented")
+    val sig = simhashSignatures(docs, idCol, textCol)
+    def chunkAt(ci: Int): Column =
+      shiftright(col("simhash"), ci * chunkBits).bitwiseAND(mask)
+    val idxCols = (0 until nChunks).map(ci =>
+      struct(lit(ci).as("ci"), chunkAt(ci).as("cv")))
+    val index = sig
+      .select(col("id").as("id_b"), col("simhash").as("sim_b"),
+        explode(array(idxCols: _*)).as("c"))
+      .select(col("id_b"), col("sim_b"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val probeCols = (0 until nChunks).flatMap { ci =>
+      val base = chunkAt(ci)
+      val variants =
+        if (errPerChunk == 0) Seq(base)
+        else base +: (0 until chunkBits).map(b => base.bitwiseXOR(lit(1L << b)))
+      variants.map(v => struct(lit(ci).as("ci"), v.as("cv")))
+    }
+    val probes = sig
+      .select(col("id").as("id_a"), col("simhash").as("sim_a"),
+        explode(array(probeCols: _*)).as("c"))
+      .select(col("id_a"), col("sim_a"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    probes.join(index, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
       .orderBy("doc_a", "doc_b")

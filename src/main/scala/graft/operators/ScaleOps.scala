@@ -36,9 +36,30 @@ object ScaleOps {
   /** Embedding-cosine near-dup pairs ≥ 0.45 (threshold calibrated to the
     * fixture's cosine distribution; reference's 0.75/0.95 bands are empty
     * on the synthetic vectors).
+    *
+    * Deliberately the EXACT all-pairs scan: τ = 0.45 sits at the noise
+    * floor of near-isotropic vectors, where no candidate scheme has exact
+    * recall (measured: IVF probe-4 still misses qualifying pairs at
+    * sf0.1 and prunes only 8%; sign-LSH needs ~300 16-bit bands for 99%
+    * recall while 60%+ of random pairs collide anyway). The scale path
+    * for real near-dup thresholds is `q62_lsh_neardup`
+    * (VectorOps.signLshNearDup); `nearDupPairsBucketed` covers the case
+    * where the threshold sits inside genuine cluster structure.
     */
   def q27EmbedNeardup(spark: SparkSession, dir: String): DataFrame =
     VectorOps.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45)
+
+  /** Sign-LSH near-dup over hash-embedded documents at τ = 0.95 — the
+    * banded candidate generation + exact-verify shape that scales
+    * (bounded buckets, no crossJoin). No SQL oracle (embeddings are
+    * produced by the Scala embedder); equality with the brute-force scan
+    * is pinned by VectorOpsSpec.
+    */
+  def q62LshNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.embed.Embedder.withEmbedding(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "text", "vec")
+    VectorOps.signLshNearDup(emb, "doc_id", "vec", 0.95)
+  }
 
   /** Brute-force exact cosine top-5 for the first 10 vectors as queries. */
   def q28KnnBrute(spark: SparkSession, dir: String): DataFrame = {

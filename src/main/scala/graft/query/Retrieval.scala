@@ -28,11 +28,15 @@ object Retrieval {
   /** Build the embedded passage index from the documents fixture. */
   def buildIndex(spark: SparkSession, dir: String,
                  passageSize: Int = 300, overlap: Int = 50): DataFrame = {
-    val passages = Tables.documents(spark, dir)
+    val passages = Tables.widen(Tables.documents(spark, dir))
       .select(col("doc_id"), CleanText.cleanText(col("text")).as("clean"))
       .select(col("doc_id"),
         posexplode(Chunker.passages(col("clean"), passageSize, overlap))
           .as(Seq("passage_id", "passage")))
+      // a passage with no tokens embeds to the zero vector — useless for
+      // retrieval and (before the cosine zero-guard) an ANSI
+      // DIVIDE_BY_ZERO at score time; drop it at the source
+      .filter(trim(col("passage")) =!= "")
     Embedder.withEmbedding(passages, "passage", "vec")
   }
 
@@ -54,11 +58,16 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id").asc, col("passage_id").asc)
     val fetched = scored.withColumn("rk", row_number().over(wPool))
       .filter(col("rk") <= pool)
-    // widening cascade: high threshold, else low, per query
-    val high = fetched.filter(col("score") >= tHigh)
-    val low = fetched.filter(col("score") >= tLow)
-      .join(high.select("query_id").distinct(), Seq("query_id"), "left_anti")
-    val hits = high.unionByName(low)
+    // widening cascade: high threshold, else low, per query — decided in
+    // ONE pass via the per-query max score (window reuses the pool
+    // partitioning, so no extra shuffle and no recompute of the scored
+    // cross product for each tier)
+    val wQ = Window.partitionBy("query_id")
+    val hits = fetched
+      .withColumn("qmax", max("score").over(wQ))
+      .filter((col("qmax") >= tHigh && col("score") >= tHigh) ||
+              (col("qmax") <  tHigh && col("score") >= tLow))
+      .drop("qmax")
     // deterministic lexical-overlap re-rank (cross-encoder stand-in):
     // |query words ∩ passage words| / |query words|
     val overlap = size(array_intersect(

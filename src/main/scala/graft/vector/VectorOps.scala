@@ -33,22 +33,178 @@ object VectorOps {
   /** Cosine similarity, rounded to 4 decimals. Thresholds are applied to
     * the ROUNDED value everywhere so Spark and the oracle agree even if
     * their float-accumulation order ever differs by an ulp.
+    *
+    * Zero-norm vectors (a text with no tokens can hash-embed to the zero
+    * vector) score 0.0 instead of tripping Spark 4's ANSI DIVIDE_BY_ZERO —
+    * "no shared direction" is the correct similarity for an empty document.
     */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (l2Norm(a) * l2Norm(b)), 4)
+    cosinePre(a, b, l2Norm(a), l2Norm(b))
 
-  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
-    round(dot(a, b) / (na * nb), 4)
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na * nb === 0, lit(0.0))
+      .otherwise(round(dot(a, b) / (na * nb), 4))
 
-  /** All-pairs scores above a rounded threshold (embedding near-dup). */
+  /** All-pairs scores above a rounded threshold (embedding near-dup).
+    * O(n²) by construction — correct as a small-n reference and as the
+    * verify step after bucketing; at corpus scale use
+    * `nearDupPairsBucketed` so only same-cluster pairs are ever scored.
+    */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val wide = graft.Tables.widen(vecs.select(col(idCol), col(vecCol)))
+    val a = wide.select(col(idCol).as("id_a"), col(vecCol).as("va"))
       .withColumn("na", l2Norm(col("va")))
-    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val b = wide.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
       .withColumn("nb", l2Norm(col("vb")))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** IVF assignment: each vector joins its `nProbe` nearest cluster
+    * centroids (centroid = per-label mean, as in `knnIvf`). Returns
+    * (id, vec, nv, cl) with one row per (vector, probed cluster).
+    */
+  def ivfAssign(vecs: DataFrame, idCol: String, vecCol: String,
+                labelCol: String, nProbe: Int): DataFrame = {
+    val centroids = vecs
+      .select(col(labelCol).as("cl"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("cl", "pos").agg(avg("v").as("m"))
+      .groupBy("cl").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cl"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+      .withColumn("ncent", l2Norm(col("centroid")))
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nv", l2Norm(col("vec")))
+    val wProbe = Window.partitionBy("id").orderBy(col("cscore").desc, col("cl").asc)
+    v.crossJoin(broadcast(centroids))
+      .withColumn("cscore",
+        cosinePre(col("vec"), col("centroid"), col("nv"), col("ncent")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nProbe)
+      .select(col("id"), col("vec"), col("nv"), col("cl"))
+  }
+
+  /** Embedding near-dup pairs ≥ threshold with IVF-bucketed candidate
+    * generation: score only pairs sharing one of their `nProbe` nearest
+    * centroids, then verify with exact cosine — the crossJoin never
+    * happens. Recall is structural, not guaranteed: a qualifying pair
+    * whose members probe disjoint centroid sets is lost. Right when the
+    * threshold sits inside genuine cluster structure; see
+    * `signLshNearDup` for the cluster-free alternative.
+    */
+  def nearDupPairsBucketed(vecs: DataFrame, idCol: String, vecCol: String,
+                           labelCol: String, threshold: Double,
+                           nProbe: Int = 2): DataFrame = {
+    val assigned = ivfAssign(vecs, idCol, vecCol, labelCol, nProbe)
+    assigned.as("a").join(assigned.as("b"), "cl")
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosinePre(col("a.vec"), col("b.vec"), col("a.nv"), col("b.nv")).as("cos"))
+      .distinct() // a pair sharing both probed clusters appears twice
+      .filter(col("cos") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Deterministic Rademacher hyperplanes, materialized once per executor
+    * (transient lazy) — nBands·bandBits planes × dim entries of ±1 from
+    * a splitmix64 stream, so every executor builds the identical matrix.
+    */
+  private final class SignPlanes(nBands: Int, bandBits: Int, seed: Long)
+      extends Serializable {
+    @transient @volatile private var flat: Array[Float] = _
+    private def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    // one flat row-major matrix (plane-major) — sequential access in the
+    // hot loop, built once per executor from the deterministic stream
+    private def planes(dim: Int): Array[Float] = {
+      if (flat == null) synchronized {
+        if (flat == null) {
+          val m = new Array[Float](nBands * bandBits * dim)
+          var p = 0
+          while (p < nBands * bandBits) {
+            var d = 0
+            while (d < dim) {
+              m(p * dim + d) =
+                if ((mix64(seed * 0x9E3779B9L + p.toLong * 1000003L + d) & 1L) == 0L) 1f
+                else -1f
+              d += 1
+            }
+            p += 1
+          }
+          flat = m
+        }
+      }
+      flat
+    }
+    def bandSigs(v: Seq[Float]): Array[Long] = {
+      val vec = v.toArray
+      val dim = vec.length
+      val m = planes(dim)
+      val sigs = new Array[Long](nBands)
+      var b = 0
+      while (b < nBands) {
+        var sig = 0L
+        var j = 0
+        while (j < bandBits) {
+          val off = (b * bandBits + j) * dim
+          var acc = 0.0f
+          var d = 0
+          while (d < dim) { acc += vec(d) * m(off + d); d += 1 }
+          if (acc > 0) sig |= (1L << j)
+          j += 1
+        }
+        sigs(b) = sig
+        b += 1
+      }
+      sigs
+    }
+  }
+
+  /** Embedding near-dup pairs ≥ threshold via random-hyperplane sign LSH
+    * + exact cosine verify. Each vector gets nBands band signatures of
+    * bandBits sign bits; pairs colliding on any band are verified
+    * exactly, so precision is 1.0 and recall is the LSH S-curve:
+    * P(per-band collision) = (1 − θ/π)^bandBits with θ = arccos(cos).
+    * Wide bands make the curve STEEP, which is what lets the verify set
+    * stay small when the corpus has heavy just-below-threshold mass: at
+    * 32-bit bands, p(0.95) = 0.041 vs p(0.80) = 6.6e-4 — so 160 bands
+    * recall τ = 0.95 pairs w.p. ≥ 0.9987 (≥ 1−1e-4 at the planted
+    * near-dups' cos ≥ 0.96) while only ~10% of the cos-0.8 background
+    * ever reaches verification and random pairs essentially never do.
+    * 2^32 bucket values per band keep occupancy bounded as n grows.
+    *
+    * This is the 100 TB near-dup path for REALISTIC thresholds (≥ ~0.8).
+    * Measured on the synthetic `embeddings` fixture at τ = 0.45: no
+    * scheme prunes there — the ≥ 0.45 graph over near-isotropic vectors
+    * is noise (IVF probe-4 still misses pairs at sf0.1; sign-LSH needs
+    * ~300 bands for 99% recall while 60%+ of random pairs collide), which
+    * is why `q27` keeps the exact scan and this operator is registered
+    * against hash-embedded documents at τ = 0.95.
+    */
+  def signLshNearDup(vecs: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, nBands: Int = 160, bandBits: Int = 32,
+                     seed: Long = 7L): DataFrame = {
+    val sp = new SignPlanes(nBands, bandBits, seed)
+    val sigUdf = udf((v: Seq[Float]) => sp.bandSigs(v))
+    val v = graft.Tables.widen(vecs.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .withColumn("nv", l2Norm(col("vec")))
+      .cache()
+    val banded = v.select(col("id"), posexplode(sigUdf(col("vec"))).as(Seq("band", "sig")))
+    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "sig"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(v.select(col("id").as("id_a"), col("vec").as("va"), col("nv").as("na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb"), col("nv").as("nb")), "id_b")
       .withColumn("cos", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
@@ -143,13 +299,17 @@ object VectorOps {
       .withColumn("nq", l2Norm(col("qv")))
     val c = corpus.select(col(cId).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("nc", l2Norm(col("cv")))
-    val scored = broadcast(q).crossJoin(c)
+    // one pass: the per-query max score decides the tier, so the scored
+    // cross product is computed once (the anti-join formulation re-ran it
+    // per tier). Window partitioning = the one shuffle this op needs.
+    val wQ = Window.partitionBy("query_id")
+    broadcast(q).crossJoin(c)
       .withColumn("cos", cosinePre(col("qv"), col("cv"), col("nq"), col("nc")))
-    val high = scored.filter(col("cos") >= tHigh)
-      .select("query_id", "neighbor_id", "cos").withColumn("tier", lit(1))
-    val lowOnly = scored.filter(col("cos") >= tLow)
-      .join(high.select("query_id").distinct(), Seq("query_id"), "left_anti")
-      .select("query_id", "neighbor_id", "cos").withColumn("tier", lit(2))
-    high.unionByName(lowOnly).orderBy("query_id", "neighbor_id")
+      .withColumn("qmax", max("cos").over(wQ))
+      .filter((col("qmax") >= tHigh && col("cos") >= tHigh) ||
+              (col("qmax") <  tHigh && col("cos") >= tLow))
+      .withColumn("tier", when(col("qmax") >= tHigh, lit(1)).otherwise(lit(2)))
+      .select("query_id", "neighbor_id", "cos", "tier")
+      .orderBy("query_id", "neighbor_id")
   }
 }

@@ -35,6 +35,23 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("zero-norm safety: whitespace query retrieves without crashing; index holds no empty passage") {
+    import spark.implicits._
+    val idx = Retrieval.buildIndex(spark, sfDir)
+    // a token-less passage would hash-embed to the zero vector; buildIndex
+    // must have dropped any such passage at the source
+    assert(idx.filter(trim(col("passage")) === "").count() == 0)
+    // a whitespace query embeds to the zero vector: the cosine zero-guard
+    // scores it 0.0 everywhere (below both cascade tiers → zero hits) and
+    // the run must not throw ANSI DIVIDE_BY_ZERO
+    val realText = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 0).select("text").head().getString(0)
+    val queries = Seq((100L, "   "), (101L, realText)).toDF("query_id", "query_text")
+    val res = Retrieval.retrieve(queries, idx, k = 3).collect()
+    assert(!res.exists(_.getAs[Long]("query_id") == 100L), "zero query below both tiers")
+    assert(res.exists(_.getAs[Long]("query_id") == 101L), "real query still retrieves")
+  }
+
   test("retrieve honors k and the over-fetch pool keeps scores ordered by re-rank") {
     val docs = Tables.documents(spark, sfDir)
     val queries = docs.filter(col("doc_id") < 3)

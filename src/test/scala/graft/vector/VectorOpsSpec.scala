@@ -40,6 +40,46 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF recall $recall")
   }
 
+  test("sign-LSH near-dup equals the exact all-pairs scan at t=0.95 over embedded docs") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val emb = graft.embed.Embedder.withEmbedding(
+      docs.select(col("doc_id"), col("text")), "text", "vec").cache()
+    val exact = VectorOps.nearDupPairs(emb, "doc_id", "vec", 0.95).collect().toSeq
+    val lsh = VectorOps.signLshNearDup(emb, "doc_id", "vec", 0.95).collect().toSeq
+    assert(exact.nonEmpty)
+    assert(lsh == exact, "sign-LSH + exact verify must reproduce the brute-force pairs")
+  }
+
+  test("bucketed near-dup is exact when the threshold sits inside cluster structure") {
+    import spark.implicits._
+    // two tight clusters around orthogonal axes + small deterministic noise
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(10f, 0f, 0f, 1f) else Array(0f, 10f, 1f, 0f)
+      val v = base.clone(); v(2 + (i % 2)) += (i % 5) * 0.1f
+      (i.toLong, v, i % 2)
+    }.toDF("id", "vec", "label")
+    val exact = VectorOps.nearDupPairs(vecs, "id", "vec", 0.9).collect().toSeq
+    val bucketed = VectorOps.nearDupPairsBucketed(vecs, "id", "vec", "label", 0.9)
+      .collect().toSeq
+    assert(exact.nonEmpty)
+    assert(bucketed == exact)
+    // and the candidate set is genuinely pruned: only same-cluster pairs met
+    val assigned = VectorOps.ivfAssign(vecs, "id", "vec", "label", 1)
+    val cands = assigned.as("a").join(assigned.as("b"), "cl")
+      .filter(col("a.id") < col("b.id")).count()
+    assert(cands < 20L * 19 / 2, s"bucketing must prune cross-cluster pairs, got $cands")
+  }
+
+  test("cosine: zero-norm side scores 0.0 instead of ANSI divide-by-zero") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(0f, 0f, 0f), Array(1f, 2f, 2f)),
+      (Array(3f, 4f, 0f), Array(3f, 4f, 0f))).toDF("a", "b")
+    val out = df.select(VectorOps.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(0.0, 1.0))
+  }
+
   test("threshold cascade: tier-2 only for queries with no tier-1 hits") {
     val res = VectorOps.thresholdCascade(queries, corpus, "vec_id", "vec_id",
       "embedding", 0.45, 0.30).collect()
