@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * kept identical on both sides.
   */
 object SparkEntry {
-  import graft.operators.{Relational, ScaleOps, TextOps}
+  import graft.operators.{Relational, RouterOps, ScaleOps, TextOps}
   import graft.multimodal.Multimodal
   import graft.query.Retrieval
   import graft.streaming.Events
@@ -75,6 +75,19 @@ object SparkEntry {
     "q48_topk_aggregate"  -> ScaleOps.q48TopkAggregate _,
     "q49_prompt_clamp"    -> TextOps.q49PromptClamp _,
     "q50_asof_join"       -> Events.q50AsofJoin _,
+    "q51_intent_route"    -> RouterOps.q51IntentRoute _,
+    "q52_unhelpful"       -> RouterOps.q52Unhelpful _,
+    "q53_bullet_clean"    -> RouterOps.q53BulletClean _,
+    "q54_bullet_verify"   -> RouterOps.q54BulletVerify _,
+    "q55_word_cap"        -> ((s: SparkSession, dir: String) => RouterOps.q55WordCap(s, dir)),
+    "q56_sentence_dedup"  -> RouterOps.q56SentenceDedup _,
+    "q57_pmc_body"        -> TextOps.q57PmcBody _,
+    // no oracle: page-artifact strip is a fixpoint loop (not SQL);
+    // composition pinned end-to-end by TextOpsSpec
+    "q58_pdf_passages"    -> TextOps.q58PdfPassages _,
+    "q59_train_split"     -> TextOps.q59TrainSplit _,
+    "q60_uid_map"         -> TextOps.q60UidMap _,
+    "q61_unicode_fold"    -> TextOps.q61UnicodeFold _,
     // no oracle: embeddings come from the Scala hashing embedder (not SQL);
     // equality with the exact all-pairs scan is pinned by VectorOpsSpec
     "q62_lsh_neardup"     -> ScaleOps.q62LshNeardup _,
@@ -546,5 +559,131 @@ object SparkEntry {
              ON p.user_id = s.user_id AND s.s_tss <= p.p_tss)
          SELECT purchase_id, user_id, p_tss, signup_id, s_tss
          FROM j WHERE rk = 1 ORDER BY purchase_id""",
+    "q51_intent_route" ->
+      """WITH u AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'hey, quick question about doc ' || doc_id
+                WHEN doc_id % 5 = 1 THEN 'Thanks a lot, appreciate it!'
+                WHEN doc_id % 5 = 2 THEN 'ok goodbye, talk later'
+                WHEN doc_id % 5 = 3 THEN 'Good morning! what does doc ' || doc_id || ' say?'
+                ELSE 'what is the mechanism described in doc ' || doc_id || '?' END AS utterance
+           FROM documents),
+         r AS (SELECT doc_id, utterance,
+           CASE WHEN regexp_matches(utterance, '\b(hi|hello|hey|howdy|greetings|good\s+(morning|afternoon|evening))\b', 'i') THEN 'greet'
+                WHEN regexp_matches(utterance, '\b(thanks?|thank you|appreciate(?:\s+it)?)\b', 'i') THEN 'thank'
+                WHEN regexp_matches(utterance, '\b(bye|goodbye|see you|later|take care)\b', 'i') THEN 'bye'
+                ELSE 'rag' END AS route FROM u)
+         SELECT doc_id, utterance, route,
+           CASE route WHEN 'greet' THEN 'Hello — I’m Nicole. How can I assist you today?'
+                      WHEN 'thank' THEN 'You’re very welcome!'
+                      WHEN 'bye' THEN 'Good‑bye for now; come back any time.' END AS reply
+         FROM r ORDER BY doc_id""",
+    "q52_unhelpful" ->
+      """WITH a AS (SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0 THEN 'No.'
+                WHEN doc_id % 6 = 1 THEN 'I’m not sure about that, sorry.'
+                WHEN doc_id % 6 = 2 THEN 'There is insufficient evidence to answer.'
+                WHEN doc_id % 6 = 3 THEN 'I am not sure — the context does not say.'
+                ELSE 'The answer is described in ' || text END AS answer
+           FROM documents)
+         SELECT doc_id, answer,
+           (len(regexp_split_to_array(trim(answer), '\s+')) < 3
+            OR contains(lower(answer), 'i’m not sure')
+            OR contains(lower(answer), 'i am not sure')
+            OR contains(lower(answer), 'insufficient evidence')) AS unhelpful
+         FROM a ORDER BY doc_id""",
+    "q53_bullet_clean" ->
+      """WITH raw AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN '### Response' || chr(10) || 'Assistant: nothing here' || chr(10) || '   '
+           ELSE '• Finding one for doc ' || doc_id || chr(10) ||
+             '2. finding one for doc ' || doc_id || '!' || chr(10) ||
+             '### Response' || chr(10) ||
+             'Assistant: leaked dialogue line' || chr(10) ||
+             '- Second point (an example) for doc ' || doc_id || chr(10) ||
+             '* second point for doc ' || doc_id || chr(10) ||
+             '   ' || chr(10) ||
+             '**No matching evidence for this query' || chr(10) ||
+             substr(text, 1, 40) END AS raw
+           FROM documents),
+         ln AS (SELECT doc_id,
+             generate_subscripts(string_split(raw, chr(10)), 1) AS pos,
+             trim(regexp_replace(unnest(string_split(raw, chr(10))), '^[\s•*\-0-9.]+', '')) AS clean
+           FROM raw),
+         flt AS (SELECT doc_id, pos, clean,
+             substr(regexp_replace(lower(regexp_replace(clean, '\([^)]*\)', '', 'g')), '[^a-z]', '', 'g'), 1, 60) AS key
+           FROM ln
+           WHERE clean <> ''
+             AND NOT starts_with(lower(clean), '**no matching evidence')
+             AND NOT starts_with(lower(clean), '###')
+             AND NOT regexp_matches(clean, '^(you|assistant):', 'i')),
+         dd AS (SELECT doc_id, pos, clean,
+             row_number() OVER (PARTITION BY doc_id, key ORDER BY pos) AS rk
+           FROM flt),
+         cap AS (SELECT doc_id, pos, clean,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+           FROM dd WHERE rk = 1),
+         agg AS (SELECT doc_id, string_agg('• ' || clean, chr(10) ORDER BY pos) AS b
+           FROM cap WHERE rn <= 10 GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.b, 'Insufficient evidence.') AS bullets
+         FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
+    "q54_bullet_verify" ->
+      """WITH b AS (SELECT doc_id, lower(text) AS context,
+           unnest([trim(substr(text, 1, 50)),
+                   trim(substr(text, 1, 30)) || ' novelword anotherone',
+                   'completely unrelated fabricated claim here']) AS bullet
+           FROM documents),
+         m AS (SELECT doc_id, context, bullet,
+           len(list_filter(list_distinct(regexp_split_to_array(lower(bullet), '\s+')),
+               w -> NOT list_contains(regexp_split_to_array(context, '\s+'), w))) AS missing
+           FROM b)
+         SELECT doc_id, bullet, missing FROM m
+         WHERE contains(context, lower(bullet)) OR missing <= 2
+         ORDER BY doc_id, bullet""",
+    "q55_word_cap" ->
+      """WITH w AS (SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\s+') AS words FROM documents)
+         SELECT doc_id,
+           CASE WHEN len(words) <= 60 THEN trim(text)
+                ELSE array_to_string(words[1:60], ' ') || '…' END AS capped,
+           len(words) AS n_words
+         FROM w ORDER BY doc_id""",
+    "q56_sentence_dedup" ->
+      """WITH g AS (SELECT doc_id,
+           trim(substr(text, 1, 35)) || '.' AS s1,
+           trim(substr(text, 36, 30)) || '.' AS s2,
+           'Doc ' || doc_id || ' repeats itself.' AS s3
+           FROM documents),
+         l AS (SELECT doc_id,
+           regexp_replace(concat_ws(' ', s1, s2, s1, s3, s2, s3), '(\.)\s+', '\1' || chr(1), 'g') AS marked
+           FROM g),
+         p AS (SELECT doc_id,
+             generate_subscripts(string_split(marked, chr(1)), 1) AS pos,
+             unnest(string_split(marked, chr(1))) AS sent
+           FROM l),
+         f AS (SELECT doc_id, pos, sent,
+             row_number() OVER (PARTITION BY doc_id, sent ORDER BY pos) AS rk
+           FROM p WHERE sent <> '')
+         SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS deduped
+         FROM f WHERE rk = 1 GROUP BY doc_id ORDER BY doc_id""",
+    "q57_pmc_body" ->
+      """SELECT doc_id,
+           array_to_string(list_filter(
+             [trim(substr(text, 1, 40)), trim(substr(text, 41, 40)), trim(substr(text, 81, 40))],
+             p -> trim(p) <> ''), chr(10) || chr(10)) AS body_text
+         FROM documents ORDER BY doc_id""",
+    "q59_train_split" ->
+      """SELECT doc_id, source,
+           CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 13
+                THEN 'train' ELSE 'holdout' END AS split
+         FROM documents ORDER BY doc_id""",
+    "q60_uid_map" ->
+      """SELECT doc_id,
+           'PMC' || (doc_id + 7) AS pmcid,
+           '10.1000/doc.' || doc_id AS doi,
+           CAST(doc_id AS VARCHAR) AS pubmed_uid
+         FROM documents ORDER BY doc_id""",
+    "q61_unicode_fold" ->
+      """SELECT doc_id,
+           '"' || trim(substr(text, 1, 30)) || '" - cafe resume...' AS folded
+         FROM documents ORDER BY doc_id""",
   )
 }

@@ -248,6 +248,100 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PMC full-text body extraction (fetch_pubmed.py:222-272): parse the
+    * article XML, take every `<p>` under `<body>` (sections and direct),
+    * drop empties, join with blank lines — `<back>` matter (acknowledgments
+    * etc.) is explicitly NOT body and must not leak in. The XML is
+    * synthesized from deterministic text slices (fixture has no XML
+    * column), so the oracle reconstructs the expectation from the same
+    * slices.
+    */
+  def q57PmcBody(spark: SparkSession, dir: String): DataFrame = {
+    val xmlSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "body STRUCT<sec: ARRAY<STRUCT<p: ARRAY<STRING>>>>, back STRUCT<p: STRING>")
+    Tables.documents(spark, dir)
+      .withColumn("xml", concat(
+        lit("<article><body><sec><p>"), trim(substring(col("text"), 1, 40)),
+        lit("</p><p>"), trim(substring(col("text"), 41, 40)),
+        lit("</p></sec><sec><p>"), trim(substring(col("text"), 81, 40)),
+        lit("</p></sec></body><back><p>Acknowledgments: grant 42.</p></back></article>")))
+      .withColumn("parsed", from_xml(col("xml"), xmlSchema, Map.empty[String, String].asJava))
+      .select(col("doc_id"),
+        array_join(
+          filter(flatten(transform(col("parsed.body.sec"), s => s.getField("p"))),
+            p => trim(p) =!= ""),
+          "\n\n").as("body_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Composed PDF→passage pipeline (parse_pdfs.py:57-88): page-artifact
+    * strip (fixpoint hyphen joins — not SQL-expressible, hence no oracle;
+    * pinned by TextOpsSpec) → clean → overlapping passages →
+    * {file_path, passage_id, text}.
+    */
+  def q58PdfPassages(spark: SparkSession, dir: String): DataFrame =
+    Tables.widen(Tables.documents(spark, dir))
+      .withColumn("pdf_text", concat(
+        lit("Clinical Review\n"), substring(col("text"), 1, 200),
+        lit(" hyphen-\nated line continues\nPage 3\n42\n© 2020 Publisher\n"),
+        substring(col("text"), 201, 200)))
+      .withColumn("stripped", CleanText.stripPageArtifactsUdf(col("pdf_text")))
+      .withColumn("cleaned", CleanText.cleanText(col("stripped")))
+      .select(
+        concat(lit("/pdfs/doc_"), col("doc_id"), lit(".pdf")).as("file_path"),
+        posexplode(Chunker.passages(col("cleaned"), 300, 50)).as(Seq("passage_id", "text")))
+      .orderBy("file_path", "passage_id")
+
+  /** Stratified deterministic 80/20 corpus split (pipeline_runner.py:48-59,
+    * SURVEY §2.2 train-file merge): assignment = md5(doc_id) first hex
+    * digit, train on 13/16 ≈ 81%. Hash-based splits are the reproducible
+    * replacement for seeded `sampleBy` at scale — stable under reruns,
+    * engine-independent (the oracle computes the identical md5 digit),
+    * and stratification is free because the hash is independent of
+    * `source`.
+    */
+  def q59TrainSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10).cast("int"))
+      .select(col("doc_id"), col("source"),
+        when(col("bucket") <= 12, "train").otherwise("holdout").as("split"))
+      .orderBy("doc_id")
+
+  /** ESummary uids→articleids idtype map (fetch_pubmed.py:368-377):
+    * `{d["idtype"]: d["value"]}` → `map_from_entries` + `element_at`,
+    * with the reference's pmcid normalization (strip "pmc-id:" prefix,
+    * cut at ";", trim).
+    */
+  def q60UidMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("articleids", array(
+        struct(lit("pubmed").as("idtype"), col("doc_id").cast("string").as("value")),
+        struct(lit("pmcid").as("idtype"),
+          concat(lit("pmc-id: PMC"), col("doc_id") + 7, lit(";extra")).as("value")),
+        struct(lit("doi").as("idtype"),
+          concat(lit("10.1000/doc."), col("doc_id")).as("value"))))
+      .withColumn("id_map", map_from_entries(col("articleids")))
+      .select(col("doc_id"),
+        trim(element_at(split(regexp_replace(element_at(col("id_map"), "pmcid"),
+          "^pmc-id:\\s*", ""), ";"), 1)).as("pmcid"),
+        element_at(col("id_map"), "doi").as("doi"),
+        element_at(col("id_map"), "pubmed").as("pubmed_uid"))
+      .orderBy("doc_id")
+
+  /** Unicode standardise in a registered query (text_cleaner.py:99-102):
+    * NFKC + smart-quote/dash/ellipsis translate + combining-mark fold
+    * over a synthesized non-ASCII column (fixture text is ASCII, so the
+    * oracle can state the folded expectation literally).
+    */
+  def q61UnicodeFold(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fancy", concat(
+        lit("“"), trim(substring(col("text"), 1, 30)),
+        lit("” — café résumé…")))
+      .select(col("doc_id"), CleanText.unicodeFoldUdf(col("fancy")).as("folded"))
+      .orderBy("doc_id")
+
   /** Normalized-key dedup with cap (main.py:253-296): key = lowercase
     * alpha-only first-60-chars; keep lowest doc_id per key; ≤10 per source.
     */
