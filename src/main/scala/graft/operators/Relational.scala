@@ -162,8 +162,11 @@ object Relational {
     */
   def q11LatestPartition(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).withColumn("mon", date_trunc("month", col("ts")))
-    val latest = ev.agg(max("mon")).head().getTimestamp(0)
-    ev.filter(col("mon") === lit(latest))
+    // the max-month is a lazy broadcast join, not an eager .head(): the
+    // returned frame re-executes correctly (and only once per action)
+    // wherever it is consumed, and the one-row build side costs nothing
+    val latest = ev.agg(max("mon").as("latest_mon"))
+    ev.join(broadcast(latest), col("mon") === col("latest_mon"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       .orderBy("event_type")

@@ -88,11 +88,15 @@ object Events {
   /** Salted two-phase aggregation (skew mitigation for the 100 TB path):
     * `event_type` has only 5 hot keys, so a direct groupBy concentrates
     * each key in one reducer. Salting fans each key across 16 partial
-    * groups, then the tiny (key, salt) partials re-aggregate — same
-    * result, no hot reducer. The oracle is the PLAIN group-by: the
-    * rewrite must be result-identical (sums of doubles stay
-    * order-insensitive here because partial sums are rounded only at the
-    * end).
+    * groups, then the tiny (key, salt) partials re-aggregate.
+    *
+    * Honest scope: for ALGEBRAIC aggregates like sum/count, Spark's
+    * map-side partial aggregation already defuses the hot key, so this
+    * demonstrates the pattern rather than buys speed — salting actually
+    * pays when the aggregate has no partial form (collect_list, exact
+    * distinct). The oracle is the PLAIN group-by; equality holds on this
+    * fixture, but double addition is not associative in general — an
+    * end-only round narrows, not eliminates, reordering divergence.
     */
   def q47SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
     val salted = Tables.events(spark, dir)
