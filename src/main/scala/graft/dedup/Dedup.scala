@@ -95,18 +95,37 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("fp")
 
-  /** Sorted distinct FNV-1a hashes of a doc's word n-gram shingles.
-    * 8 bytes/shingle instead of ~25-byte strings: join keys, shuffle
+  /** Sorted distinct hashes of a doc's word n-gram shingles — 8
+    * bytes/shingle instead of ~25-byte strings: join keys, shuffle
     * payloads, and the verify intersection all run on primitive longs.
-    * (Collision odds over a corpus of S distinct shingles ≈ S²/2⁶⁵ —
-    * immaterial, and the DuckDB oracle hash-match would surface one.)
+    * The n-gram hash folds the words' own FNV-1a hashes (order-sensitive
+    * mix), so no shingle string is ever materialized. (Collision odds
+    * over a corpus of S distinct shingles ≈ S²/2⁶⁵ — immaterial, and the
+    * DuckDB oracle hash-match would surface one.)
     */
-  private def hashedShingleFn(n: Int): String => Array[Long] = {
-    val strings = shingleFn(n)
-    text => {
-      val hs = strings(text).map(fnv64)
-      java.util.Arrays.sort(hs)
-      hs
+  private def hashedShingleFn(n: Int): String => Array[Long] = { text =>
+    if (text == null) Array.empty[Long]
+    else {
+      val words = text.trim.split("\\s+")
+      if (words.length < n) Array.empty[Long]
+      else {
+        val wh = new Array[Long](words.length)
+        var i = 0
+        while (i < words.length) { wh(i) = fnv64(words(i)); i += 1 }
+        val seen = new java.util.HashSet[Long]()
+        val out = Array.newBuilder[Long]
+        i = 0
+        while (i <= words.length - n) {
+          var h = 0xcbf29ce484222325L
+          var j = 0
+          while (j < n) { h ^= wh(i + j); h *= 0x100000001b3L; j += 1 }
+          if (seen.add(h)) out += h
+          i += 1
+        }
+        val a = out.result()
+        java.util.Arrays.sort(a)
+        a
+      }
     }
   }
 
@@ -162,20 +181,17 @@ object Dedup {
     val docSh = docShingles(docs, idCol, textCol, n)
     val inv = docSh.select(col("id"), size(col("shs")).as("n_sh"),
       explode(col("shs")).as("sh"))
-    // the HOT side of the df cap is the broadcastable one: shingles with
-    // df > maxDf are the zipf head — a handful of keys even on a corpus
-    // whose rare tail has billions (the rare side must never be joined,
-    // it is as big as the index itself)
-    val hot = inv.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
-      .select("sh")
-    val hotSet = broadcast(hot)
-    val capped = inv.join(hotSet, Seq("sh"), "left_anti")
-    // intersection counts straight from the bucket lists: one shuffle
-    // (group by shingle), (pair, 1) rows exploded map-side — per-bucket
-    // pair count bounded by maxDf²/2 — then ONE count agg = |A∩B| over
-    // rare shingles. Set sizes ride along inside the bucket structs, so
-    // no join back to the documents is needed.
+    // ONE shuffle builds the df-capped inverted index: BoundedCollect
+    // keeps ≤ maxDf+1 postings per shingle (memory-safe on the zipf
+    // head) while counting the true df — buckets over the cap are the
+    // hot set, buckets of 2..maxDf emit their C(df,2) pairs map-side,
+    // and ONE count agg over those pair rows = |A∩B| over rare
+    // shingles. Set sizes ride along inside the bucket structs, so no
+    // join back to the documents is needed.
+    val buckets = inv.groupBy("sh")
+      .agg(graft.functions.BoundedCollect.collect(maxDf + 1)(col("id"), col("n_sh")).as("bc"))
+      .cache()
+    val hotSet = broadcast(buckets.filter(col("bc._2") > maxDf).select("sh"))
     val bucketPairs = udf { ids: Seq[Row] =>
       val sorted = ids.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toArray
       val out = Array.newBuilder[(Long, Int, Long, Int)]
@@ -190,26 +206,28 @@ object Dedup {
       }
       out.result()
     }
-    val interRare = capped.groupBy("sh")
-      .agg(collect_list(struct(col("id"), col("n_sh"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(bucketPairs(col("ids"))).as("p"))
+    val interRare = buckets
+      .filter(col("bc._2").between(2, maxDf))
+      .select(explode(bucketPairs(col("bc._1"))).as("p"))
       .groupBy(col("p._1").as("doc_a"), col("p._2").as("na"),
         col("p._3").as("doc_b"), col("p._4").as("nb"))
       .agg(count(lit(1)).as("inter_rare"))
-    // hot-shingle correction: |A∩B| = inter_rare + |hotA ∩ hotB|. Each
-    // doc's hot-shingle list is at most |hot| long (tiny), empty on most
-    // corpora, so the merge UDF touches only the zipf head.
-    val hotPerDoc = docSh
-      .join(hotSet.select(col("sh").as("hot_sh")),
-        array_contains(col("shs"), col("hot_sh")), "left")
+    // hot-shingle correction: |A∩B| = inter_rare + |hotA ∩ hotB|. Only
+    // docs that actually CONTAIN a hot shingle get a row (inner join on
+    // the broadcast hot set) — on a corpus with no zipf head this side is
+    // empty and AQE turns both left joins into free broadcasts; each list
+    // is at most |hot| long, so the merge UDF touches only the head.
+    val hotPerDoc = inv.join(hotSet, Seq("sh"))
       .groupBy("id")
-      .agg(sort_array(collect_list("hot_sh")).as("hot_shs"))
+      .agg(sort_array(collect_list("sh")).as("hot_shs"))
     val withHot = interRare
-      .join(hotPerDoc.select(col("id").as("doc_a"), col("hot_shs").as("hot_a")), "doc_a")
-      .join(hotPerDoc.select(col("id").as("doc_b"), col("hot_shs").as("hot_b")), "doc_b")
-      .withColumn("inter",
-        col("inter_rare") + interCount(col("hot_a"), col("hot_b")))
+      .join(hotPerDoc.select(col("id").as("doc_a"), col("hot_shs").as("hot_a")),
+        Seq("doc_a"), "left")
+      .join(hotPerDoc.select(col("id").as("doc_b"), col("hot_shs").as("hot_b")),
+        Seq("doc_b"), "left")
+      .withColumn("inter", col("inter_rare") +
+        when(col("hot_a").isNotNull && col("hot_b").isNotNull,
+          interCount(col("hot_a"), col("hot_b"))).otherwise(lit(0)))
     withHot
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 4))

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded collect-list with an exact group count: keeps at most `cap`
+  * elements per group but always counts the true group size.
+  *
+  * This is the single-shuffle form of the "df-capped inverted index"
+  * (Dedup.jaccardPairs): a plain `collect_list` would materialize a hot
+  * key's entire posting list in one aggregation buffer (OOM on the zipf
+  * head of a 100 TB corpus), and the two-pass alternative (count first,
+  * anti-join the hot keys, then collect) pays a second full shuffle of
+  * the index. Capping the buffer makes the collect memory-safe — groups
+  * whose true count exceeds the cap are identified by `n` and their
+  * truncated items simply go unused.
+  */
+object BoundedCollect {
+
+  type Item = (Long, Int)           // (doc id, doc's shingle-set size)
+  type Buf = (Seq[Item], Long)      // (capped items, true count)
+
+  class BC(cap: Int) extends Aggregator[Item, Buf, Buf] {
+    override def zero: Buf = (Vector.empty, 0L)
+
+    override def reduce(b: Buf, in: Item): Buf =
+      (if (b._1.length < cap) b._1 :+ in else b._1, b._2 + 1)
+
+    override def merge(a: Buf, b: Buf): Buf =
+      (if (a._1.length >= cap) a._1
+       else (a._1 ++ b._1).take(cap), a._2 + b._2)
+
+    override def finish(r: Buf): Buf = r
+
+    override def bufferEncoder: Encoder[Buf] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Buf] = ExpressionEncoder()
+  }
+
+  /** Column API: `collect(cap)(id, n)` →
+    * struct<_1: array<struct<_1: bigint, _2: int>>, _2: bigint>.
+    */
+  def collect(cap: Int)(id: Column, n: Column): Column = {
+    implicit val enc: Encoder[Item] = ExpressionEncoder()
+    udaf(new BC(cap)).apply(id, n)
+  }
+}
