@@ -91,6 +91,7 @@ object SparkEntry {
     // no oracle: embeddings come from the Scala hashing embedder (not SQL);
     // equality with the exact all-pairs scan is pinned by VectorOpsSpec
     "q62_lsh_neardup"     -> ScaleOps.q62LshNeardup _,
+    "q63_asof_custom"     -> Events.q63AsofCustom _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -546,6 +547,22 @@ object SparkEntry {
            '?' || chr(10) || '### Assistant:' || chr(10) || chr(8226) || ' ' AS prompt
          FROM w ORDER BY doc_id""",
     "q50_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events),
+         p AS (SELECT event_id AS purchase_id, user_id, tss AS p_tss
+               FROM e WHERE event_type = 'purchase'),
+         s AS (SELECT event_id AS signup_id, user_id, tss AS s_tss
+               FROM e WHERE event_type = 'signup'),
+         j AS (SELECT p.purchase_id, p.user_id, p.p_tss, s.signup_id, s.s_tss,
+             row_number() OVER (PARTITION BY p.purchase_id
+               ORDER BY s.s_tss DESC NULLS LAST, s.signup_id DESC NULLS LAST) AS rk
+           FROM p LEFT JOIN s
+             ON p.user_id = s.user_id AND s.s_tss <= p.p_tss)
+         SELECT purchase_id, user_id, p_tss, signup_id, s_tss
+         FROM j WHERE rk = 1 ORDER BY purchase_id""",
+    // identical semantics to q50, executed by the custom Catalyst
+    // sort-merge as-of operator — same oracle SQL by construction
+    "q63_asof_custom" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
            CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events),
          p AS (SELECT event_id AS purchase_id, user_id, tss AS p_tss

@@ -137,6 +137,29 @@ object Events {
       .orderBy("purchase_id")
   }
 
+  /** Same as-of semantics through the CUSTOM Catalyst operator
+    * (`graft.plans.AsOfJoin`: LogicalPlan + Strategy + physical
+    * sort-merge exec — custom-operator ladder rung (c)). One hash
+    * exchange per side and a linear per-partition merge replace the
+    * composed form's range-join pair blow-up + window; shares q50's
+    * oracle because the results must be identical.
+    */
+  def q63AsofCustom(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("tss", unix_timestamp(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tss").as("p_tss"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("tss").as("s_tss"))
+    graft.plans.AsOfJoin.join(purchases, signups,
+        leftKey = "user_id", rightKey = "s_user",
+        leftTime = "p_tss", rightTime = "s_tss",
+        rightTieBreaks = Seq("signup_id"))
+      .select("purchase_id", "user_id", "p_tss", "signup_id", "s_tss")
+      .orderBy("purchase_id")
+  }
+
   /** Tumbling windowed counts as a streaming query over the same parquet,
     * with a 1-hour watermark: the incremental equivalent of q33.
     */
