@@ -92,6 +92,9 @@ object SparkEntry {
     // equality with the exact all-pairs scan is pinned by VectorOpsSpec
     "q62_lsh_neardup"     -> ScaleOps.q62LshNeardup _,
     "q63_asof_custom"     -> Events.q63AsofCustom _,
+    "q64_json_chunks"     -> TextOps.q64JsonChunks _,
+    "q65_doi_pdf_lookup"  -> Relational.q65DoiPdfLookup _,
+    "q66_corpus_merge"    -> Relational.q66CorpusMerge _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -702,5 +705,31 @@ object SparkEntry {
       """SELECT doc_id,
            '"' || trim(substr(text, 1, 30)) || '" - cafe resume...' AS folded
          FROM documents ORDER BY doc_id""",
+    "q64_json_chunks" ->
+      """WITH c AS (SELECT doc_id,
+           unnest([trim(substr(text, 1, 60)), trim(substr(text, 61, 60)),
+                   trim(substr(text, 121, 60))]) AS chunk,
+           generate_subscripts([trim(substr(text, 1, 60)), trim(substr(text, 61, 60)),
+                   trim(substr(text, 121, 60))], 1) - 1 AS chunk_id
+           FROM documents)
+         SELECT doc_id, chunk_id, chunk FROM c WHERE chunk <> ''
+         ORDER BY doc_id, chunk_id""",
+    "q65_doi_pdf_lookup" ->
+      """WITH a AS (SELECT doc_id, '10.1000/doc.' || doc_id AS doi FROM documents),
+         m AS (SELECT '10.1000/doc.' || doc_id AS doi,
+                 'https://oa.example.org/' || doc_id || '.pdf' AS pdf_url
+               FROM documents WHERE doc_id % 3 <> 0)
+         SELECT a.doc_id, a.doi, m.pdf_url, m.pdf_url IS NOT NULL AS has_pdf
+         FROM a LEFT JOIN m USING (doi) ORDER BY doc_id""",
+    "q66_corpus_merge" ->
+      """SELECT doc_id, 'corpus' AS record_type, text AS to_text
+         FROM documents
+         WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 13
+         UNION ALL
+         SELECT doc_id, 'instruction' AS record_type,
+           '### Instruction:' || chr(10) || 'summarize doc ' || doc_id ||
+           chr(10) || '### Response:' || chr(10) || substr(text, 1, 60) AS to_text
+         FROM documents WHERE doc_id % 3 = 1
+         ORDER BY record_type, doc_id""",
   )
 }

@@ -182,4 +182,48 @@ object Relational {
            round(avg("n_chars"), 4).as("avg_chars"),
            max("n_chars").as("max_chars"))
       .orderBy("lang", "source")
+
+  /** Unpaywall DOI→PDF lookup as a dedicated query (SURVEY §2.1;
+    * knowledge_model/ingestion/fetch_unpaywall.py): the resolved-article
+    * side broadcast-left-joins the DOI→pdf_url map (the map is the small
+    * dimension — broadcast, never shuffle the articles), open-access
+    * misses keep the article with a null URL and has_pdf=false.
+    */
+  def q65DoiPdfLookup(spark: SparkSession, dir: String): DataFrame = {
+    val articles = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(lit("10.1000/doc."), col("doc_id")).as("doi"))
+    // synthesized Unpaywall response map: ~2/3 of DOIs have an OA PDF
+    val pdfMap = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(concat(lit("10.1000/doc."), col("doc_id")).as("doi"),
+        concat(lit("https://oa.example.org/"), col("doc_id"), lit(".pdf")).as("pdf_url"))
+    articles.join(broadcast(pdfMap), Seq("doi"), "left")
+      .select(col("doc_id"), col("doi"), col("pdf_url"),
+        col("pdf_url").isNotNull.as("has_pdf"))
+      .orderBy("doc_id")
+  }
+
+  /** Train-file corpus merge (pipeline_runner.py:48-59 + SURVEY §2.2
+    * 80/20 buckets): the deterministic train split of the raw corpus
+    * (q59's md5-digit assignment) unioned by name with the instruction
+    * pairs, each row projected to the unified `to_text` form the
+    * fine-tune loader consumes (train_lora.py:87-111).
+    */
+  def q66CorpusMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rawTrain = docs
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10).cast("int"))
+      .filter(col("bucket") <= 12)
+      .select(col("doc_id"), lit("corpus").as("record_type"),
+        col("text").as("to_text"))
+    val instructions = docs
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), lit("instruction").as("record_type"),
+        concat(lit("### Instruction:\nsummarize doc "), col("doc_id"),
+          lit("\n### Response:\n"), substring(col("text"), 1, 60)).as("to_text"))
+    rawTrain.unionByName(instructions)
+      .orderBy("record_type", "doc_id")
+  }
 }

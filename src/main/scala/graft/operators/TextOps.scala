@@ -342,6 +342,31 @@ object TextOps {
       .select(col("doc_id"), CleanText.unicodeFoldUdf(col("fancy")).as("folded"))
       .orderBy("doc_id")
 
+  /** Clean-chunk JSON record parse → chunk rows (SURVEY §2.1 clean-chunk
+    * JSON dir reader; knowledge_model/ingestion/chunk docs): each record
+    * is `{doc_id, chunks: [...]}`; `from_json` with an explicit schema +
+    * `posexplode` turns it into (doc_id, chunk_id, chunk). The dir-scan
+    * half of the reader (recursive JSONL with quarantine) is
+    * `sources/Jsonl.scala`; this covers the schema-on-read + explode
+    * half over a synthesized JSON column (the fixture ships no JSON
+    * dir), with the oracle rebuilding the same chunks from the
+    * generators.
+    */
+  def q64JsonChunks(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, chunks ARRAY<STRING>")
+    Tables.documents(spark, dir)
+      .withColumn("js", to_json(struct(col("doc_id"), array(
+        trim(substring(col("text"), 1, 60)),
+        trim(substring(col("text"), 61, 60)),
+        trim(substring(col("text"), 121, 60))).as("chunks"))))
+      .select(from_json(col("js"), schema).as("rec"))
+      .select(col("rec.doc_id").as("doc_id"),
+        posexplode(col("rec.chunks")).as(Seq("chunk_id", "chunk")))
+      .filter(col("chunk") =!= "")
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Normalized-key dedup with cap (main.py:253-296): key = lowercase
     * alpha-only first-60-chars; keep lowest doc_id per key; ≤10 per source.
     */
