@@ -25,6 +25,7 @@ object Bench {
     SparkEntry.queries.values.foreach { fn =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
+      spark.catalog.clearCache() // operator-internal caches must not pile up
     }
     // a crashed query must never be mistaken for a fast one: each entry
     // records {seconds, ok}, failures are listed by name in the JSON line
@@ -36,7 +37,12 @@ object Bench {
           System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
           false
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // clear operator-internal caches AFTER timing: a query pays for its
+      // own caching, but 67 queries' dead cache entries must not GC-thrash
+      // the queries that follow (measured: ~1.5x uniform slowdown)
+      spark.catalog.clearCache()
+      (name, elapsed, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

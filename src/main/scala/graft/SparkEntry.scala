@@ -95,6 +95,7 @@ object SparkEntry {
     "q64_json_chunks"     -> TextOps.q64JsonChunks _,
     "q65_doi_pdf_lookup"  -> Relational.q65DoiPdfLookup _,
     "q66_corpus_merge"    -> Relational.q66CorpusMerge _,
+    "q67_curation"        -> ScaleOps.q67Curation _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -731,5 +732,43 @@ object SparkEntry {
            chr(10) || '### Response:' || chr(10) || substr(text, 1, 60) AS to_text
          FROM documents WHERE doc_id % 3 = 1
          ORDER BY record_type, doc_id""",
+    "q67_curation" ->
+      """WITH s AS (SELECT doc_id, text,
+           len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for|with)\b')) AS en,
+           len(regexp_extract_all(text, '\b(der|die|das|und|nicht|ein|ist|mit)\b')) AS de,
+           len(regexp_extract_all(text, '\b(el|la|los|las|que|por|para|con)\b')) AS es,
+           len(regexp_extract_all(text, '\b(le|les|des|une|est|dans|pour|avec)\b')) AS fr,
+           len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
+         FROM documents),
+         l AS (SELECT doc_id, text, CASE
+           WHEN greatest(en,de,es,fr,zh) = 0 THEN 'und'
+           WHEN en = greatest(en,de,es,fr,zh) THEN 'en'
+           WHEN de = greatest(en,de,es,fr,zh) THEN 'de'
+           WHEN es = greatest(en,de,es,fr,zh) THEN 'es'
+           WHEN fr = greatest(en,de,es,fr,zh) THEN 'fr'
+           ELSE 'zh' END AS lang_pred FROM s),
+         qs AS (SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+           CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+           CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
+         FROM documents),
+         q AS (SELECT doc_id, round((
+           least(n_chars / 500.0, 1.0)
+           + (1.0 - least(n_punct / greatest(n_words, 1.0) * 2.0, 1.0))
+           + least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0)
+           + CASE WHEN n_chars / greatest(n_words, 1.0) >= 3.0
+                   AND n_chars / greatest(n_words, 1.0) <= 10.0 THEN 1.0 ELSE 0.5 END
+           ) / 4.0, 4) AS quality FROM qs),
+         f AS (SELECT l.doc_id, l.lang_pred, q.quality,
+           md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(l.text), '\s+'))), ' ')) AS fp
+         FROM l JOIN q USING (doc_id)
+         WHERE l.lang_pred = 'en' AND q.quality >= 0.5),
+         k AS (SELECT doc_id, lang_pred, quality,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM f)
+         SELECT doc_id, lang_pred, quality,
+           CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 13
+                THEN 'train' ELSE 'holdout' END AS split
+         FROM k WHERE rk = 1 ORDER BY doc_id""",
   )
 }

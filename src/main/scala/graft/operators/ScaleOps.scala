@@ -120,6 +120,32 @@ object ScaleOps {
       .orderBy("query_id", "rank")
   }
 
+  /** End-to-end training-data curation DAG (the C4/RefinedWeb recipe over
+    * this library's own operators): language-ID filter → quality-score
+    * floor → canonical-fingerprint exact dedup (keep lowest doc_id) →
+    * deterministic train/holdout split. Each stage is an operator already
+    * oracle-verified in isolation (q15, q16, q23, q59); this query pins
+    * the COMPOSITION. One narrow scan-stage pipeline until the dedup
+    * group-by — the only shuffle before the presentation sort.
+    */
+  def q67Curation(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+      .withColumn("fp", Dedup.canonicalFingerprint(col("text")))
+    val keeper = Window.partitionBy("fp").orderBy("doc_id")
+    scored
+      .withColumn("rk", row_number().over(keeper))
+      .filter(col("rk") === 1)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10).cast("int"))
+      .select(col("doc_id"), col("lang_pred"), col("quality"),
+        when(col("bucket") <= 12, "train").otherwise("holdout").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.
