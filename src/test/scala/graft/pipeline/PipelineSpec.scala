@@ -28,6 +28,30 @@ class PipelineSpec extends SparkSpec {
     assert(q.forall(_.getString(1) == "malformed_json"))
   }
 
+  test("per-chunk JSON write round-trips (SURVEY §2.2 — bucketed, not one file per chunk)") {
+    // the reference writes one JSON file per chunk (clean_chunks/<id>.json);
+    // the survey maps that to bucketed JSONL (small-files poison a lake).
+    // Pin the mapping: chunk rows -> partitioned JSONL dir -> read-back
+    // equality, with ONE file per bucket rather than one per chunk.
+    val dir = tmpDir("chunks")
+    val chunks = graft.operators.TextOps.q64JsonChunks(spark, sfDir)
+      .withColumn("bucket", pmod(col("doc_id"), lit(4)))
+    chunks.repartition(col("bucket")).write
+      .partitionBy("bucket").mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == chunks.count())
+    val files = Files.walk(Paths.get(dir)).iterator()
+    val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .count(p => p.toString.endsWith(".json"))
+    assert(parts <= 8, s"expected a handful of bucket files, got $parts")
+    // content equality on a sample key
+    val a = chunks.filter(col("doc_id") === 1).select("chunk_id", "chunk")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val b = back.filter(col("doc_id") === 1).select("chunk_id", "chunk")
+      .collect().map(r => (r.getLong(0).toInt, r.getString(1))).toSet
+    assert(a == b)
+  }
+
   test("partitioned write prunes by month and upsert is idempotent") {
     val path = tmpDir("lake") + "/events"
     val ev = Tables.events(spark, sfDir).select("event_id", "ts", "event_type", "value")
