@@ -111,7 +111,7 @@ object SparkEntry {
          ORDER BY l_returnflag, l_linestatus""",
     "q2_filter_proj" ->
       """SELECT l_orderkey, l_linenumber,
-         round(l_extendedprice * (1.0 - l_discount), 2) AS net_price
+         floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) / 100.0 AS net_price
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-02-01'
            AND l_discount > 0.05 AND l_quantity < 10.0
@@ -230,13 +230,13 @@ object SparkEntry {
            CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
            CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
          FROM documents)
-         SELECT doc_id, round((
+         SELECT doc_id, floor((
            least(n_chars / 500.0, 1.0)
            + (1.0 - least(n_punct / greatest(n_words, 1.0) * 2.0, 1.0))
            + least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0)
            + CASE WHEN n_chars / greatest(n_words, 1.0) >= 3.0
                    AND n_chars / greatest(n_words, 1.0) <= 10.0 THEN 1.0 ELSE 0.5 END
-           ) / 4.0, 4) AS quality
+           ) / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality
          FROM s ORDER BY doc_id""",
     "q17_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
@@ -753,13 +753,13 @@ object SparkEntry {
            CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
            CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
          FROM documents),
-         q AS (SELECT doc_id, round((
+         q AS (SELECT doc_id, floor((
            least(n_chars / 500.0, 1.0)
            + (1.0 - least(n_punct / greatest(n_words, 1.0) * 2.0, 1.0))
            + least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0)
            + CASE WHEN n_chars / greatest(n_words, 1.0) >= 3.0
                    AND n_chars / greatest(n_words, 1.0) <= 10.0 THEN 1.0 ELSE 0.5 END
-           ) / 4.0, 4) AS quality FROM qs),
+           ) / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality FROM qs),
          f AS (SELECT l.doc_id, l.lang_pred, q.quality,
            md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(l.text), '\s+'))), ' ')) AS fp
          FROM l JOIN q USING (doc_id)

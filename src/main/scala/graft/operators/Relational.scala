@@ -40,7 +40,12 @@ object Relational {
       .filter(col("l_discount") > 0.05 && col("l_quantity") < 10.0)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("net_price"))
+        // floor(x·100 + 0.5)/100, not round(x, 2): price × (1 − discount)
+        // is an exact 4-decimal value, so the true result hits .xx5
+        // boundaries where Spark's and DuckDB's round() diverge; the
+        // floor form is pure IEEE arithmetic — identical in both engines
+        (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5) / 100.0)
+          .as("net_price"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** Multi-way join + aggregate (articles⟕pdf_map / articles⟕db-row joins,

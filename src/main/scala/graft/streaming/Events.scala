@@ -234,4 +234,39 @@ object Events {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Stream-stream time-range join (purchases ⋈ signups within the prior
+    * 7 days, same user): watermarks on BOTH sides bound the join state —
+    * Spark retains only signups newer than (watermark − range) instead of
+    * the whole history, which is what makes an unbounded 24/7 join
+    * feasible. EventsSpec pins equality with the identical batch range
+    * join.
+    */
+  def streamStreamRangeJoin(spark: SparkSession, dir: String,
+                            queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.apply(spark, dir, "events").schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = src.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    purchases.join(signups,
+        col("user_id") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+      .select(col("purchase_id"), col("user_id"), col("signup_id"),
+        unix_timestamp(col("p_ts")).as("p_tss"),
+        unix_timestamp(col("s_ts")).as("s_tss"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -55,7 +55,12 @@ object TextAnalysis {
     val punctScore = lit(1.0) - least(nPunct / greatest(nWords, lit(1.0)) * 2.0, lit(1.0))
     val stopScore  = least(nStop / greatest(nWords, lit(1.0)) * 5.0, lit(1.0))
     val wlenScore  = when(meanWordLen >= 3.0 && meanWordLen <= 10.0, 1.0).otherwise(0.5)
-    round((lenScore + punctScore + stopScore + wlenScore) / 4.0, 4)
+    // floor(x·10⁴ + 0.5)/10⁴ instead of round(x, 4): the component ratios
+    // are small-integer fractions, so the TRUE score often lands exactly
+    // on a .xxxx5 boundary where Spark (BigDecimal HALF_UP on the
+    // shortest decimal repr) and DuckDB (binary nearbyint) disagree by
+    // 1e-4. Pure IEEE double ops are bit-identical in every engine.
+    floor((lenScore + punctScore + stopScore + wlenScore) / 4.0 * 10000.0 + 0.5) / 10000.0
   }
 
   /** Document fingerprint: md5 of the casefolded, whitespace-normalized

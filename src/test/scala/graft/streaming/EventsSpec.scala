@@ -33,6 +33,30 @@ class EventsSpec extends SparkSpec {
     assert(streamed.size >= batch.size - users.size)
   }
 
+  test("stream-stream range join equals the batch range join") {
+    import org.apache.spark.sql.functions._
+    val q = Events.streamStreamRangeJoin(spark, sfDir, "stream_range_join")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("stream_range_join")
+      .select("purchase_id", "signup_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("tss", unix_timestamp(col("ts")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("tss").as("p_tss"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("tss").as("s_tss"))
+    val batch = p.join(s,
+        col("user_id") === col("s_user") &&
+          col("s_tss") <= col("p_tss") &&
+          col("s_tss") >= col("p_tss") - 7L * 24 * 3600)
+      .select("purchase_id", "signup_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("batch dedup keeps exactly one row per key") {
     val deduped = Events.q36DedupEvents(spark, sfDir)
     val keys = deduped.select("user_id", "event_type", "value").distinct().count()
