@@ -163,7 +163,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             }
           }
         }
-        proj(joined(l, if (matchRow != null && lk != null) matchRow else nullRight))
+        // null key or null time on the left ⇒ no match, like an equi-join
+        proj(joined(l,
+          if (matchRow != null && lk != null && lt != null) matchRow else nullRight))
       }
     }
   }

@@ -33,10 +33,11 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("edge semantics: unmatched left kept with nulls, ties break to highest id, no time travel") {
     val purchases = Seq(
-      (100L, 1L, 50L),  // matched by the later of two signups <= 50
-      (101L, 1L, 5L),   // before any signup -> null
-      (102L, 2L, 30L),  // tie on time -> highest signup_id
-      (103L, 3L, 10L)   // user with no signups -> null
+      (100L, 1L, Some(50L)), // matched by the later of two signups <= 50
+      (101L, 1L, Some(5L)),  // before any signup -> null
+      (102L, 2L, Some(30L)), // tie on time -> highest signup_id
+      (103L, 3L, Some(10L)), // user with no signups -> null
+      (104L, 1L, None)       // null time -> no match, row kept
     ).toDF("purchase_id", "user_id", "p_tss")
     val signups = Seq(
       (200L, 1L, 10L), (201L, 1L, 40L), (202L, 1L, 60L),
@@ -47,6 +48,7 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         "user_id", "s_user", "p_tss", "s_tss", Seq("signup_id"))
       .select("purchase_id", "signup_id").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-    assert(out == Map(100L -> 201L, 101L -> -1L, 102L -> 211L, 103L -> -1L))
+    assert(out == Map(100L -> 201L, 101L -> -1L, 102L -> 211L, 103L -> -1L,
+      104L -> -1L))
   }
 }
