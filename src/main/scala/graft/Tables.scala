@@ -23,13 +23,29 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses to read
     * natively; read it as a long (legacy conf) and convert to a µs
     * timestamp with integer division (ns epochs overflow double precision).
+    *
+    * The legacy conf must be set at SESSION BUILD time by the entrypoint
+    * (Bench / Verify / PlanAudit / test sessions all do) — a library
+    * reader must not silently flip a session-global flag under a
+    * co-resident workload that reads nanos timestamps natively, so this
+    * reader fails fast with the fix instead of applying it.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    requireNanosAsLong(spark)
     apply(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
+
+  /** Fail fast (with the fix) when the session can't read TIMESTAMP(NANOS)
+    * parquet as long — deliberately NOT set on the caller's behalf.
+    */
+  def requireNanosAsLong(spark: SparkSession): Unit =
+    require(
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "reading the events table needs " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (parquet TIMESTAMP(NANOS) " +
+        "column); set it on the SparkSession builder")
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 

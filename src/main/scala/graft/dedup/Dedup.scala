@@ -270,9 +270,14 @@ object Dedup {
     * Signatures are computed per-row in ONE pass (`bandSigFn`); the only
     * shuffles are the band-bucket self-join and the bounded verify join.
     * Candidate pairs collide on any band; exact verification makes the
-    * output equal `jaccardPairs` whenever LSH recall holds
-    * (≥ 1 − (1 − t^r)^b — for t = 0.9, r = 4, b = 16 the miss
-    * probability is ~3e-8).
+    * output equal `jaccardPairs` whenever LSH recall holds. The operating
+    * point is honest about its boundary: per-pair miss probability is
+    * (1 − t^r)^b — ~2.2e-4 at the registered threshold t = 0.8 (r = 4,
+    * b = 16), dropping to ~3e-8 by t = 0.9. A corpus with ~10⁹ pairs
+    * sitting EXACTLY at 0.8 would expect ~10⁵ misses; real near-dup mass
+    * lives well above the threshold (planted fixture dups are ≥ 0.9), and
+    * the fix when it doesn't is more bands (b = 32 → miss 4.8e-8 at 0.8),
+    * not a different algorithm.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numPerms: Int = 64, rowsPerBand: Int = 4,

@@ -23,8 +23,10 @@ object ScaleOps {
   def q24NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", 3, 0.8)
 
-  /** MinHash+LSH candidates verified with exact Jaccard — must equal q24
-    * (LSH miss probability ~3e-8 at j ≥ 0.9), hence shares its oracle.
+  /** MinHash+LSH candidates verified with exact Jaccard — equals q24
+    * whenever LSH recall holds (per-pair miss ~2.2e-4 at the j = 0.8
+    * boundary, ~3e-8 by j ≥ 0.9 — see Dedup.minhashLshPairs), hence
+    * shares its oracle.
     */
   def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text")
@@ -101,19 +103,32 @@ object ScaleOps {
     * so they share an oracle.
     */
   def q48TopkAggregate(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TopKAggregator
     val e = Tables.embeddings(spark, dir)
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    topkAggregate(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      "vec_id", "vec_id", "embedding", 5)
+  }
+
+  /** The q48 plan as a reusable operator (also the zero-vector test's
+    * entry point — the guard must hold through the aggregator path, not
+    * just the window path).
+    */
+  def topkAggregate(queries: DataFrame, corpus: DataFrame, qId: String,
+                    cId: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.TopKAggregator
+    val q = queries
+      .select(col(qId).as("query_id"), col(vecCol).as("qv"))
       .withColumn("nq", sqrt(graft.functions.DotProduct(col("qv"), col("qv"))))
-    val c = e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val c = corpus
+      .select(col(cId).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("nc", sqrt(graft.functions.DotProduct(col("cv"), col("cv"))))
     broadcast(q).crossJoin(c)
-      .withColumn("score",
-        round(graft.functions.DotProduct(col("qv"), col("cv")) / (col("nq") * col("nc")), 4))
+      // cosinePre carries the zero-norm guard — an all-zero vector must
+      // score 0.0, not trip ANSI DIVIDE_BY_ZERO (same rule as every other
+      // scoring path; VectorOps.cosinePre is the single source of truth)
+      .withColumn("score", VectorOps.cosinePre(col("qv"), col("cv"), col("nq"), col("nc")))
       .groupBy("query_id")
-      .agg(TopKAggregator.topK(5)(col("score"), col("neighbor_id")).as("top"))
+      .agg(TopKAggregator.topK(k)(col("score"), col("neighbor_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("s._2").as("neighbor_id"), col("s._1").as("score"))

@@ -165,7 +165,7 @@ object Events {
     */
   def streamingTumbling(spark: SparkSession, dir: String,
                         queryName: String): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.requireNanosAsLong(spark)
     val schema = Tables.apply(spark, dir, "events").schema
     // file-source basePath must be a directory; select the table via glob
     val src = spark.readStream.schema(schema)
@@ -197,7 +197,7 @@ object Events {
   def streamingSessions(spark: SparkSession, dir: String,
                         queryName: String): StreamingQuery = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.requireNanosAsLong(spark)
     val schema = Tables.apply(spark, dir, "events").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -244,7 +244,7 @@ object Events {
     */
   def streamStreamRangeJoin(spark: SparkSession, dir: String,
                             queryName: String): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.requireNanosAsLong(spark)
     val schema = Tables.apply(spark, dir, "events").schema
     def src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)

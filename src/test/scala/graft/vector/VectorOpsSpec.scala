@@ -97,6 +97,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("TopK aggregator path survives zero-norm vectors (q48's plan, not just cosine())") {
+    import graft.operators.ScaleOps
+    import spark.implicits._
+    val qs = Seq((0L, Array(0f, 0f, 0f)), (1L, Array(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cs = Seq((10L, Array(1f, 1f, 0f)), (11L, Array(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val rows = ScaleOps.topkAggregate(qs, cs, "vec_id", "vec_id", "embedding", 2)
+      .collect()
+    assert(rows.length == 4) // no ANSI DIVIDE_BY_ZERO; all pairs scored
+    // every pair touching a zero vector scores exactly 0.0
+    val zeroish = rows.filter(r =>
+      r.getAs[Long]("query_id") == 0L || r.getAs[Long]("neighbor_id") == 11L)
+    assert(zeroish.nonEmpty && zeroish.forall(_.getAs[Double]("score") == 0.0))
+  }
+
   test("cosine is symmetric and 1.0 on self") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f), Array(3f, 2f, 1f)))
