@@ -96,6 +96,10 @@ object SparkEntry {
     "q65_doi_pdf_lookup"  -> Relational.q65DoiPdfLookup _,
     "q66_corpus_merge"    -> Relational.q66CorpusMerge _,
     "q67_curation"        -> ScaleOps.q67Curation _,
+    "q68_sketch_profile"  -> ScaleOps.q68SketchProfile _,
+    "q69_bucketed_neardup" -> ScaleOps.q69BucketedNeardup _,
+    "q70_stream_asof"     -> Events.q70StreamAsof _,
+    "q71_partition_prune" -> graft.pipeline.Ingest.q71PartitionPrune _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -770,5 +774,63 @@ object SparkEntry {
            CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 13
                 THEN 'train' ELSE 'holdout' END AS split
          FROM k WHERE rk = 1 ORDER BY doc_id""",
+    // sketch tolerance check expressed in the exact-hash harness: the
+    // oracle pins the EXACT count/ndv/percentiles; the *_ok booleans are
+    // computed Spark-side (|sketch − exact| within tolerance) and must
+    // equal the oracle's literal TRUEs — a drifted sketch turns the row red
+    "q68_sketch_profile" ->
+      """SELECT count(*) AS n_docs,
+         count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS ndv_exact,
+         TRUE AS hll_ok,
+         round(quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT), 0.5), 4) AS p50_tokens,
+         round(quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT), 0.9), 4) AS p90_tokens,
+         TRUE AS p50_ok, TRUE AS p90_ok
+         FROM documents""",
+    // mirrors VectorOps.ivfAssign exactly: per-label mean centroids,
+    // probe = 2 nearest by rounded cosine (ties by label), pairs sharing
+    // any probed centroid, exact-cosine verify at the rounded threshold
+    "q69_bucketed_neardup" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec, label FROM embeddings),
+         ci AS (SELECT label, unnest(generate_series(1, 64)) AS i, vec FROM v),
+         cent AS (SELECT label, i, avg(vec[i]) AS m FROM ci GROUP BY label, i),
+         centv AS (SELECT label AS cl, list(m ORDER BY i) AS ce FROM cent GROUP BY label),
+         probe AS (SELECT id, cl, vec FROM (
+             SELECT v.id, centv.cl, v.vec,
+               row_number() OVER (PARTITION BY v.id ORDER BY
+                 round(list_dot_product(v.vec, centv.ce) /
+                   (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(centv.ce, centv.ce))), 4) DESC,
+                 centv.cl ASC) AS pr
+             FROM v, centv) WHERE pr <= 2),
+         pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM probe a JOIN probe b ON a.cl = b.cl AND a.id < b.id),
+         s AS (SELECT id_a, id_b,
+             round(list_dot_product(va.vec, vb.vec) /
+               (sqrt(list_dot_product(va.vec, va.vec)) * sqrt(list_dot_product(vb.vec, vb.vec))), 4) AS cos
+           FROM pairs JOIN v va ON va.id = id_a JOIN v vb ON vb.id = id_b)
+         SELECT id_a, id_b, cos FROM s WHERE cos >= 0.45 ORDER BY id_a, id_b""",
+    // the streaming twin is an INNER range join (7-day lookback) + per-
+    // purchase latest signup; purchases without an in-range signup drop out
+    "q70_stream_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events),
+         p AS (SELECT event_id AS purchase_id, user_id, tss AS p_tss
+               FROM e WHERE event_type = 'purchase'),
+         s AS (SELECT event_id AS signup_id, user_id, tss AS s_tss
+               FROM e WHERE event_type = 'signup'),
+         j AS (SELECT p.purchase_id, p.user_id, p.p_tss, s.signup_id, s.s_tss,
+             row_number() OVER (PARTITION BY p.purchase_id
+               ORDER BY s.s_tss DESC, s.signup_id DESC) AS rk
+           FROM p JOIN s
+             ON p.user_id = s.user_id AND s.s_tss <= p.p_tss
+                AND s.s_tss >= p.p_tss - 604800)
+         SELECT purchase_id, user_id, p_tss, signup_id, s_tss
+         FROM j WHERE rk = 1 ORDER BY purchase_id""",
+    // the pruned read of the day-partitioned lake must equal a min-day
+    // filter over the source table
+    "q71_partition_prune" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events
+         WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+         GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -161,6 +161,53 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus profiling with mergeable sketches (the routine first pass of
+    * any training-data pipeline): HLL distinct fingerprints + quantile
+    * sketch over per-doc token counts — one narrow scan, partial sketches
+    * merge at the single reduce, no row ever shuffles. The EXACT ndv /
+    * exact percentiles computed alongside are the verification anchor:
+    * the output carries the exact values (oracle hash-checks them) plus
+    * `*_ok` booleans asserting each sketch landed within tolerance
+    * (±5% ndv; ±max(5%, 1 token) quantile) — so the driver's exact-hash
+    * harness becomes a tolerance check on the sketches. At 100 TB only
+    * the sketch half runs; the exact half is what this fixture-scale
+    * gate is for.
+    */
+  def q68SketchProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("ndv_exact"),
+        approx_count_distinct(col("fp"), 0.02).as("hll"),
+        expr("percentile(n_tokens, 0.5D)").as("p50e"),
+        expr("percentile(n_tokens, 0.9D)").as("p90e"),
+        percentile_approx(col("n_tokens"), lit(0.5), lit(100)).as("p50a"),
+        percentile_approx(col("n_tokens"), lit(0.9), lit(100)).as("p90a"))
+      .select(
+        col("n_docs"), col("ndv_exact"),
+        (abs(col("hll") - col("ndv_exact"))
+          <= col("ndv_exact").cast("double") * 0.05).as("hll_ok"),
+        round(col("p50e"), 4).as("p50_tokens"),
+        round(col("p90e"), 4).as("p90_tokens"),
+        (abs(col("p50a").cast("double") - col("p50e"))
+          <= greatest(col("p50e") * 0.05, lit(1.0))).as("p50_ok"),
+        (abs(col("p90a").cast("double") - col("p90e"))
+          <= greatest(col("p90e") * 0.05, lit(1.0))).as("p90_ok"))
+  }
+
+  /** IVF-bucketed embedding near-dup (the third dedup regime: threshold
+    * sits inside genuine cluster structure): candidates = pairs sharing
+    * one of their 2 nearest centroids, then exact-cosine verify. The
+    * oracle mirrors the probe logic exactly, so recall restriction is
+    * part of the contract, not a silent loss — cf. q27 (exact reference
+    * scan) and q62 (sign-LSH for cluster-free corpora).
+    */
+  def q69BucketedNeardup(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.nearDupPairsBucketed(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", "label", 0.45)
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.

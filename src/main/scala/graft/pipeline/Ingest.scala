@@ -55,6 +55,46 @@ object Ingest {
       .parquet(path)
   }
 
+  /** Day-partitioned lake write + pruned single-day read-back: the
+    * executed-plan proof of the §1.3/§2.11 partition story (reference
+    * pipeline.py:75, fetch_clean.py:35-53). The fixture's events span one
+    * month, so day granularity gives a ~30-directory lake; the read back
+    * filters on literal partition values, which must reach the scan as
+    * PartitionFilters — only that day's files are listed or read
+    * (PlanShapeSpec asserts `inputFiles` ⊆ the one partition directory).
+    * At 100 TB this is the difference between scanning 3 TB and 100 TB.
+    *
+    * The write runs on every call (the lake is rebuilt from the current
+    * fixture, never trusted stale), so the registered query times
+    * sink + pruned source together — an honest ingest-then-read cost.
+    */
+  def q71PartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val lake = s"/tmp/graft_lake/${new java.io.File(dir).getName}/events_daily"
+    val ev = graft.Tables.events(spark, dir)
+    ev.withColumn("year", date_format(col("ts"), "yyyy").cast("int"))
+      .withColumn("month", date_format(col("ts"), "MM").cast("int"))
+      .withColumn("day", date_format(col("ts"), "dd").cast("int"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("year", "month", "day")
+      .parquet(lake)
+    // target day = earliest event date; collect the SCALAR (not data) as a
+    // string so no java.sql.Date default-timezone conversion can shift it
+    val Array(y, m, d) = ev.agg(date_format(min(to_date(col("ts"))), "yyyy-M-d"))
+      .head().getString(0).split("-").map(_.toInt)
+    prunedDayRead(spark, lake, y, m, d)
+  }
+
+  /** The pruned read-back half of q71 (separate so the plan test can point
+    * at exactly this frame).
+    */
+  def prunedDayRead(spark: SparkSession, lake: String,
+                    y: Int, m: Int, d: Int): DataFrame =
+    spark.read.parquet(lake)
+      .filter(col("year") === y && col("month") === m && col("day") === d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+
   /** Next missing month in a range (fetch_clean.py:35-53's low-watermark
     * scan): first (year, month) with no partition directory.
     */

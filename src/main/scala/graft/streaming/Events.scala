@@ -269,4 +269,29 @@ object Events {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Streaming as-of join: the incremental twin of q50/q63. The
+    * stream-stream time-range join above produces every (purchase,
+    * signup ≤ 7 days before) pair with two-sided watermark-bounded
+    * state; the per-purchase latest signup is then selected exactly as
+    * the batch composed form does. Purchases with no signup in range
+    * drop out (inner join — the watermarked left-outer variant would
+    * emit them at watermark expiry). Registered as a batch-callable
+    * query: the stream runs to completion with AvailableNow, then the
+    * top-1 runs over the sink — oracle = the same inner range join +
+    * top-1 in SQL, so "every batch op has a streaming story" is a green
+    * CORRECTNESS row, not a claim.
+    */
+  def q70StreamAsof(spark: SparkSession, dir: String): DataFrame = {
+    val qn = "q70_stream_asof_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val sq = streamStreamRangeJoin(spark, dir, qn)
+    sq.awaitTermination()
+    val w = Window.partitionBy("purchase_id")
+      .orderBy(col("s_tss").desc, col("signup_id").desc)
+    spark.table(qn)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("purchase_id", "user_id", "p_tss", "signup_id", "s_tss")
+      .orderBy("purchase_id")
+  }
 }

@@ -50,4 +50,38 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(f.contains("BroadcastNestedLoopJoin"),
       "expected the broadcast-side crossJoin shape")
   }
+
+  test("q71: the day-partitioned lake read scans ONLY the filtered day's files") {
+    // build the lake (the registered query writes then prunes)
+    graft.pipeline.Ingest.q71PartitionPrune(spark, sfDir).collect()
+    val lake = s"/tmp/graft_lake/${new java.io.File(sfDir).getName}/events_daily"
+    // the lake must genuinely be multi-partition for pruning to mean anything
+    val dayDirs = new java.io.File(lake).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles().filter(_.isDirectory))
+      .flatMap(_.listFiles().filter(_.isDirectory))
+    assert(dayDirs.length > 10, s"expected a multi-day lake, got ${dayDirs.length} day dirs")
+    val pruned = graft.pipeline.Ingest.prunedDayRead(spark, lake, 2024, 1, 1)
+    assert(pruned.count() > 0)
+    // NOTE: df.inputFiles lists the relation's full file index BEFORE
+    // pruning — the proof lives in the EXECUTED scan: its numFiles metric
+    // counts only the partitions surviving the partition filters
+    pruned.collect()
+    val scan = collectWithSubqueries(pruned.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val scannedFiles = scan.metrics("numFiles").value
+    def parquetsUnder(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(parquetsUnder).sum
+      else if (f.getName.endsWith(".parquet")) 1L else 0L
+    val day1Files = parquetsUnder(
+      new java.io.File(s"$lake/year=2024/month=1/day=1"))
+    val allFiles = parquetsUnder(new java.io.File(lake))
+    assert(day1Files > 0 && allFiles > day1Files, "fixture lake degenerate")
+    assert(scannedFiles == day1Files,
+      s"scan read $scannedFiles files, expected only day-1's $day1Files of $allFiles")
+    // and the filter reached the scan as a partition filter, not a post-scan filter
+    val f = pruned.queryExecution.explainString(FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(f).isDefined,
+      "no partition filters on the lake scan")
+  }
 }

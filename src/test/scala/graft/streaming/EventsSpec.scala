@@ -57,6 +57,23 @@ class EventsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming as-of (q70) equals the custom batch as-of restricted to the 7-day window") {
+    import org.apache.spark.sql.functions._
+    val streamed = Events.q70StreamAsof(spark, sfDir)
+      .select("purchase_id", "signup_id", "s_tss")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch reference: the oracle-checked custom as-of (q63), restricted
+    // to matches whose signup falls inside the streaming join's 7-day
+    // lookback (the inner-join twin has no row for out-of-range purchases)
+    val batch = Events.q63AsofCustom(spark, sfDir)
+      .filter(col("signup_id").isNotNull &&
+        col("s_tss") >= col("p_tss") - 7L * 24 * 3600)
+      .select("purchase_id", "signup_id", "s_tss")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("batch dedup keeps exactly one row per key") {
     val deduped = Events.q36DedupEvents(spark, sfDir)
     val keys = deduped.select("user_id", "event_type", "value").distinct().count()
