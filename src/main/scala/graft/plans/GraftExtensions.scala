@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.DotProduct
+import graft.functions.{CleanTextExpr, DotProduct}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("clean_text"),
+      new ExpressionInfo(classOf[CleanTextExpr].getName, "clean_text"),
+      (exprs: Seq[Expression]) => CleanTextExpr(exprs.head)))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -58,6 +58,41 @@ class CleanTextSpec extends SparkSpec {
     assert(rows.toSeq == Seq("PMC123", "PMC456", "PMC789", null))
   }
 
+  test("fused codegen clean_text is output-identical to the composable chain") {
+    // every fixture document wrapped in the q13 dirt, plus adversarial
+    // edges: empty, all-whitespace, nested brackets, hyphen cascades,
+    // stacked sections, control chars, order-sensitive punct/citation mixes
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(concat(
+        lit("<p>Intro</p> [12] "), col("text"),
+        lit("!!! (Smith et al., 2020a) (fig 3) end-\nnote\nFigure 2 spurious caption\nmore text\nReferences\n[99] dropped tail")).as("t"))
+    val edges = Seq(
+      "", " ", "\t\n ", "...", "a",
+      "[x[y]z]", "[123456789012345678901] kept (too long)",
+      "w-\n x-\n y", "see.!!?,, [1],, (fig 4a)(FIGURE 12)",
+      "<b>x</b>",
+      "body\nMethods\nm\nReferences\nr",
+      "Table 12 cap\ntext (Jones et al 2021b) tail",
+      "no terminator at all").toDF("t")
+    val all = docs.unionByName(edges)
+    val mismatches = all.select(
+        CleanText.cleanText(col("t")).as("chain"),
+        graft.functions.CleanTextFused(col("t")).as("fused"))
+      .filter(!(col("chain") <=> col("fused")))
+    assert(mismatches.count() == 0,
+      s"fused != chain, e.g. ${mismatches.take(1).mkString}")
+  }
+
+  test("clean_text is SQL-registered and interpreted eval matches codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT clean_text('<p>x</p> y?!! [1] z-\n w') AS c").head().getString(0)
+    assert(viaSql == "x y! z- w".replace("z- w", "zw") || viaSql == "x y! zw")
+    // interpreted path (no codegen) must agree: call eval directly
+    val viaEval = graft.functions.CleanTextFused.clean("<p>x</p> y?!! [1] z-\n w")
+    assert(viaEval == viaSql)
+  }
+
   test("citation extraction is unique and ordered") {
     val c = Seq("PMID: 1 x DOI: 10.1/a y PMID: 1").toDF("t")
       .select(CleanText.extractCitations(col("t"))).as[Seq[String]].head()
