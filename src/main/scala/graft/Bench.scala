@@ -30,30 +30,44 @@ object Bench {
     }
     // a crashed query must never be mistaken for a fast one: each entry
     // records {seconds, ok}, failures are listed by name in the JSON line
-    // and echoed (with the exception) on stderr
+    // and echoed (with the exception) on stderr.
+    // MEDIAN OF 3: this VM's run-to-run wall-time variance is 1.5-2x
+    // (round 3's official single-run artifact "regressed" 22 queries
+    // that an immediate re-run erased) — each query runs `reps` times
+    // and the official per-query number is the median; raw runs stay in
+    // the JSON so variance is visible, not discarded.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
-          false
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // clear operator-internal caches AFTER timing: a query pays for
+        // its own caching, but 71 queries' dead cache entries must not
+        // GC-thrash the queries that follow (measured: ~1.5x slowdown)
+        spark.catalog.clearCache()
+        (elapsed, ok)
       }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // clear operator-internal caches AFTER timing: a query pays for its
-      // own caching, but 67 queries' dead cache entries must not GC-thrash
-      // the queries that follow (measured: ~1.5x uniform slowdown)
-      spark.catalog.clearCache()
-      (name, elapsed, ok)
+      val median = runs.map(_._1).sorted.apply(reps / 2)
+      (name, median, runs)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val nFailed = results.count(!_._3)
+    val raw = results.map { case (k, _, runs) =>
+      "\"" + k + "\":[" + runs.map(_._1).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // a query that failed on ANY rep is reported failed
+    val failedNames = results.collect { case (k, _, runs) if runs.exists(!_._2) => k }
+    val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val nFailed = failedNames.size
     if (nFailed > 0)
       System.err.println(s"[bench] $nFailed quer${if (nFailed == 1) "y" else "ies"} FAILED")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"reps":$reps,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

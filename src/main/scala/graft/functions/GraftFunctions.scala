@@ -9,10 +9,27 @@ import org.apache.spark.sql.SparkSession
   * usable on an already-built session.)
   */
 object GraftFunctions {
+  /** Wrong-arity calls must fail analysis with the expected signature —
+    * `exprs.head` alone turns `clean_text()` into an opaque
+    * NoSuchElementException and silently ignores extra arguments.
+    */
+  private[graft] def checkArity(name: String, signature: String, n: Int)(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects exactly $n argument${if (n == 1) "" else "s"} — " +
+          s"$name($signature); got ${exprs.length}")
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+      "dot_product", { exprs =>
+        checkArity("dot_product", "a ARRAY<FLOAT>, b ARRAY<FLOAT>", 2)(exprs)
+        DotProduct(exprs.head, exprs(1))
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "clean_text", exprs => CleanTextExpr(exprs.head), "built-in")
+      "clean_text", { exprs =>
+        checkArity("clean_text", "text STRING", 1)(exprs)
+        CleanTextExpr(exprs.head)
+      }, "built-in")
   }
 }

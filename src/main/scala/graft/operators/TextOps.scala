@@ -24,8 +24,8 @@ object TextOps {
         lit("<p>Intro</p> [12] "), col("text"),
         lit("!!! (Smith et al., 2020a) (fig 3) end-\nnote\nFigure 2 spurious caption\nmore text\nReferences\n[99] dropped tail")))
 
-  /** Order-exact composite clean (text_cleaner.py:105-133). */
-  /** Runs through the FUSED codegen expression (one call per row,
+  /** Order-exact composite clean (text_cleaner.py:105-133).
+    * Runs through the FUSED codegen expression (one call per row,
     * precompiled patterns) — `CleanTextSpec` pins it output-identical to
     * the composable `CleanText.cleanText` chain, and the unchanged DuckDB
     * oracle hash-checks it independently.

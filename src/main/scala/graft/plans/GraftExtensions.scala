@@ -18,11 +18,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        graft.functions.GraftFunctions.checkArity(
+          "dot_product", "a ARRAY<FLOAT>, b ARRAY<FLOAT>", 2)(exprs)
+        DotProduct(exprs.head, exprs(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("clean_text"),
       new ExpressionInfo(classOf[CleanTextExpr].getName, "clean_text"),
-      (exprs: Seq[Expression]) => CleanTextExpr(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        graft.functions.GraftFunctions.checkArity(
+          "clean_text", "text STRING", 1)(exprs)
+        CleanTextExpr(exprs.head)
+      }))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -242,13 +242,21 @@ object Events {
     * feasible. EventsSpec pins equality with the identical batch range
     * join.
     */
-  def streamStreamRangeJoin(spark: SparkSession, dir: String,
-                            queryName: String): StreamingQuery = {
+  /** The joined streaming DataFrame behind both sinks below. Timestamps
+    * are floored to WHOLE SECONDS before the join (`ts div 1e9` on the
+    * nanos long = `floor(epoch(ts))`) so the join predicate, watermarks,
+    * and emitted p_tss/s_tss all operate on exactly the values the
+    * batch twins (q50/q63) and the DuckDB oracle use — joining at
+    * microsecond precision and flooring after would dis/agree with the
+    * oracle for events straddling a second or the 7-day boundary at
+    * sub-second offsets.
+    */
+  private def rangeJoinedStream(spark: SparkSession, dir: String): DataFrame = {
     Tables.requireNanosAsLong(spark)
     val schema = Tables.apply(spark, dir, "events").schema
     def src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("p_ts"))
@@ -264,6 +272,11 @@ object Events {
       .select(col("purchase_id"), col("user_id"), col("signup_id"),
         unix_timestamp(col("p_ts")).as("p_tss"),
         unix_timestamp(col("s_ts")).as("s_tss"))
+  }
+
+  def streamStreamRangeJoin(spark: SparkSession, dir: String,
+                            queryName: String): StreamingQuery = {
+    rangeJoinedStream(spark, dir)
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
@@ -281,14 +294,32 @@ object Events {
     * top-1 runs over the sink — oracle = the same inner range join +
     * top-1 in SQL, so "every batch op has a streaming story" is a green
     * CORRECTNESS row, not a claim.
+    *
+    * The sink is a per-invocation temp PARQUET dir (deleted on JVM
+    * exit), not a memory sink: a memory sink's temp view pins the full
+    * join output in driver memory for the session and survives
+    * `clearCache` — repeated invocations would accumulate unbounded
+    * catalog/memory state.
     */
   def q70StreamAsof(spark: SparkSession, dir: String): DataFrame = {
-    val qn = "q70_stream_asof_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val sq = streamStreamRangeJoin(spark, dir, qn)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q70_")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val out = tmp.resolve("out").toString
+    val sq = rangeJoinedStream(spark, dir)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
     sq.awaitTermination()
     val w = Window.partitionBy("purchase_id")
       .orderBy(col("s_tss").desc, col("signup_id").desc)
-    spark.table(qn)
+    spark.read.parquet(out)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select("purchase_id", "user_id", "p_tss", "signup_id", "s_tss")

@@ -60,7 +60,14 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .flatMap(_.listFiles().filter(_.isDirectory))
       .flatMap(_.listFiles().filter(_.isDirectory))
     assert(dayDirs.length > 10, s"expected a multi-day lake, got ${dayDirs.length} day dirs")
-    val pruned = graft.pipeline.Ingest.prunedDayRead(spark, lake, 2024, 1, 1)
+    // derive the target day exactly as q71PartitionPrune does (min event
+    // date) instead of hardcoding the fixture's start — a regenerated
+    // fixture must not fail this test for a non-pruning reason
+    import org.apache.spark.sql.functions.{col, date_format, min, to_date}
+    val Array(y, m, d) = graft.Tables.events(spark, sfDir)
+      .agg(date_format(min(to_date(col("ts"))), "yyyy-M-d"))
+      .head().getString(0).split("-").map(_.toInt)
+    val pruned = graft.pipeline.Ingest.prunedDayRead(spark, lake, y, m, d)
     assert(pruned.count() > 0)
     // NOTE: df.inputFiles lists the relation's full file index BEFORE
     // pruning — the proof lives in the EXECUTED scan: its numFiles metric
@@ -74,7 +81,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       if (f.isDirectory) f.listFiles().map(parquetsUnder).sum
       else if (f.getName.endsWith(".parquet")) 1L else 0L
     val day1Files = parquetsUnder(
-      new java.io.File(s"$lake/year=2024/month=1/day=1"))
+      new java.io.File(s"$lake/year=$y/month=$m/day=$d"))
     val allFiles = parquetsUnder(new java.io.File(lake))
     assert(day1Files > 0 && allFiles > day1Files, "fixture lake degenerate")
     assert(scannedFiles == day1Files,

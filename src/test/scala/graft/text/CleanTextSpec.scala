@@ -87,7 +87,7 @@ class CleanTextSpec extends SparkSpec {
     graft.functions.GraftFunctions.register(spark)
     val viaSql = spark.sql(
       "SELECT clean_text('<p>x</p> y?!! [1] z-\n w') AS c").head().getString(0)
-    assert(viaSql == "x y! z- w".replace("z- w", "zw") || viaSql == "x y! zw")
+    assert(viaSql == "x y! zw")
     // interpreted path (no codegen) must agree: call eval directly
     val viaEval = graft.functions.CleanTextFused.clean("<p>x</p> y?!! [1] z-\n w")
     assert(viaEval == viaSql)
