@@ -100,6 +100,7 @@ object SparkEntry {
     "q69_bucketed_neardup" -> ScaleOps.q69BucketedNeardup _,
     "q70_stream_asof"     -> Events.q70StreamAsof _,
     "q71_partition_prune" -> graft.pipeline.Ingest.q71PartitionPrune _,
+    "q72_chunk_json_files" -> graft.pipeline.Ingest.q72ChunkJsonFiles _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -832,5 +833,24 @@ object SparkEntry {
          FROM events
          WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
          GROUP BY event_type ORDER BY event_type""",
+    // the Spark side round-trips through the one-record-per-file JSON
+    // sink; content preservation means the read-back equals the records
+    // computed directly
+    "q72_chunk_json_files" ->
+      """WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS words
+               FROM documents),
+         c AS (SELECT doc_id, source,
+                 unnest(generate_series(0, greatest(CAST(ceil(len(words)/100.0) AS BIGINT), 1) - 1)) AS i,
+                 words
+               FROM w),
+         x AS (SELECT doc_id, source, i,
+                 array_to_string(list_slice(words, CAST(i*100+1 AS BIGINT), CAST(i*100+100 AS BIGINT)), ' ') AS chunk
+               FROM c),
+         y AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS ci,
+                 chunk
+               FROM x WHERE chunk <> '')
+         SELECT doc_id || '_' || ci AS id, source AS title, chunk
+         FROM y ORDER BY id""",
   )
 }

@@ -95,6 +95,58 @@ object Ingest {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       .orderBy("event_type")
 
+  /** Per-chunk JSON small-file sink (text_cleaner.py:171-205): the
+    * reference's `process_jsonl` loop writes ONE JSON file per chunk
+    * (`{id: "<pmid>_<i>", title, chunks: [chunk]}`). Spark-first this is
+    * a distributed `df.write.json` with `maxRecordsPerFile` as the
+    * governed small-file knob — one record per file reproduces the
+    * reference shape exactly, with no driver-side loop; at 100 TB you
+    * raise `maxRecordsPerFile` (e.g. 10k) and the SAME writer produces
+    * sanely-sized files, which the reference's per-record `open()` never
+    * can. Executors write files in parallel; the filesystem, not the
+    * driver, is the only fan-in.
+    */
+  def chunkJsonSink(records: DataFrame, out: String,
+                    maxRecordsPerFile: Int = 1): Unit =
+    records.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .json(out)
+
+  /** The chunk records the reference sink writes, derived from the
+    * documents table (source stands in for title; 100-word chunks as in
+    * q19). Separate from the writer so the test and the registered query
+    * share one definition.
+    */
+  def chunkRecords(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(graft.text.Chunker.wordChunks(col("text"), 100)))
+      .select(concat(col("doc_id"), lit("_"), col("pos")).as("id"),
+        col("source").as("title"),
+        array(col("col")).as("chunks"))
+
+  /** Registered round-trip: write the per-chunk JSON files (one record
+    * per file), read them back, flatten — must hash-match the same
+    * records computed directly in SQL. Proves the sink preserves content
+    * exactly, not just that files appeared; PipelineSpec separately
+    * asserts the one-file-per-record shape on disk.
+    */
+  def q72ChunkJsonFiles(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q72_")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val out = tmp.resolve("chunks").toString
+    chunkJsonSink(chunkRecords(spark, dir), out)
+    spark.read.schema("id STRING, title STRING, chunks ARRAY<STRING>")
+      .json(out)
+      .select(col("id"), col("title"), col("chunks").getItem(0).as("chunk"))
+      .orderBy("id")
+  }
+
   /** Next missing month in a range (fetch_clean.py:35-53's low-watermark
     * scan): first (year, month) with no partition directory.
     */

@@ -28,6 +28,32 @@ class PipelineSpec extends SparkSpec {
     assert(q.forall(_.getString(1) == "malformed_json"))
   }
 
+  test("chunkJsonSink: one JSON file per record, content round-trips (q72)") {
+    val dir = tmpDir("chunkfiles")
+    val records = Ingest.chunkRecords(spark, sfDir).cache()
+    val n = records.count()
+    Ingest.chunkJsonSink(records, dir) // maxRecordsPerFile = 1
+    // the reference shape: one file per chunk record
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".json") && f.length() > 0)
+    assert(files.length == n,
+      s"expected $n one-record files, found ${files.length}")
+    // and the governed knob actually buckets: the SAME writer with a
+    // higher cap must produce far fewer files
+    val dir2 = tmpDir("chunkbucketed")
+    Ingest.chunkJsonSink(records, dir2, maxRecordsPerFile = 1000)
+    val files2 = new java.io.File(dir2).listFiles()
+      .filter(f => f.getName.endsWith(".json") && f.length() > 0)
+    assert(files2.length < files.length / 2,
+      s"maxRecordsPerFile=1000 still produced ${files2.length} files for $n records")
+    // content survives the write+read round-trip exactly
+    val back = spark.read
+      .schema("id STRING, title STRING, chunks ARRAY<STRING>").json(dir)
+    assert(back.count() == n)
+    assert(back.exceptAll(records).isEmpty && records.exceptAll(back).isEmpty)
+    records.unpersist()
+  }
+
   test("per-chunk JSON write round-trips (SURVEY §2.2 — bucketed, not one file per chunk)") {
     // the reference writes one JSON file per chunk (clean_chunks/<id>.json);
     // the survey maps that to bucketed JSONL (small-files poison a lake).
