@@ -139,8 +139,12 @@ object Dedup {
       .filter(size(col("shs")) > 0)
       .cache()
 
-  /** |a ∩ b| for two SORTED long arrays — single merge pass. */
-  private val interCount = udf { (a: Seq[Long], b: Seq[Long]) =>
+  /** |a ∩ b| for two SORTED long arrays — single merge pass.
+    * `Array[Long]` parameters deserialize to primitive arrays (one copy,
+    * no per-element boxing), which matters on the verify path where this
+    * runs once per candidate pair.
+    */
+  private val interCount = udf { (a: Array[Long], b: Array[Long]) =>
     var i = 0; var j = 0; var c = 0
     while (i < a.length && j < b.length) {
       val x = a(i); val y = b(j)
@@ -192,14 +196,17 @@ object Dedup {
       .agg(graft.functions.BoundedCollect.collect(maxDf + 1)(col("id"), col("n_sh")).as("bc"))
       .cache()
     val hotSet = broadcast(buckets.filter(col("bc._2") > maxDf).select("sh"))
-    val bucketPairs = udf { ids: Seq[Row] =>
-      val sorted = ids.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toArray
+    // the struct array arrives as two parallel PRIMITIVE arrays
+    // (GetArrayStructFields on `bc._1._1`/`bc._1._2` is codegen'd) —
+    // no per-element Row allocation in the pair expansion
+    val bucketPairs = udf { (ids: Array[Long], ns: Array[Int]) =>
+      val ord = Array.range(0, ids.length).sortBy(ids(_))
       val out = Array.newBuilder[(Long, Int, Long, Int)]
       var i = 0
-      while (i < sorted.length - 1) {
+      while (i < ord.length - 1) {
         var j = i + 1
-        while (j < sorted.length) {
-          out += ((sorted(i)._1, sorted(i)._2, sorted(j)._1, sorted(j)._2))
+        while (j < ord.length) {
+          out += ((ids(ord(i)), ns(ord(i)), ids(ord(j)), ns(ord(j))))
           j += 1
         }
         i += 1
@@ -208,7 +215,7 @@ object Dedup {
     }
     val interRare = buckets
       .filter(col("bc._2").between(2, maxDf))
-      .select(explode(bucketPairs(col("bc._1"))).as("p"))
+      .select(explode(bucketPairs(col("bc._1._1"), col("bc._1._2"))).as("p"))
       .groupBy(col("p._1").as("doc_a"), col("p._2").as("na"),
         col("p._3").as("doc_b"), col("p._4").as("nb"))
       .agg(count(lit(1)).as("inter_rare"))

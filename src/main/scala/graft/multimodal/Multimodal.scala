@@ -72,14 +72,16 @@ object Multimodal {
              batchSize: Int = 32): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     media.select("doc_id", "media_type", "payload").mapPartitions { it =>
+      // one digest instance per partition (digest() resets it) — a
+      // per-row getInstance is pure allocation churn on the hot path
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val id = r.getLong(0)
           val mt = r.getString(1)
           val bytes = r.getAs[Array[Byte]](2)
           val m = decoder.decode(mt, bytes)
-          val hash = java.security.MessageDigest.getInstance("MD5")
-            .digest(bytes).map("%02x".format(_)).mkString
+          val hash = md.digest(bytes).map("%02x".format(_)).mkString
           Row(id, mt, bytes.length, m.width, m.height, m.nFrames, m.durationS, hash)
         }
       }

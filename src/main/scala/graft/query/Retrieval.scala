@@ -25,9 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Build the embedded passage index from the documents fixture. */
+  /** Build the embedded passage index from the documents fixture.
+    * Embedding runs through `Embedder.embedPartitions` — the typed
+    * mapPartitions BATCH path (batch=64, mirroring the reference's
+    * SentenceTransformer batching) — so the executed plan is the one the
+    * scale notes preach, not a per-row UDF stand-in for it.
+    */
   def buildIndex(spark: SparkSession, dir: String,
                  passageSize: Int = 300, overlap: Int = 50): DataFrame = {
+    import spark.implicits._
     val passages = Tables.widen(Tables.documents(spark, dir))
       .select(col("doc_id"), CleanText.cleanText(col("text")).as("clean"))
       .select(col("doc_id"),
@@ -37,7 +43,10 @@ object Retrieval {
       // retrieval and (before the cosine zero-guard) an ANSI
       // DIVIDE_BY_ZERO at score time; drop it at the source
       .filter(trim(col("passage")) =!= "")
-    Embedder.withEmbedding(passages, "passage", "vec")
+      .as[(Long, Int, String)]
+    Embedder.embedPartitions(passages.map(r => (r, r._3)))
+      .map { case ((d, p, t), v) => (d, p, t, v) }
+      .toDF("doc_id", "passage_id", "passage", "vec")
   }
 
   /** Retrieve top-k passages for query texts with over-fetch + widening

@@ -49,11 +49,19 @@ object Chunker {
     * single over-long sentence falls back to fixed word windows. Sequential
     * accumulation → Scala UDF (applied per document, so still fully
     * parallel across the corpus).
+    *
+    * The sentence boundary detector is pluggable (`SentenceTokenizer`,
+    * like `Embedder`): the default regex stand-in diverges from the
+    * reference's NLTK `sent_tokenize` (text_cleaner.py:141) on
+    * abbreviations, decimals and ellipses — ChunkerSpec documents the
+    * divergence — and a real tokenizer slots in without touching the
+    * chunking logic.
     */
-  def sentenceChunks(maxWords: Int = 100): String => Seq[String] = { text =>
+  def sentenceChunks(maxWords: Int = 100,
+                     tokenizer: SentenceTokenizer = RegexSentenceTokenizer): String => Seq[String] = { text =>
     if (text == null || text.trim.isEmpty) Seq.empty
     else {
-      val sentences = text.split("(?<=[.!?])\\s+").toSeq.filter(_.nonEmpty)
+      val sentences = tokenizer.split(text)
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       val cur = scala.collection.mutable.ArrayBuffer.empty[String]
       var curWords = 0
@@ -76,4 +84,23 @@ object Chunker {
   }
 
   def sentenceChunksUdf(maxWords: Int = 100) = udf(sentenceChunks(maxWords))
+}
+
+/** Sentence boundary detection behind a trait so a real tokenizer (the
+  * reference uses NLTK Punkt, text_cleaner.py:141) can replace the
+  * offline regex stand-in.
+  */
+trait SentenceTokenizer extends Serializable {
+  /** Split text into sentences; must be pure and deterministic. */
+  def split(text: String): Seq[String]
+}
+
+/** Offline default: split after `.`/`!`/`?` followed by whitespace.
+  * KNOWN DIVERGENCE from NLTK Punkt: abbreviations ("Dr. Smith"),
+  * decimals inside sentences, and ellipses all produce extra boundaries
+  * here that Punkt suppresses.
+  */
+object RegexSentenceTokenizer extends SentenceTokenizer {
+  def split(text: String): Seq[String] =
+    text.split("(?<=[.!?])\\s+").toSeq.filter(_.nonEmpty)
 }

@@ -54,6 +54,33 @@ class ChunkerSpec extends SparkSpec {
     assert(chunks.flatMap(_.split(" ")).size == 12)
   }
 
+  test("tokenizer is pluggable; regex default's divergence from Punkt is documented behavior") {
+    // DOCUMENTED DIVERGENCE: the regex stand-in breaks after "Dr." where
+    // NLTK Punkt (the reference's tokenizer) would not. This test pins
+    // the divergence so a future change is a conscious one.
+    val text = "Dr. Smith arrived. He left."
+    assert(RegexSentenceTokenizer.split(text) ==
+      Seq("Dr.", "Smith arrived.", "He left."))
+    // an abbreviation-aware tokenizer slots in without touching the
+    // chunker: same packing logic, Punkt-like boundaries
+    object AbbrevAware extends SentenceTokenizer {
+      private val abbrevs = Set("dr.", "mr.", "ms.", "et al.", "fig.")
+      def split(text: String): Seq[String] = {
+        val parts = RegexSentenceTokenizer.split(text)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        parts.foreach { p =>
+          if (out.nonEmpty && abbrevs.exists(a => out.last.toLowerCase.endsWith(a)))
+            out(out.length - 1) = out.last + " " + p
+          else out += p
+        }
+        out.toSeq
+      }
+    }
+    assert(AbbrevAware.split(text) == Seq("Dr. Smith arrived.", "He left."))
+    val chunks = Chunker.sentenceChunks(10, AbbrevAware)(text)
+    assert(chunks == Seq("Dr. Smith arrived. He left."))
+  }
+
   test("empty and null inputs yield no chunks") {
     assert(Chunker.sentenceChunks(5)("") == Seq.empty)
     assert(Chunker.sentenceChunks(5)(null) == Seq.empty)
