@@ -101,6 +101,7 @@ object SparkEntry {
     "q70_stream_asof"     -> Events.q70StreamAsof _,
     "q71_partition_prune" -> graft.pipeline.Ingest.q71PartitionPrune _,
     "q72_chunk_json_files" -> graft.pipeline.Ingest.q72ChunkJsonFiles _,
+    "q73_repetition_stats" -> TextOps.q73RepetitionStats _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -852,5 +853,21 @@ object SparkEntry {
                FROM x WHERE chunk <> '')
          SELECT doc_id || '_' || ci AS id, source AS title, chunk
          FROM y ORDER BY id""",
+    // flags apply to the floor-rounded fractions on both sides (engine-
+    // identical IEEE arithmetic; see the round-2 rounding-boundary note)
+    "q73_repetition_stats" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+               FROM documents),
+         wf AS (SELECT doc_id, w, count(*) AS c FROM w WHERE w <> '' GROUP BY doc_id, w),
+         s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                 CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS top_c
+               FROM wf GROUP BY doc_id),
+         r AS (SELECT doc_id, n_words,
+                 floor((1.0 - n_distinct*1.0/n_words)*10000.0 + 0.5)/10000.0 AS dup_word_frac,
+                 floor((top_c*1.0/n_words)*10000.0 + 0.5)/10000.0 AS top_word_frac
+               FROM s)
+         SELECT doc_id, n_words, dup_word_frac, top_word_frac,
+           (dup_word_frac > 0.3 OR top_word_frac > 0.1) AS flagged
+         FROM r ORDER BY doc_id""",
   )
 }

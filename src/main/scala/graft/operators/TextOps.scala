@@ -55,6 +55,35 @@ object TextOps {
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition statistics — the training-data quality
+    * filter family q16's surface score doesn't cover: duplicate-word
+    * fraction (1 − distinct/total) and top-word dominance per document,
+    * with the standard flag thresholds applied to the ROUNDED values
+    * (floor-rounding for engine parity). One explode and two
+    * aggregations, both with map-side partial aggregation: at 100 TB the
+    * (doc_id, word) grain shuffles once and collapses immediately —
+    * no per-document collect, no UDF.
+    */
+  def q73RepetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_c"))
+      .select(col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        (floor((lit(1.0) - col("n_distinct").cast("double") / col("n_words")) * 10000.0 + 0.5) / 10000.0)
+          .as("dup_word_frac"),
+        (floor(col("top_c").cast("double") / col("n_words") * 10000.0 + 0.5) / 10000.0)
+          .as("top_word_frac"))
+      .withColumn("flagged",
+        col("dup_word_frac") > 0.3 || col("top_word_frac") > 0.1)
+      .orderBy("doc_id")
+  }
+
   /** md5 document fingerprint over normalized text (exact-dedup identity). */
   def q17Fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

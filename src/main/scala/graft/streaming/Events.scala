@@ -242,6 +242,31 @@ object Events {
     * feasible. EventsSpec pins equality with the identical batch range
     * join.
     */
+  /** Streaming keyed dedup: the incremental twin of q36 via
+    * `dropDuplicatesWithinWatermark` — per-key state is dropped once the
+    * watermark passes it, which is what bounds dedup state on a 24/7
+    * stream (a plain `dropDuplicates` would keep every key forever).
+    * Contract vs the batch form: one survivor per (user_id, event_type,
+    * value) key; the batch q36 picks "first by event_id" while the
+    * stream keeps the first ARRIVAL, so EventsSpec pins key-set
+    * equality, not row identity.
+    */
+  def streamingDedup(spark: SparkSession, dir: String,
+                     queryName: String): StreamingQuery = {
+    Tables.requireNanosAsLong(spark)
+    val schema = Tables.apply(spark, dir, "events").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+    src.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+      .select("event_id", "user_id", "event_type", "value")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** The joined streaming DataFrame behind both sinks below. Timestamps
     * are floored to WHOLE SECONDS before the join (`ts div 1e9` on the
     * nanos long = `floor(epoch(ts))`) so the join predicate, watermarks,

@@ -74,6 +74,22 @@ class EventsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup (dropDuplicatesWithinWatermark) keeps the batch key set") {
+    val q = Events.streamingDedup(spark, sfDir, "stream_dedup")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("stream_dedup")
+      .select("user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val batch = Events.q36DedupEvents(spark, sfDir)
+      .select("user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(streamed.nonEmpty)
+    // one survivor per key both ways; WHICH survivor is arrival-order-
+    // dependent in the stream, so the contract is the key set
+    assert(streamed.length == batch.length)
+    assert(streamed.toSet == batch.toSet)
+  }
+
   test("batch dedup keeps exactly one row per key") {
     val deduped = Events.q36DedupEvents(spark, sfDir)
     val keys = deduped.select("user_id", "event_type", "value").distinct().count()
