@@ -135,7 +135,8 @@ object Ingest {
     * one-file-per-record shape costs ~8 ms/file ≈ 40 s for sf0.1's 5k
     * chunks, pure filesystem churn). The reference's exact one-record-
     * per-file shape is the SAME writer with cap 1 and is pinned on disk
-    * by PipelineSpec at test scale.
+    * by PipelineSpec at test scale. (Local-mode scratch path: a cluster
+    * deployment points `out` at shared storage, as executors write.)
     */
   def q72ChunkJsonFiles(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_q72_")

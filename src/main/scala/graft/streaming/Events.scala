@@ -324,7 +324,9 @@ object Events {
     * exit), not a memory sink: a memory sink's temp view pins the full
     * join output in driver memory for the session and survives
     * `clearCache` — repeated invocations would accumulate unbounded
-    * catalog/memory state.
+    * catalog/memory state. (Local-mode path: on a real cluster this
+    * scratch location must be shared storage — HDFS/S3 — since
+    * executors, not the driver, write the sink files.)
     */
   def q70StreamAsof(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_q70_")
