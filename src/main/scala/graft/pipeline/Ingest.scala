@@ -154,6 +154,35 @@ object Ingest {
       .orderBy("id")
   }
 
+  /** Checkpointed incremental lake ingest: the true streaming form of
+    * the reference's per-month incremental rebuild (pipeline.py's
+    * "process only the new month" loop). A file-source stream over the
+    * landing directory writes day-partitioned parquet with a checkpoint;
+    * `Trigger.AvailableNow` drains whatever is new and stops. Because
+    * the checkpoint records which source files are done, a re-run after
+    * new files land reads ONLY the new files — no bookkeeping table, no
+    * full-rebuild, and the lake stays partition-pruned for readers
+    * (q71's story). PipelineSpec proves the increment: the second run's
+    * input rows equal the new file's rows, not the total.
+    */
+  def incrementalLakeIngest(spark: SparkSession, srcDir: String,
+                            lake: String, ckpt: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.Tables.requireNanosAsLong(spark)
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("year", date_format(col("ts"), "yyyy").cast("int"))
+      .withColumn("month", date_format(col("ts"), "MM").cast("int"))
+      .withColumn("day", date_format(col("ts"), "dd").cast("int"))
+      .writeStream
+      .partitionBy("year", "month", "day")
+      .format("parquet").option("path", lake)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Next missing month in a range (fetch_clean.py:35-53's low-watermark
     * scan): first (year, month) with no partition directory.
     */

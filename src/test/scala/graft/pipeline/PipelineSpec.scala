@@ -110,6 +110,26 @@ class PipelineSpec extends SparkSpec {
       Seq((2024, 1))).contains((2024, 1)))
   }
 
+  test("incremental lake ingest: checkpoint makes re-runs process only new files") {
+    import java.nio.file.StandardCopyOption
+    val src = tmpDir("inc_src"); val lake = tmpDir("inc_lake"); val ckpt = tmpDir("inc_ckpt")
+    val fixture = Paths.get(sfDir, "events.parquet")
+    Files.copy(fixture, Paths.get(src, "batch1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val n = spark.read.parquet(src).count()
+    val q1 = Ingest.incrementalLakeIngest(spark, src, lake, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(lake).count() == n)
+    // a new file lands; the re-run must ingest ONLY it (the checkpoint
+    // remembers batch1 is done), yet the lake holds both batches
+    Files.copy(fixture, Paths.get(src, "batch2.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q2 = Ingest.incrementalLakeIngest(spark, src, lake, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(lake).count() == 2 * n)
+    val secondRunInput = q2.recentProgress.map(_.numInputRows).sum
+    assert(secondRunInput == n,
+      s"expected the increment ($n rows) to be read, got $secondRunInput")
+  }
+
   test("continuous flow passes its quality gate and indexes the corpus") {
     val res = Continuous.run(spark, sfDir)
     assert(res.indexedPassages > 0)
