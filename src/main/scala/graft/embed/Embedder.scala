@@ -60,14 +60,26 @@ final class HashingEmbedder(val dim: Int = 384, seed: Int = 42) extends Embedder
 object Embedder {
   val default: HashingEmbedder = new HashingEmbedder()
 
-  /** Append an `ArrayType(FloatType)` embedding column. Uses a UDF (pure
-    * function per row); batching models should swap this for
-    * `mapPartitions` over a typed Dataset to amortize inference.
+  /** Append an `ArrayType(FloatType)` embedding column. Runs the BATCH
+    * path internally (`mapPartitions`, batch=64 like the reference's
+    * SentenceTransformer batching) so every DataFrame call site amortizes
+    * per-batch inference when a real model replaces the stand-in — no
+    * per-row UDF anywhere in the embedding surface.
     */
   def withEmbedding(df: DataFrame, textCol: String, outCol: String = "vec",
-                    embedder: Embedder = default): DataFrame = {
-    val enc = udf((s: String) => embedder.encode(Seq(s)).head)
-    df.withColumn(outCol, enc(col(textCol)))
+                    embedder: Embedder = default, batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val outSchema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val vecs = embedder.encode(batch.map(_.getString(idx)))
+        batch.zip(vecs).map { case (r, v) => Row.fromSeq(r.toSeq :+ v) }
+      }
+    }(enc)
   }
 
   /** mapPartitions batch embedding for typed pipelines (the 100 TB path —
