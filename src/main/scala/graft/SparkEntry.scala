@@ -102,6 +102,7 @@ object SparkEntry {
     "q71_partition_prune" -> graft.pipeline.Ingest.q71PartitionPrune _,
     "q72_chunk_json_files" -> graft.pipeline.Ingest.q72ChunkJsonFiles _,
     "q73_repetition_stats" -> TextOps.q73RepetitionStats _,
+    "q74_tfidf"            -> TextOps.q74Tfidf _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -869,5 +870,22 @@ object SparkEntry {
          SELECT doc_id, n_words, dup_word_frac, top_word_frac,
            (dup_word_frac > 0.3 OR top_word_frac > 0.1) AS flagged
          FROM r ORDER BY doc_id""",
+    // ranking on the floor-rounded score, ties on term — same total
+    // order both engines (ln is IEEE double in both)
+    "q74_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+               FROM documents),
+         w2 AS (SELECT doc_id, w FROM w WHERE w <> ''),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM w2 GROUP BY doc_id, w),
+         df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM w2),
+         x AS (SELECT tf.doc_id, tf.w,
+                 CAST(tf.tf AS BIGINT) AS tf,
+                 floor(tf.tf * ln(n.n * 1.0 / df.df) * 10000.0 + 0.5)/10000.0 AS tfidf
+               FROM tf, df, n WHERE tf.w = df.w),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w ASC) AS rk
+               FROM x)
+         SELECT doc_id, CAST(rk AS INT) AS rank, w AS term, tf, tfidf
+         FROM r WHERE rk <= 5 ORDER BY doc_id, rank""",
   )
 }

@@ -84,6 +84,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top-5 terms per document — the classic corpus-analysis /
+    * keyword-extraction aggregation (raw-count tf × ln(N/df)). Shape at
+    * 100 TB: the (doc_id, term) tf group-by and the vocabulary-sized df
+    * group-by both partial-aggregate map-side; the corpus size N is a
+    * one-row broadcast, never a collect; the per-doc top-5 is one window
+    * shuffle on doc_id. Ranking is on the floor-rounded score (engine
+    * parity — ties then break on the term).
+    */
+  def q74Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = words.agg(countDistinct("doc_id").as("n"))
+    val scored = tf.join(dfreq, "w").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        floor(col("tf") * log(col("n").cast("double") / col("df")) * 10000.0 + 0.5) / 10000.0)
+    val wk = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w").asc)
+    scored.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("w").as("term"),
+        col("tf").cast("long").as("tf"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** md5 document fingerprint over normalized text (exact-dedup identity). */
   def q17Fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
