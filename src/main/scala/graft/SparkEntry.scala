@@ -103,6 +103,7 @@ object SparkEntry {
     "q72_chunk_json_files" -> graft.pipeline.Ingest.q72ChunkJsonFiles _,
     "q73_repetition_stats" -> TextOps.q73RepetitionStats _,
     "q74_tfidf"            -> TextOps.q74Tfidf _,
+    "q75_cohort_retention" -> Events.q75CohortRetention _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -887,5 +888,16 @@ object SparkEntry {
                FROM x)
          SELECT doc_id, CAST(rk AS INT) AS rank, w AS term, tf, tfidf
          FROM r WHERE rk <= 5 ORDER BY doc_id, rank""",
+    // week truncation lands on Monday in both engines; offsets are exact
+    // multiples of 7 days so the division is integral
+    "q75_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+         f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, wk FROM e)
+         SELECT strftime(f.cohort_wk, '%Y-%m-%d') AS cohort_wk,
+           CAST(date_diff('day', f.cohort_wk, a.wk)/7 AS INT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+         FROM a JOIN f ON a.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

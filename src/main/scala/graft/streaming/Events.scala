@@ -108,6 +108,31 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Cohort retention — the classic event-analytics pivot: users grouped
+    * by the week of their FIRST event, counted distinct in each later
+    * week's activity, keyed by week offset. Two aggregations (first-week
+    * per user; distinct user-weeks) joined on user_id — both shuffle on
+    * user_id, and AQE coalesces the second into the first's exchange;
+    * the final (cohort, offset) roll-up is tiny. No windows, no
+    * collects; week truncation is engine-parity-safe (Monday both in
+    * Spark and DuckDB).
+    */
+  def q75CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+    val firstWk = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    ev.distinct().join(firstWk, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort_wk")) / lit(7)).cast("int"))
+      .groupBy("cohort_wk", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      // dates cross the oracle boundary as ISO strings (parquet DATE vs
+      // DuckDB DATE land as different pandas dtypes in the harness)
+      .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_wk"),
+        col("week_offset"), col("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
   /** As-of join (composed from built-ins, preference (a) of the custom-
     * operator ladder): each purchase matched to the same user's latest
     * signup at-or-before it. Range-join + per-left-row top-1 window; at
