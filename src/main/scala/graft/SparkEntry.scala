@@ -104,6 +104,7 @@ object SparkEntry {
     "q73_repetition_stats" -> TextOps.q73RepetitionStats _,
     "q74_tfidf"            -> TextOps.q74Tfidf _,
     "q75_cohort_retention" -> Events.q75CohortRetention _,
+    "q76_funnel"           -> Events.q76Funnel _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -899,5 +900,19 @@ object SparkEntry {
            CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
          FROM a JOIN f ON a.user_id = f.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q76_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events),
+         s1 AS (SELECT user_id, min(tss) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.tss) AS t2 FROM e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.tss >= s1.t1 GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.tss) AS t3 FROM e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.tss >= s2.t2 GROUP BY e.user_id)
+         SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view_users,
+                CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_users,
+                CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_users""",
   )
 }

@@ -133,6 +133,32 @@ object Events {
       .orderBy("cohort_wk", "week_offset")
   }
 
+  /** Funnel analysis — ordered-step conversion (view → click after the
+    * first view → purchase after that click), counted as users reaching
+    * each step. Expressed as three staged min-aggregations, each
+    * shuffling on user_id (the sequential dependency between steps is
+    * inherent to funnels); AQE reuses/coalesces the user_id exchanges,
+    * and every stage partial-aggregates map-side. The single-shuffle
+    * alternative for very deep funnels is a per-user sorted fold
+    * (`groupByKey.flatMapGroups`), traded away here for whole-stage
+    * codegen and no typed boundary.
+    */
+  def q76Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("tss"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tss").as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("tss") >= col("t1"))
+      .groupBy("user_id").agg(min("tss").as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("tss") >= col("t2"))
+      .groupBy("user_id").agg(min("tss").as("t3"))
+    s1.agg(count(lit(1)).as("n_view_users"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click_users")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_users")))
+  }
+
   /** As-of join (composed from built-ins, preference (a) of the custom-
     * operator ladder): each purchase matched to the same user's latest
     * signup at-or-before it. Range-join + per-left-row top-1 window; at
