@@ -105,6 +105,8 @@ object SparkEntry {
     "q74_tfidf"            -> TextOps.q74Tfidf _,
     "q75_cohort_retention" -> Events.q75CohortRetention _,
     "q76_funnel"           -> Events.q76Funnel _,
+    "q77_pivot"            -> Events.q77Pivot _,
+    "q78_rollup"           -> Events.q78Rollup _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -914,5 +916,23 @@ object SparkEntry {
          SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view_users,
                 CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_users,
                 CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_users""",
+    "q77_pivot" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         FROM events GROUP BY day ORDER BY day""",
+    // 'ALL' labels instead of NULL keep the total ORDER BY identical
+    // across engines (Spark: nulls first; DuckDB: nulls last)
+    "q78_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(strftime(CAST(ts AS DATE), '%Y-%m-%d'), 'ALL') AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+         FROM events
+         GROUP BY ROLLUP(event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))
+         ORDER BY 1, 2""",
   )
 }

@@ -159,6 +159,38 @@ object Events {
       .crossJoin(s3.agg(count(lit(1)).as("n_purchase_users")))
   }
 
+  /** Pivot — day × event-type count matrix. The pivot values are passed
+    * EXPLICITLY: without them Spark runs an extra distinct-scan job over
+    * the whole input just to discover column names, which at 100 TB is a
+    * full pass you didn't ask for. Missing combinations fill with 0 to
+    * match the oracle's CASE-sum form.
+    */
+  def q77Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  /** Rollup — per-(type, day) counts plus per-type subtotals plus the
+    * grand total in ONE aggregation pass (grouping sets share the
+    * shuffle; three separate group-bys would scan and shuffle thrice).
+    * Aggregated-out levels surface as 'ALL' rather than NULL so the
+    * presentation order is engine-identical (Spark sorts nulls first
+    * ASC, DuckDB last).
+    */
+  def q78Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .rollup("event_type", "day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("n"), col("total_value"))
+      .orderBy("event_type", "day")
+
   /** As-of join (composed from built-ins, preference (a) of the custom-
     * operator ladder): each purchase matched to the same user's latest
     * signup at-or-before it. Range-join + per-left-row top-1 window; at
