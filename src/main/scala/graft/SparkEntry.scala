@@ -107,6 +107,8 @@ object SparkEntry {
     "q76_funnel"           -> Events.q76Funnel _,
     "q77_pivot"            -> Events.q77Pivot _,
     "q78_rollup"           -> Events.q78Rollup _,
+    "q79_moving_avg"       -> Events.q79MovingAvg _,
+    "q80_user_deciles"     -> Events.q80UserDeciles _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -934,5 +936,24 @@ object SparkEntry {
          FROM events
          GROUP BY ROLLUP(event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))
          ORDER BY 1, 2""",
+    "q79_moving_avg" ->
+      """WITH d AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, sum(value) AS rev
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         m AS (SELECT day, rev,
+                 avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rev7
+               FROM d)
+         SELECT day, floor(rev*100.0 + 0.5)/100.0 AS revenue,
+           floor(rev7*100.0 + 0.5)/100.0 AS revenue_ma7
+         FROM m ORDER BY day""",
+    // total order (rounded spend desc, user_id) makes ntile buckets
+    // deterministic and engine-identical
+    "q80_user_deciles" ->
+      """WITH s AS (SELECT user_id, floor(sum(value)*100.0 + 0.5)/100.0 AS spend
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         t AS (SELECT user_id, spend,
+                 ntile(10) OVER (ORDER BY spend DESC, user_id ASC) AS decile FROM s)
+         SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n_users,
+           min(spend) AS min_spend, max(spend) AS max_spend
+         FROM t GROUP BY decile ORDER BY decile""",
   )
 }

@@ -191,6 +191,46 @@ object Events {
         col("n"), col("total_value"))
       .orderBy("event_type", "day")
 
+  /** 7-day moving average of daily revenue. The input is pre-aggregated
+    * to days FIRST (map-side partials, one small shuffle) and the
+    * unpartitioned window frame then slides over the tiny daily series —
+    * the scale-correct order; a window straight over raw events would
+    * funnel 100 TB through one sort partition. Sum-then-divide inside
+    * floor-rounding keeps the average engine-identical.
+    */
+  def q79MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum("value").as("rev"))
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("rev7",
+        floor(avg("rev").over(w) * 100.0 + 0.5) / 100.0)
+      .select(col("day"),
+        (floor(col("rev") * 100.0 + 0.5) / 100.0).as("revenue"),
+        col("rev7").as("revenue_ma7"))
+      .orderBy("day")
+  }
+
+  /** User spend deciles — ntile(10) over per-user purchase totals with a
+    * total order (spend, then user_id) so bucket edges are deterministic
+    * in any engine. One user-keyed aggregation, then the decile window;
+    * the output is the per-decile user count and spend range.
+    */
+  def q80UserDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg((floor(sum("value") * 100.0 + 0.5) / 100.0).as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("user_id").asc)
+    spend.withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        min("spend").as("min_spend"), max("spend").as("max_spend"))
+      .orderBy("decile")
+  }
+
   /** As-of join (composed from built-ins, preference (a) of the custom-
     * operator ladder): each purchase matched to the same user's latest
     * signup at-or-before it. Range-join + per-left-row top-1 window; at
