@@ -51,6 +51,42 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "expected the broadcast-side crossJoin shape")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // the 100 TB story: a selective filter on the dim side becomes a
+    // bloom filter applied INSIDE the fact scan stage, pruning rows
+    // before the shuffle. Fixture tables sit under the default 10 MB
+    // creation threshold, so scope the thresholds down to demonstrate
+    // the rewrite; on a real cluster the defaults fire on real sizes.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must be UNDER its threshold (default 10 MB — the
+      // fixture dim qualifies); application side must be OVER its scan
+      // threshold (default 10 GB — lower it so the fixture fact counts)
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // the injected aggregate must not be planned away as a broadcast
+      // exchange reuse; keep the join a shuffle join for the demo
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val orders = Tables(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val line = Tables(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val joined = line.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum("l_quantity").as("q"))
+      joined.collect()
+      val f = joined.queryExecution.explainString(FormattedMode)
+      assert(f.toLowerCase.contains("bloomfilter"),
+        "expected a runtime bloom filter on the fact scan side")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q71: the day-partitioned lake read scans ONLY the filtered day's files") {
     // build the lake (the registered query writes then prunes)
     graft.pipeline.Ingest.q71PartitionPrune(spark, sfDir).collect()
