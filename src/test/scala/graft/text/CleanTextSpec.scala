@@ -83,6 +83,17 @@ class CleanTextSpec extends SparkSpec {
       s"fused != chain, e.g. ${mismatches.take(1).mkString}")
   }
 
+  test("clean_text rejects wrong arity with the expected signature in the message") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT clean_text('a', 'b')").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("clean_text(text STRING)")),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("clean_text is SQL-registered and interpreted eval matches codegen") {
     graft.functions.GraftFunctions.register(spark)
     val viaSql = spark.sql(
