@@ -304,6 +304,27 @@ object Events {
       .start()
   }
 
+  /** Sliding-window streaming twin of q34 (1-hour windows every 30 min,
+    * 1-hour watermark): each event lands in two window groups; state for
+    * a window is dropped once the watermark passes its end.
+    */
+  def streamingSliding(spark: SparkSession, dir: String,
+                       queryName: String): StreamingQuery = {
+    Tables.requireNanosAsLong(spark)
+    val schema = Tables.apply(spark, dir, "events").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total_value"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   case class Ev(user_id: Long, tsSec: Long, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
   case class SessionOut(user_id: Long, session_start_s: Long, session_end_s: Long,

@@ -15,6 +15,16 @@ class EventsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming sliding windows equal the batch q34 result") {
+    val q = Events.streamingSliding(spark, sfDir, "stream_sliding")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("stream_sliding")
+      .orderBy("wstart", "event_type").collect().toSeq
+    val batch = Events.q34Sliding(spark, sfDir).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming sessions emit exactly the closed batch sessions") {
     val q = Events.streamingSessions(spark, sfDir, "stream_sessions")
     q.processAllAvailable(); q.stop()
