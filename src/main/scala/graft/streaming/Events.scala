@@ -143,20 +143,35 @@ object Events {
     * (`groupByKey.flatMapGroups`), traded away here for whole-stage
     * codegen and no typed boundary.
     */
-  def q76Funnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("tss"))
-    val s1 = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("tss").as("t1"))
-    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
-      .filter(col("tss") >= col("t1"))
-      .groupBy("user_id").agg(min("tss").as("t2"))
-    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
-      .filter(col("tss") >= col("t2"))
-      .groupBy("user_id").agg(min("tss").as("t3"))
-    s1.agg(count(lit(1)).as("n_view_users"))
-      .crossJoin(s2.agg(count(lit(1)).as("n_click_users")))
-      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_users")))
+  def q76Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(spark, dir), Seq("view", "click", "purchase"))
+
+  /** General N-step funnel: per user, the earliest time each step could
+    * have completed given the previous step's completion time; the
+    * result row counts users reaching each step. Folds one staged
+    * min-aggregation per step — funnels are inherently sequential, so
+    * the stage count equals the step count, but every stage
+    * partial-aggregates and reuses the user_id exchange under AQE.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             typeCol: String = "event_type", userCol: String = "user_id",
+             tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col(userCol).as("user_id"), col(typeCol).as("et"),
+      unix_timestamp(col(tsCol)).as("tss"))
+    val reached = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val candidates = prev match {
+          case None => e.filter(col("et") === step)
+          case Some(p) => e.filter(col("et") === step)
+            .join(p.select(col("user_id"), col("t")), "user_id")
+            .filter(col("tss") >= col("t")).drop("t")
+        }
+        Some(candidates.groupBy("user_id").agg(min("tss").as("t")))
+    }.flatten
+    reached.zip(steps).map { case (df, step) =>
+      df.agg(count(lit(1)).as(s"n_${step}_users"))
+    }.reduce(_ crossJoin _)
   }
 
   /** Pivot — day × event-type count matrix. The pivot values are passed

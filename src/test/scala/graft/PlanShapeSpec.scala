@@ -87,6 +87,42 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // one hot key owns most rows; with the skew thresholds scoped down,
+    // AQE's OptimizeSkewedJoin must split the hot partition instead of
+    // letting one task carry the whole key (the runtime complement of
+    // q47's compile-time salting)
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      // hot key 0: 50k left rows with a fat payload; other keys tiny
+      val left = spark.range(0, 50000)
+        .select((col("id") % 1000 * when(col("id") % 50 === 0, 1).otherwise(0)).as("k"),
+          concat_ws("", (0 until 20).map(_ => md5(col("id").cast("string"))): _*).as("pad"))
+      val right = spark.range(0, 1000).select(col("id").as("k"), col("id").as("v"))
+      // aggregate over pad so column pruning can't drop the payload that
+      // makes the hot partition heavy
+      val joined = left.join(right, "k").agg(sum(length(col("pad"))).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkew=true") || plan.contains("skew=true"),
+        s"expected a skew-split join in the executed plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q71: the day-partitioned lake read scans ONLY the filtered day's files") {
     // build the lake (the registered query writes then prunes)
     graft.pipeline.Ingest.q71PartitionPrune(spark, sfDir).collect()

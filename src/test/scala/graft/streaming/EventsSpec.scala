@@ -100,6 +100,22 @@ class EventsSpec extends SparkSpec {
     assert(streamed.toSet == batch.toSet)
   }
 
+  test("funnel enforces step order per user") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // u1 does view->click in order; u2 clicks BEFORE its first view (the
+    // click must not count); u3 only views
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 200L),
+      (2L, "click", 100L), (2L, "view", 200L),
+      (3L, "view", 100L)
+    ).toDF("user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val r = Events.funnel(ev, Seq("view", "click")).head()
+    assert(r.getLong(0) == 3, s"expected 3 viewers, got ${r.getLong(0)}")
+    assert(r.getLong(1) == 1, s"expected 1 ordered clicker, got ${r.getLong(1)}")
+  }
+
   test("batch dedup keeps exactly one row per key") {
     val deduped = Events.q36DedupEvents(spark, sfDir)
     val keys = deduped.select("user_id", "event_type", "value").distinct().count()
