@@ -109,6 +109,7 @@ object SparkEntry {
     "q78_rollup"           -> Events.q78Rollup _,
     "q79_moving_avg"       -> Events.q79MovingAvg _,
     "q80_user_deciles"     -> Events.q80UserDeciles _,
+    "q81_value_hour_corr"  -> Events.q81ValueHourCorr _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -955,5 +956,18 @@ object SparkEntry {
          SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n_users,
            min(spend) AS min_spend, max(spend) AS max_spend
          FROM t GROUP BY decile ORDER BY decile""",
+    // correlation from algebraic sums with the identical closed formula
+    // (not the engine corr() aggregate) — implementation-order-proof
+    "q81_value_hour_corr" ->
+      """WITH e AS (SELECT event_type,
+           CAST(extract(hour FROM ts) AS DOUBLE) AS x, value AS y FROM events),
+         s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                 sum(x*x) AS sxx, sum(y*y) AS syy
+               FROM e GROUP BY event_type)
+         SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           floor((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) * 10000.0 + 0.5)/10000.0
+             AS corr_hour_value
+         FROM s ORDER BY event_type""",
   )
 }

@@ -246,6 +246,31 @@ object Events {
       .orderBy("decile")
   }
 
+  /** Pearson correlation (purchase value vs hour-of-day) computed from
+    * ALGEBRAIC SUMS — n, Σx, Σy, Σxy, Σx², Σy² — rather than the
+    * engines' `corr` aggregate: every term partial-aggregates map-side
+    * in ONE pass (the 100 TB shape), and the closed formula is evaluated
+    * identically in Spark and the oracle, so no implementation-specific
+    * co-moment ordering can diverge. Per-event-type output.
+    */
+  def q81ValueHourCorr(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        hour(col("ts")).cast("double").as("x"), col("value").as("y"))
+    e.groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n").cast("long").as("n_events"),
+        (floor((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy"))) * 10000.0 + 0.5) / 10000.0)
+          .as("corr_hour_value"))
+      .orderBy("event_type")
+  }
+
   /** As-of join (composed from built-ins, preference (a) of the custom-
     * operator ladder): each purchase matched to the same user's latest
     * signup at-or-before it. Range-join + per-left-row top-1 window; at
