@@ -110,6 +110,7 @@ object SparkEntry {
     "q79_moving_avg"       -> Events.q79MovingAvg _,
     "q80_user_deciles"     -> Events.q80UserDeciles _,
     "q81_value_hour_corr"  -> Events.q81ValueHourCorr _,
+    "q82_bigram_topk"      -> TextOps.q82BigramTopk _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -969,5 +970,13 @@ object SparkEntry {
            floor((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) * 10000.0 + 0.5)/10000.0
              AS corr_hour_value
          FROM s ORDER BY event_type""",
+    "q82_bigram_topk" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+               FROM documents),
+         s AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+               FROM w WHERE len(ws) > 1),
+         b AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram FROM s)
+         SELECT bigram, CAST(count(*) AS BIGINT) AS n
+         FROM b GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""",
   )
 }

@@ -110,6 +110,25 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Corpus-wide top-20 word bigrams — the statistic behind repeated-
+    * n-gram quality filters. Bigrams are formed NARROWLY (zip the word
+    * array with its own tail — no positional self-join, no extra
+    * shuffle); the only exchange is the final count group-by, which
+    * partial-aggregates map-side. Deterministic total order
+    * (count desc, bigram asc) before the limit.
+    */
+  def q82BigramTopk(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val pairs = zip_with(words, slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+      (x, y) => when(y.isNull, lit(null)).otherwise(concat(x, lit(" "), y)))
+    Tables.documents(spark, dir)
+      .select(explode(pairs).as("bigram"))
+      .filter(col("bigram").isNotNull)
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+  }
+
   /** md5 document fingerprint over normalized text (exact-dedup identity). */
   def q17Fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
