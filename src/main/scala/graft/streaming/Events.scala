@@ -232,6 +232,15 @@ object Events {
     * total order (spend, then user_id) so bucket edges are deterministic
     * in any engine. One user-keyed aggregation, then the decile window;
     * the output is the per-decile user count and spend range.
+    *
+    * SCALE NOTE: an unpartitioned ntile window funnels all users through
+    * one sort partition — exact and fine up to tens of millions of
+    * users, the wrong shape at billions. The scale path keeps this
+    * output contract but derives the 9 cut points via
+    * `approxQuantile`/`percentile_approx` (mergeable sketch, one narrow
+    * pass), broadcasts them, and assigns buckets by comparison — the
+    * same pattern q68 demonstrates for sketch profiling. Kept exact here
+    * because the oracle contract is exact ntile semantics.
     */
   def q80UserDeciles(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.events(spark, dir)
