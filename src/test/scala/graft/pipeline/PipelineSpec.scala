@@ -130,6 +130,37 @@ class PipelineSpec extends SparkSpec {
       s"expected the increment ($n rows) to be read, got $secondRunInput")
   }
 
+  test("compaction collapses a small-file dir without losing rows") {
+    val dir = tmpDir("compact")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // fragment: one file per handful of records
+    docs.write.mode("overwrite").option("maxRecordsPerFile", 5).parquet(dir)
+    val rows = docs.count()
+    val (before, after) = Ingest.compactLake(spark, dir, targetFileBytes = 512L * 1024 * 1024)
+    assert(before > 5, s"fixture not fragmented enough to test ($before files)")
+    assert(after < before / 2, s"compaction barely helped: $before -> $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == rows)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("schema evolution: mergeSchema unifies partitions written with different columns") {
+    val dir = tmpDir("evolve")
+    val docs = Tables.documents(spark, sfDir)
+    // month 1 written before the lang column existed; month 2 carries it
+    docs.select("doc_id", "text")
+      .write.parquet(s"$dir/month=1")
+    docs.select("doc_id", "text", "lang")
+      .write.parquet(s"$dir/month=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "text", "lang", "month"))
+    // old rows surface the new column as null, new rows keep their value
+    import org.apache.spark.sql.functions.col
+    assert(merged.filter(col("month") === 1 && col("lang").isNotNull).count() == 0)
+    assert(merged.filter(col("month") === 2 && col("lang").isNull).count() == 0)
+    assert(merged.count() == 2 * docs.count())
+  }
+
   test("continuous flow passes its quality gate and indexes the corpus") {
     val res = Continuous.run(spark, sfDir)
     assert(res.indexedPassages > 0)
