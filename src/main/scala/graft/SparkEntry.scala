@@ -111,6 +111,7 @@ object SparkEntry {
     "q80_user_deciles"     -> Events.q80UserDeciles _,
     "q81_value_hour_corr"  -> Events.q81ValueHourCorr _,
     "q82_bigram_topk"      -> TextOps.q82BigramTopk _,
+    "q83_bm25"             -> TextOps.q83Bm25 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -978,5 +979,22 @@ object SparkEntry {
          b AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram FROM s)
          SELECT bigram, CAST(count(*) AS BIGINT) AS n
          FROM b GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""",
+    // identical closed BM25 formula both sides; integral count sums are
+    // exact doubles, so only ln and the <=3-term sum carry float noise
+    "q83_bm25" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+               FROM documents),
+         w2 AS (SELECT doc_id, w FROM w WHERE w <> ''),
+         dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM w2 GROUP BY doc_id),
+         st AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl),
+         tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM w2
+                WHERE w IN ('table', 'query', 'spark') GROUP BY doc_id, w),
+         df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+         s AS (SELECT tf.doc_id,
+                 ln((st.n - df.df + 0.5)/(df.df + 0.5) + 1.0) * tf.tf * 2.2 /
+                   (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+               FROM tf JOIN df ON tf.w = df.w JOIN dl ON tf.doc_id = dl.doc_id, st)
+         SELECT doc_id, floor(sum(s)*10000.0 + 0.5)/10000.0 AS bm25
+         FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 10""",
   )
 }

@@ -129,6 +129,36 @@ object TextOps {
       .limit(20)
   }
 
+  /** BM25 lexical retrieval (k1=1.2, b=0.75, +1 idf variant) for a fixed
+    * query — the classic sparse baseline beside the dense `Retrieval`
+    * path. Everything is algebraic: per-doc length, corpus avgdl and N
+    * (one-row broadcast), per-(doc, term) tf restricted to the query's
+    * terms BEFORE any aggregation (the corpus-wide inverted index never
+    * materializes — only query-term postings shuffle), term df from the
+    * tf relation. Engine-identical closed formula, floor-rounded score,
+    * deterministic top-10.
+    */
+  def q83Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("table", "query", "spark")
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+    val stats = dl.agg(avg("dl").as("avgdl"), count(lit(1)).cast("double").as("n"))
+    val tf = words.filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(dfreq, "w").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("s",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg((floor(sum("s") * 10000.0 + 0.5) / 10000.0).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
   /** md5 document fingerprint over normalized text (exact-dedup identity). */
   def q17Fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
