@@ -112,6 +112,7 @@ object SparkEntry {
     "q81_value_hour_corr"  -> Events.q81ValueHourCorr _,
     "q82_bigram_topk"      -> TextOps.q82BigramTopk _,
     "q83_bm25"             -> TextOps.q83Bm25 _,
+    "q84_rrf_fusion"       -> TextOps.q84RrfFusion _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -996,5 +997,33 @@ object SparkEntry {
                FROM tf JOIN df ON tf.w = df.w JOIN dl ON tf.doc_id = dl.doc_id, st)
          SELECT doc_id, floor(sum(s)*10000.0 + 0.5)/10000.0 AS bm25
          FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 10""",
+    // RRF terms 1/(rank+60) are exact doubles off integer ranks — the
+    // fused score needs no rounding to be engine-identical
+    "q84_rrf_fusion" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+               FROM documents),
+         w2 AS (SELECT doc_id, w FROM w WHERE w <> ''),
+         dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM w2 GROUP BY doc_id),
+         st AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl),
+         tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM w2
+                WHERE w IN ('table', 'query', 'spark') GROUP BY doc_id, w),
+         df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+         bs AS (SELECT tf.doc_id,
+                 ln((st.n - df.df + 0.5)/(df.df + 0.5) + 1.0) * tf.tf * 2.2 /
+                   (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+               FROM tf JOIN df ON tf.w = df.w JOIN dl ON tf.doc_id = dl.doc_id, st),
+         bm AS (SELECT doc_id, floor(sum(s)*10000.0 + 0.5)/10000.0 AS bm25
+                FROM bs GROUP BY doc_id),
+         a AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS ra
+               FROM bm QUALIFY ra <= 50),
+         ti AS (SELECT tf.doc_id,
+                 floor(sum(tf.tf * ln(st.n / df.df)) * 10000.0 + 0.5)/10000.0 AS tfidf
+               FROM tf JOIN df ON tf.w = df.w, st GROUP BY tf.doc_id),
+         b AS (SELECT doc_id, row_number() OVER (ORDER BY tfidf DESC, doc_id ASC) AS rb
+               FROM ti QUALIFY rb <= 50)
+         SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           coalesce(1.0/(a.ra + 60.0), 0.0) + coalesce(1.0/(b.rb + 60.0), 0.0) AS rrf
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         ORDER BY rrf DESC, doc_id ASC LIMIT 10""",
   )
 }

@@ -138,8 +138,16 @@ object TextOps {
     * tf relation. Engine-identical closed formula, floor-rounded score,
     * deterministic top-10.
     */
-  def q83Bm25(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("table", "query", "spark")
+  def q83Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir, Seq("table", "query", "spark"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(10)
+
+  /** Per-document BM25 scores for a fixed term set (shared by q83 and
+    * the q84 fusion).
+    */
+  private[graft] def bm25Scores(spark: SparkSession, dir: String,
+                                terms: Seq[String]): DataFrame = {
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(col("w") =!= "")
@@ -155,7 +163,44 @@ object TextOps {
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
       .agg((floor(sum("s") * 10000.0 + 0.5) / 10000.0).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id").asc)
+  }
+
+  /** Reciprocal-rank fusion (k=60) of two retrievers over the same fixed
+    * query — the standard hybrid-retrieval list merge. Retriever A is
+    * BM25 (q83's scorer), retriever B is query TF-IDF; each contributes
+    * 1/(60 + rank) for its top-50. At scale the fused lists are top-k
+    * results (tiny), so the full-outer join on doc_id is a broadcast;
+    * the heavy lifting happened inside each retriever. RRF terms are
+    * exact doubles (integer ranks), so the fused score is
+    * engine-identical with no rounding tricks.
+    */
+  def q84RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("table", "query", "spark")
+    val wA = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    val a = bm25Scores(spark, dir, terms)
+      .withColumn("ra", row_number().over(wA)).filter(col("ra") <= 50)
+      .select(col("doc_id"), col("ra"))
+    // retriever B: query TF-IDF (q74's scoring restricted to the terms)
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val n = words.agg(countDistinct("doc_id").cast("double").as("n"))
+    val tf = words.filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val tfidf = tf.join(dfreq, "w").crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg((floor(sum(col("tf") * log(col("n") / col("df"))) * 10000.0 + 0.5) / 10000.0)
+        .as("tfidf"))
+    val wB = Window.orderBy(col("tfidf").desc, col("doc_id").asc)
+    val b = tfidf.withColumn("rb", row_number().over(wB)).filter(col("rb") <= 50)
+      .select(col("doc_id"), col("rb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (col("ra") + 60.0), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rb") + 60.0), lit(0.0)))
+      .select(col("doc_id"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(10)
   }
 
