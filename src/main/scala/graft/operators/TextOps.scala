@@ -97,9 +97,13 @@ object TextOps {
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(col("w") =!= "")
     val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    // df as a window over the tf relation: one exchange on the term,
+    // instead of a second full corpus scan + aggregation for a dfreq
+    // branch (Spark has no automatic subtree reuse across branches)
     val n = words.agg(countDistinct("doc_id").as("n"))
-    val scored = tf.join(dfreq, "w").crossJoin(broadcast(n))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("w")))
+      .crossJoin(broadcast(n))
       .withColumn("tfidf",
         floor(col("tf") * log(col("n").cast("double") / col("df")) * 10000.0 + 0.5) / 10000.0)
     val wk = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w").asc)
@@ -155,8 +159,9 @@ object TextOps {
     val stats = dl.agg(avg("dl").as("avgdl"), count(lit(1)).cast("double").as("n"))
     val tf = words.filter(col("w").isin(terms: _*))
       .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
-    tf.join(dfreq, "w").join(dl, "doc_id").crossJoin(broadcast(stats))
+    // df via window over tf (see q74) — no separate dfreq rescan branch
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("w")).cast("double"))
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
       .withColumn("s",
         log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
           col("tf") * 2.2 /
@@ -187,8 +192,9 @@ object TextOps {
     val n = words.agg(countDistinct("doc_id").cast("double").as("n"))
     val tf = words.filter(col("w").isin(terms: _*))
       .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
-    val tfidf = tf.join(dfreq, "w").crossJoin(broadcast(n))
+    val tfidf = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("w")).cast("double"))
+      .crossJoin(broadcast(n))
       .groupBy("doc_id")
       .agg((floor(sum(col("tf") * log(col("n") / col("df"))) * 10000.0 + 0.5) / 10000.0)
         .as("tfidf"))
