@@ -190,8 +190,12 @@ object Ingest {
     * the dataset into ceil(bytes / targetFileBytes) files via
     * `repartition` (an exchange — upstream stays parallel, unlike
     * `coalesce(1)` which would collapse the read). Returns
-    * (filesBefore, filesAfter). Writes to a temp sibling then swaps, so
-    * a crash mid-compact never corrupts the live directory.
+    * (filesBefore, filesAfter). Writes to a temp sibling first, so no
+    * crash can leave PARTIAL data in place — the worst case (dying
+    * between delete and rename) leaves the complete compacted copy in
+    * the `.compact_tmp` sibling for manual recovery. A true atomic swap
+    * needs a transactional table layer (the manifest-pointer flip that
+    * Iceberg/Delta provide); plain parquet directories cannot do better.
     */
   def compactLake(spark: SparkSession, path: String,
                   targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
