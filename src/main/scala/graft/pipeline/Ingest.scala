@@ -139,13 +139,7 @@ object Ingest {
     * deployment points `out` at shared storage, as executors write.)
     */
   def q72ChunkJsonFiles(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q72_")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(tmp.toFile)
-    }
+    val tmp = graft.TempDirs.create("graft_q72_")
     val out = tmp.resolve("chunks").toString
     chunkJsonSink(chunkRecords(spark, dir), out, maxRecordsPerFile = 1000)
     spark.read.schema("id STRING, title STRING, chunks ARRAY<STRING>")

@@ -522,13 +522,7 @@ object Events {
     * executors, not the driver, write the sink files.)
     */
   def q70StreamAsof(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q70_")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(tmp.toFile)
-    }
+    val tmp = graft.TempDirs.create("graft_q70_")
     val out = tmp.resolve("out").toString
     val sq = rangeJoinedStream(spark, dir)
       .writeStream.outputMode(OutputMode.Append())
