@@ -159,15 +159,14 @@ object Events {
     require(steps.nonEmpty, "funnel needs at least one step")
     val e = events.select(col(userCol).as("user_id"), col(typeCol).as("et"),
       unix_timestamp(col(tsCol)).as("tss"))
-    val reached = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-      case (prev, (step, _)) =>
-        val candidates = prev match {
-          case None => e.filter(col("et") === step)
-          case Some(p) => e.filter(col("et") === step)
-            .join(p.select(col("user_id"), col("t")), "user_id")
-            .filter(col("tss") >= col("t")).drop("t")
-        }
-        Some(candidates.groupBy("user_id").agg(min("tss").as("t")))
+    val reached = steps.scanLeft(Option.empty[DataFrame]) { (prev, step) =>
+      val candidates = prev match {
+        case None => e.filter(col("et") === step)
+        case Some(p) => e.filter(col("et") === step)
+          .join(p.select(col("user_id"), col("t")), "user_id")
+          .filter(col("tss") >= col("t")).drop("t")
+      }
+      Some(candidates.groupBy("user_id").agg(min("tss").as("t")))
     }.flatten
     reached.zip(steps).map { case (df, step) =>
       df.agg(count(lit(1)).as(s"n_${step}_users"))
