@@ -37,6 +37,7 @@ object Bench {
     // and the official per-query number is the median; raw runs stay in
     // the JSON so variance is visible, not discarded.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -52,7 +53,12 @@ object Bench {
         spark.catalog.clearCache()
         (elapsed, ok)
       }
-      val median = runs.map(_._1).sorted.apply(reps / 2)
+      // true median: average the two middle elements when reps is even
+      // (sorted(reps/2) alone would silently pick the upper-middle)
+      val sorted = runs.map(_._1).sorted
+      val median =
+        if (reps % 2 == 1) sorted(reps / 2)
+        else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
       (name, median, runs)
     }
     val qs = results.map { case (k, m, _) => "\"" + k + "\":" + m }

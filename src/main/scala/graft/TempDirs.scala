@@ -30,4 +30,22 @@ object TempDirs {
     dirs.add(p)
     p
   }
+
+  private lazy val sessionRoot: Path = create("graft_session_")
+
+  /** A stable per-name scratch directory, CLEARED on every call:
+    * repeated invocations of the same query reuse one directory instead
+    * of accumulating a full materialized copy per invocation (the disk
+    * analogue of the round-3 memory-sink leak — a 3-rep bench plus
+    * warmup would otherwise hold 4 copies of a query's output under
+    * /tmp until JVM exit). Callers that hold a lazy DataFrame over the
+    * previous contents must consume it before invoking again; that is
+    * the same contract an overwritten sink path has. Not safe for
+    * concurrent invocations of the same name.
+    */
+  def scratch(name: String): Path = {
+    val p = sessionRoot.resolve(name)
+    rm(p.toFile)
+    Files.createDirectories(p)
+  }
 }

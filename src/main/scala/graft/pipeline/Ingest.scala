@@ -139,7 +139,9 @@ object Ingest {
     * deployment points `out` at shared storage, as executors write.)
     */
   def q72ChunkJsonFiles(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.TempDirs.create("graft_q72_")
+    // session-stable scratch (cleared per invocation): repeated runs
+    // reuse one directory instead of stacking a copy per call
+    val tmp = graft.TempDirs.scratch("q72_chunk_json")
     val out = tmp.resolve("chunks").toString
     chunkJsonSink(chunkRecords(spark, dir), out, maxRecordsPerFile = 1000)
     spark.read.schema("id STRING, title STRING, chunks ARRAY<STRING>")
@@ -177,19 +179,45 @@ object Ingest {
       .start()
   }
 
+  /** Partition columns of a Hive-layout parquet directory, in nesting
+    * order, detected from the first `name=value` child chain (e.g.
+    * `year=2024/month=3/day=1` → Seq("year","month","day")). Empty for
+    * an unpartitioned directory.
+    */
+  def partitionColumnsOf(path: String): Seq[String] = {
+    @annotation.tailrec
+    def loop(d: java.io.File, acc: Vector[String]): Vector[String] =
+      Option(d.listFiles).toSeq.flatten
+        .find(f => f.isDirectory && f.getName.contains("=")) match {
+        case Some(c) => loop(c, acc :+ c.getName.takeWhile(_ != '='))
+        case None => acc
+      }
+    loop(new java.io.File(path), Vector.empty)
+  }
+
   /** Small-file compaction for a parquet directory — the maintenance op
     * every long-lived lake needs (streaming ingest and per-chunk sinks
     * both accrete files; a 100 TB table with millions of KB-sized files
-    * spends its scan time on open/footer overhead, not data). Rewrites
-    * the dataset into ceil(bytes / targetFileBytes) files via
-    * `repartition` (an exchange — upstream stays parallel, unlike
-    * `coalesce(1)` which would collapse the read). Returns
-    * (filesBefore, filesAfter). Writes to a temp sibling first, so no
-    * crash can leave PARTIAL data in place — the worst case (dying
-    * between delete and rename) leaves the complete compacted copy in
-    * the `.compact_tmp` sibling for manual recovery. A true atomic swap
-    * needs a transactional table layer (the manifest-pointer flip that
-    * Iceberg/Delta provide); plain parquet directories cannot do better.
+    * spends its scan time on open/footer overhead, not data).
+    * Partition-aware: a Hive `year=/month=/day=` layout (what
+    * `incrementalLakeIngest` writes) is detected from the directory
+    * chain and preserved via `partitionBy` — flattening it would
+    * silently destroy partition pruning (q71) and directory bookkeeping
+    * (`nextMissingMonth`). Partitioned lakes compact to ONE file per
+    * leaf partition (repartition on the partition columns hashes each
+    * leaf's rows to a single task — the minimum file count that keeps
+    * the layout; a leaf bigger than targetFileBytes would need a salt
+    * column to split further, which small-file compaction by definition
+    * doesn't face). Unpartitioned directories compact to
+    * ceil(bytes / targetFileBytes) files. Both via `repartition` (an
+    * exchange — upstream stays parallel, unlike `coalesce(1)` which
+    * would collapse the read). Returns (filesBefore, filesAfter).
+    * Writes to a temp sibling first, so no crash can leave PARTIAL data
+    * in place — the worst case (dying between delete and rename) leaves
+    * the complete compacted copy in the `.compact_tmp` sibling for
+    * manual recovery. A true atomic swap needs a transactional table
+    * layer (the manifest-pointer flip that Iceberg/Delta provide);
+    * plain parquet directories cannot do better.
     */
   def compactLake(spark: SparkSession, path: String,
                   targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
@@ -203,8 +231,14 @@ object Ingest {
     val totalBytes = before.map(_.length).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
+    val partCols = partitionColumnsOf(path)
     val tmp = path + ".compact_tmp"
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val compacted =
+      if (partCols.isEmpty) df.repartition(nFiles)
+      else df.repartition(partCols.map(col): _*)
+    val writer = compacted.write.mode(SaveMode.Overwrite)
+    (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
+      .parquet(tmp)
     // swap: remove live, move tmp into place
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()

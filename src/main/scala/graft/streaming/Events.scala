@@ -333,6 +333,13 @@ object Events {
 
   /** Tumbling windowed counts as a streaming query over the same parquet,
     * with a 1-hour watermark: the incremental equivalent of q33.
+    * NOTE on state: the sink runs in Complete mode, where Spark retains
+    * ALL aggregation state for the query's lifetime — the watermark does
+    * NOT evict. Complete is required here so pre-watermark windows still
+    * appear in the sink for the batch-equality test; a 24/7 production
+    * deployment would use Append (emit a window once the watermark
+    * passes its end, state evicted) or Update, trading replayable
+    * completeness for bounded state.
     */
   def streamingTumbling(spark: SparkSession, dir: String,
                         queryName: String): StreamingQuery = {
@@ -353,8 +360,11 @@ object Events {
   }
 
   /** Sliding-window streaming twin of q34 (1-hour windows every 30 min,
-    * 1-hour watermark): each event lands in two window groups; state for
-    * a window is dropped once the watermark passes its end.
+    * 1-hour watermark): each event lands in two window groups. Same
+    * state caveat as `streamingTumbling`: Complete mode retains all
+    * window state (the watermark does not evict) — required for the
+    * batch-equality test; production would use Append/Update for
+    * watermark-driven eviction.
     */
   def streamingSliding(spark: SparkSession, dir: String,
                        queryName: String): StreamingQuery = {
@@ -512,16 +522,20 @@ object Events {
     * top-1 in SQL, so "every batch op has a streaming story" is a green
     * CORRECTNESS row, not a claim.
     *
-    * The sink is a per-invocation temp PARQUET dir (deleted on JVM
-    * exit), not a memory sink: a memory sink's temp view pins the full
-    * join output in driver memory for the session and survives
-    * `clearCache` — repeated invocations would accumulate unbounded
-    * catalog/memory state. (Local-mode path: on a real cluster this
-    * scratch location must be shared storage — HDFS/S3 — since
-    * executors, not the driver, write the sink files.)
+    * The sink is a session-stable temp PARQUET scratch dir (cleared on
+    * each invocation, deleted at JVM exit), not a memory sink: a memory
+    * sink's temp view pins the full join output in driver memory for
+    * the session and survives `clearCache`, and a fresh dir per
+    * invocation would accumulate one full output copy per call on disk.
+    * Clearing also removes the previous checkpoint — required for
+    * correctness, since a surviving checkpoint would mark the source
+    * files already-processed and an AvailableNow re-run would emit
+    * nothing. (Local-mode path: on a real cluster this scratch location
+    * must be shared storage — HDFS/S3 — since executors, not the
+    * driver, write the sink files.)
     */
   def q70StreamAsof(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.TempDirs.create("graft_q70_")
+    val tmp = graft.TempDirs.scratch("q70_stream_asof")
     val out = tmp.resolve("out").toString
     val sq = rangeJoinedStream(spark, dir)
       .writeStream.outputMode(OutputMode.Append())

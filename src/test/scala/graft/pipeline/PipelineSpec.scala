@@ -144,6 +144,39 @@ class PipelineSpec extends SparkSpec {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("TempDirs.scratch returns one cleared directory per name (no per-invocation pile-up)") {
+    val a = graft.TempDirs.scratch("spec_scratch")
+    Files.write(a.resolve("x.txt"), "hi".getBytes("UTF-8"))
+    val b = graft.TempDirs.scratch("spec_scratch")
+    assert(a == b, "scratch must be session-stable per name")
+    assert(!Files.exists(b.resolve("x.txt")), "scratch must clear previous contents")
+  }
+
+  test("compactLake preserves a day-partitioned layout: pruning survives, one file per leaf") {
+    val dir = tmpDir("lake_part")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), (col("doc_id") % 3).cast("int").as("day"))
+    docs.write.partitionBy("day")
+      .option("maxRecordsPerFile", 5).mode("overwrite").parquet(dir)
+    val rows = docs.count()
+    assert(Ingest.partitionColumnsOf(dir) == Seq("day"))
+    val (before, after) = Ingest.compactLake(spark, dir, targetFileBytes = 512L * 1024 * 1024)
+    assert(before > 6, s"fixture not fragmented enough to test ($before files)")
+    // layout intact: day= directories still exist (NOT flattened to data columns)
+    val dayDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+    assert(dayDirs.length == 3, s"partition dirs lost: ${dayDirs.map(_.getName).toSeq}")
+    // compacted to the minimum that keeps the layout: one file per leaf
+    assert(after == 3, s"expected one file per day partition, got $after")
+    // data and partition column survive; pruned read touches one leaf only
+    val back = spark.read.parquet(dir)
+    assert(back.count() == rows)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    val pruned = back.filter(col("day") === 1)
+    assert(pruned.count() == docs.filter(col("day") === 1).count())
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("schema evolution: mergeSchema unifies partitions written with different columns") {
     val dir = tmpDir("evolve")
     val docs = Tables.documents(spark, sfDir)

@@ -82,6 +82,14 @@ class EventsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(batch.nonEmpty)
     assert(streamed == batch)
+    // repeat invocation in the same session: the scratch dir is cleared
+    // (incl. the checkpoint — a stale one would mark the sources done
+    // and an AvailableNow re-run would emit NOTHING) and not re-created
+    // under a fresh name, so repeated runs neither dwindle nor pile up
+    val again = Events.q70StreamAsof(spark, sfDir)
+      .select("purchase_id", "signup_id", "s_tss")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == batch, "second q70 invocation must reproduce the result")
   }
 
   test("streaming dedup (dropDuplicatesWithinWatermark) keeps the batch key set") {
