@@ -113,6 +113,11 @@ object SparkEntry {
     "q82_bigram_topk"      -> TextOps.q82BigramTopk _,
     "q83_bm25"             -> TextOps.q83Bm25 _,
     "q84_rrf_fusion"       -> TextOps.q84RrfFusion _,
+    "q85_line_dedup"       -> ScaleOps.q85LineDedup _,
+    "q86_sketch_merge"     -> ScaleOps.q86SketchMerge _,
+    "q87_decontaminate"    -> ScaleOps.q87Decontaminate _,
+    "q88_pack_sequences"   -> ScaleOps.q88PackSequences _,
+    "q89_keeper_dedup"     -> ScaleOps.q89KeeperDedup _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1025,5 +1030,68 @@ object SparkEntry {
            coalesce(1.0/(a.ra + 60.0), 0.0) + coalesce(1.0/(b.rb + 60.0), 0.0) AS rrf
          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
          ORDER BY rrf DESC, doc_id ASC LIMIT 10""",
+    // C4-style line dedup over fixed 10-word lines (q19's chunk grid):
+    // global first-occurrence keep, per-doc reassembly
+    "q85_line_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         c AS (SELECT doc_id,
+                 unnest(generate_series(0, greatest(CAST(ceil(len(ws)/10.0) AS BIGINT), 1) - 1)) AS i,
+                 ws FROM w),
+         x AS (SELECT doc_id, i,
+                 array_to_string(list_slice(ws, CAST(i*10+1 AS BIGINT), CAST(i*10+10 AS BIGINT)), ' ') AS line
+               FROM c),
+         l AS (SELECT doc_id, i, line FROM x WHERE line <> ''),
+         r AS (SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, i) AS rk FROM l),
+         t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l GROUP BY doc_id),
+         k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                 array_to_string(list(line ORDER BY i), ' ') AS kept_text
+               FROM r WHERE rk = 1 GROUP BY doc_id)
+         SELECT k.doc_id, k.n_kept, t.n_lines - k.n_kept AS n_dropped, k.kept_text
+         FROM k JOIN t ON k.doc_id = t.doc_id
+         ORDER BY k.doc_id""",
+    // exact anchors hash-checked; the sketch estimates (incl. the merged
+    // union) are tolerance booleans, as in q68
+    "q86_sketch_merge" ->
+      """WITH d AS (SELECT lang,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS ndv_exact, TRUE AS hll_ok
+         FROM d GROUP BY lang
+         UNION ALL
+         SELECT 'ALL', CAST(count(*) AS BIGINT), CAST(count(DISTINCT fp) AS BIGINT), TRUE
+         FROM d
+         ORDER BY lang""",
+    // eval slice = doc_id % 97 == 0; 4-word shingles (calibrated: 8
+    // contaminated docs at sf0.01 — overlap is sparse but non-empty)
+    "q87_decontaminate" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest([array_to_string(ws[i:i+3], ' ') for i in generate_series(1, len(ws)-3)]) AS s
+                FROM w WHERE len(ws) >= 4),
+         ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+         SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         FROM sh JOIN ev ON sh.s = ev.s
+         WHERE sh.doc_id % 97 <> 0
+         GROUP BY sh.doc_id ORDER BY sh.doc_id""",
+    "q88_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         FROM documents),
+         s AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+               FROM d)
+         SELECT source, CAST(floor(start_tok / 512.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM s GROUP BY source, bin ORDER BY source, bin""",
+    // q23's clusters resolved keep-best (most tokens, tie → lowest id)
+    "q89_keeper_dedup" ->
+      """WITH f AS (SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY n_tokens DESC, doc_id ASC) AS rk,
+                 CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_docs FROM f)
+         SELECT fp, doc_id AS keeper, n_docs, n_tokens AS keeper_tokens
+         FROM r WHERE rk = 1 AND n_docs > 1 ORDER BY fp""",
   )
 }

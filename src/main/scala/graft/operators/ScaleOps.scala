@@ -4,7 +4,7 @@ import graft.Tables
 import graft.dedup.Dedup
 import graft.text.TextAnalysis
 import graft.vector.VectorOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -207,6 +207,163 @@ object ScaleOps {
   def q69BucketedNeardup(spark: SparkSession, dir: String): DataFrame =
     VectorOps.nearDupPairsBucketed(
       Tables.embeddings(spark, dir), "vec_id", "embedding", "label", 0.45)
+
+  /** Word n-gram shingles of a text column as distinct strings (the
+    * string form q87's oracle can mirror; Dedup.shingles is the hashed
+    * form the dedup family joins on). Empty array below n words.
+    */
+  private def wordShingles(c: Column, n: Int): Column = {
+    val ws = split(trim(c), "\\s+")
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** C4-style cross-document line dedup: a "line" occurring in more than
+    * one place is kept only at its first occurrence (min doc_id, then
+    * position); each document is reassembled from its surviving lines.
+    * The fixture has no newline structure, so lines are fixed 10-word
+    * windows (q19's chunker) — the semantics (global first-occurrence
+    * dedup + reassembly, dropping documents left empty) are the C4
+    * boilerplate-removal pass verbatim. 100 TB shape: ONE shuffle
+    * partitions by line text (the row_number window is per-line argmin —
+    * bounded state per key, skew-safe because a line's copies are
+    * capped by corpus repetition, and a salted two-phase argmin is the
+    * escape hatch for pathological boilerplate); reassembly is a narrow
+    * per-doc aggregation.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                lineWords: Int): DataFrame = {
+    val lines = docs
+      .select(col(idCol),
+        posexplode(graft.text.Chunker.wordChunks(col(textCol), lineWords)))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "line")
+    val first = Window.partitionBy("line").orderBy(col(idCol), col("i"))
+    val kept = lines.withColumn("rk", row_number().over(first))
+      .filter(col("rk") === 1)
+    val totals = lines.groupBy(idCol).agg(count(lit(1)).as("n_lines"))
+    kept.groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("line")))),
+            x => x.getField("line")), " ").as("kept_text"))
+      .join(totals, idCol)
+      .select(col(idCol), col("n_kept"),
+        (col("n_lines") - col("n_kept")).as("n_dropped"), col("kept_text"))
+      .orderBy(idCol)
+  }
+
+  def q85LineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedup(Tables.documents(spark, dir), "doc_id", "text", 10)
+
+  /** Partial-sketch merge across groups — the algebra that makes sketches
+    * the 100 TB profiling tool: per-lang HLL sketches are built in one
+    * pass (each a mergeable partial, exactly what every executor would
+    * hold), then `hll_union_agg` merges the GROUP sketches into the
+    * global estimate — no second scan of the data. Output: one row per
+    * lang plus an 'ALL' row from the merged union. Exact ndv computed
+    * alongside is the verification anchor (oracle hash-checks it); the
+    * `hll_ok` boolean asserts each sketch — including the merged one —
+    * landed within ±max(5%, 2). At 100 TB only the sketch half runs.
+    */
+  def q86SketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val tol = (est: Column, exact: Column) =>
+      abs(est.cast("double") - exact.cast("double")) <=
+        greatest(exact.cast("double") * 0.05, lit(2.0))
+    val d = Tables.documents(spark, dir).select(col("lang"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+    val per = d.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("fp")).as("ndv_exact"),
+      hll_sketch_agg(col("fp"), lit(12)).as("sk"))
+    val langRows = per.select(col("lang"), col("n_docs"), col("ndv_exact"),
+      tol(hll_sketch_estimate(col("sk")), col("ndv_exact")).as("hll_ok"))
+    val allRow = d.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("ndv_exact"))
+      .crossJoin(per.agg(hll_union_agg(col("sk")).as("usk"))
+        .select(hll_sketch_estimate(col("usk")).as("est")))
+      .select(lit("ALL").as("lang"), col("n_docs"), col("ndv_exact"),
+        tol(col("est"), col("ndv_exact")).as("hll_ok"))
+    langRows.unionByName(allRow).orderBy("lang")
+  }
+
+  /** Benchmark decontamination — the train-set hygiene pass every LLM
+    * pipeline runs: flag training documents sharing any word 4-gram with
+    * the held-out eval set (stand-in: doc_id % 97 == 0, the way a
+    * benchmark suite is a tiny fixed slice of doc space). The eval
+    * shingle set is DISTINCT'd and broadcast — eval suites are ~10⁵
+    * shingles even for big benchmarks, so at 100 TB the corpus side
+    * stays shuffle-free: one narrow scan probing a broadcast hash set,
+    * then the per-doc count aggregation. Output: contaminated doc_id +
+    * how many distinct shingles it shares.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    isEval: Column, n: Int): DataFrame = {
+    val ev = docs.filter(isEval)
+      .select(explode(wordShingles(col(textCol), n)).as("s")).distinct()
+    // (id, s) is already distinct: wordShingles array_distincts per doc
+    docs.filter(!isEval)
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("s"))
+      .join(broadcast(ev), "s")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+      .orderBy(idCol)
+  }
+
+  def q87Decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(spark, dir), "doc_id", "text",
+      col("doc_id") % 97 === 0, 4)
+
+  /** Training sequence packing, concat-and-chunk form: within each shard
+    * (source), documents are laid head-to-tail in doc_id order and cut
+    * into 512-token bins — a document belongs to the bin its first token
+    * lands in. Per-shard windows, NOT a global sort: that is how packing
+    * actually runs at 100 TB (each shard packs independently; bin ids
+    * are (shard, bin)), so the running sum never needs a single-
+    * partition exchange. Output: per-bin document count and token mass.
+    */
+  /** Core packing: expects (shard, id, n_tokens) columns. */
+  def packSequences(d: DataFrame, shard: String, id: String,
+                    tokens: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(shard).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("start_tok", sum(tokens).over(w) - col(tokens))
+      .withColumn("bin", floor(col("start_tok") / budget.toDouble).cast("long"))
+      .groupBy(shard, "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).as("sum_tokens"))
+      .orderBy(shard, "bin")
+  }
+
+  def q88PackSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "source", "doc_id", "n_tokens", 512L)
+
+  /** Keep-best dedup: exact-duplicate clusters (q23's canonical
+    * fingerprint) resolved by quality, not arrival — the keeper is the
+    * member with the MOST tokens (tie → lowest doc_id), which is what
+    * production dedup does (keep the richest copy, drop truncated
+    * variants). Same single group-shuffle shape as q23; the per-cluster
+    * argmax is a bounded-state window over the fingerprint partition.
+    */
+  def keeperDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = docs.select(col(idCol),
+      Dedup.canonicalFingerprint(col(textCol)).as("fp"),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+    val best = Window.partitionBy("fp")
+      .orderBy(col("n_tokens").desc, col(idCol).asc)
+    d.withColumn("rk", row_number().over(best))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("rk") === 1 && col("n_docs") > 1)
+      .select(col("fp"), col(idCol).as("keeper"), col("n_docs"),
+        col("n_tokens").as("keeper_tokens"))
+      .orderBy("fp")
+  }
+
+  def q89KeeperDedup(spark: SparkSession, dir: String): DataFrame =
+    keeperDedup(Tables.documents(spark, dir), "doc_id", "text")
 
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose

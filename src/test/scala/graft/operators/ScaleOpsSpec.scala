@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for the round-5 training-pipeline operators
+  * (q85–q89): tiny hand-built fixtures where the expected output is
+  * computable by eye, plus fixture-scale invariants for the sketch
+  * merge. The DuckDB oracles hash-check the full fixture; these tests
+  * pin the SEMANTICS so an oracle rewrite can't drift silently.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  private def tenWords(tag: String): String =
+    (1 to 10).map(i => s"$tag$i").mkString(" ")
+
+  test("lineDedup keeps a shared line only at its first occurrence and drops emptied docs") {
+    import spark.implicits._
+    val dup = tenWords("d")
+    val docs = Seq(
+      (1L, s"${tenWords("a")} $dup"), // first occurrence of dup
+      (2L, s"$dup ${tenWords("b")}"), // loses its first line
+      (3L, dup)                       // emptied entirely -> dropped
+    ).toDF("doc_id", "text")
+    val out = ScaleOps.lineDedup(docs, "doc_id", "text", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 0L, s"${tenWords("a")} $dup"),
+      (2L, 1L, 1L, tenWords("b"))))
+  }
+
+  test("decontaminate flags exactly the train docs sharing an n-gram with the eval slice") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "p q r s t"),       // eval (isEval below)
+      (1L, "z p q r s z"),     // shares shingle "p q r s"
+      (2L, "u v w x y")        // disjoint
+    ).toDF("doc_id", "text")
+    val out = ScaleOps.decontaminate(docs, "doc_id", "text",
+        col("doc_id") === 0, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L)))
+  }
+
+  test("sketch merge: union row equals global exact, every sketch within tolerance") {
+    val rows = ScaleOps.q86SketchMerge(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[Boolean]("hll_ok")),
+      "an HLL estimate (per-lang or merged) drifted outside tolerance")
+    val all = rows.filter(_.getAs[String]("lang") == "ALL")
+    assert(all.length == 1)
+    val langRows = rows.filter(_.getAs[String]("lang") != "ALL")
+    assert(langRows.map(_.getAs[Long]("n_docs")).sum == all(0).getAs[Long]("n_docs"))
+    // union ndv can only be <= the sum of per-group ndv (shared fps collapse)
+    assert(all(0).getAs[Long]("ndv_exact") <= langRows.map(_.getAs[Long]("ndv_exact")).sum)
+  }
+
+  test("packSequences: bin = the 512-token slot a doc's first token lands in, per shard") {
+    import spark.implicits._
+    val d = Seq(
+      ("s1", 1L, 300L), ("s1", 2L, 300L), ("s1", 3L, 300L), // starts 0,300,600
+      ("s2", 4L, 600L), ("s2", 5L, 10L)                     // starts 0,600
+    ).toDF("source", "doc_id", "n_tokens")
+    val out = ScaleOps.packSequences(d, "source", "doc_id", "n_tokens", 512L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("s1", 0L, 2L, 600L), ("s1", 1L, 1L, 300L),
+      ("s2", 0L, 1L, 600L), ("s2", 1L, 1L, 10L)))
+    // conservation on the real fixture: every token lands in exactly one bin
+    val packed = ScaleOps.q88PackSequences(spark, sfDir)
+    val total = packed.agg(sum("sum_tokens")).head.getLong(0)
+    val expected = graft.Tables.documents(spark, sfDir)
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))).head.getLong(0)
+    assert(total == expected)
+  }
+
+  test("keeperDedup keeps the most-token member of each duplicate cluster") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b"),       // fp {a,b}, 2 tokens
+      (2L, "b a b a b"), // fp {a,b}, 5 tokens -> keeper
+      (3L, "c d e")      // unique -> no row
+    ).toDF("doc_id", "text")
+    val out = ScaleOps.keeperDedup(docs, "doc_id", "text").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("keeper") == 2L)
+    assert(out(0).getAs[Long]("n_docs") == 2L)
+    assert(out(0).getAs[Long]("keeper_tokens") == 5L)
+  }
+}
