@@ -118,6 +118,8 @@ object SparkEntry {
     "q87_decontaminate"    -> ScaleOps.q87Decontaminate _,
     "q88_pack_sequences"   -> ScaleOps.q88PackSequences _,
     "q89_keeper_dedup"     -> ScaleOps.q89KeeperDedup _,
+    "q90_quality_cutoff"   -> ScaleOps.q90QualityCutoff _,
+    "q91_source_mixture"   -> ScaleOps.q91SourceMixture _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1093,5 +1095,33 @@ object SparkEntry {
                  CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_docs FROM f)
          SELECT fp, doc_id AS keeper, n_docs, n_tokens AS keeper_tokens
          FROM r WHERE rk = 1 AND n_docs > 1 ORDER BY fp""",
+    // corpus-relative quality gate: keep docs at/above the global p25;
+    // quality + threshold both floor-rounded to 4 dp (engine-parity rule)
+    "q90_quality_cutoff" ->
+      """WITH s AS (SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+           CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+           CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
+         FROM documents),
+         q AS (SELECT doc_id, floor((
+           least(n_chars / 500.0, 1.0)
+           + (1.0 - least(n_punct / greatest(n_words, 1.0) * 2.0, 1.0))
+           + least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0)
+           + CASE WHEN n_chars / greatest(n_words, 1.0) >= 3.0
+                   AND n_chars / greatest(n_words, 1.0) <= 10.0 THEN 1.0 ELSE 0.5 END
+           ) / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality FROM s),
+         t AS (SELECT floor(quantile_cont(quality, 0.25) * 10000.0 + 0.5) / 10000.0 AS p25 FROM q)
+         SELECT q.doc_id, q.quality, t.p25
+         FROM q, t WHERE q.quality >= t.p25
+         ORDER BY q.doc_id""",
+    // deterministic md5-bucket mixture (16ths per source); DuckDB hex
+    // digit via strpos-1 ↔ Spark conv(hex,16,10)
+    "q91_source_mixture" ->
+      """SELECT doc_id, source FROM documents
+         WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 <
+           CASE source WHEN 'src0' THEN 16 WHEN 'src1' THEN 12
+                       WHEN 'src2' THEN 8 WHEN 'src3' THEN 4 ELSE 2 END
+         ORDER BY doc_id""",
   )
 }

@@ -365,6 +365,50 @@ object ScaleOps {
   def q89KeeperDedup(spark: SparkSession, dir: String): DataFrame =
     keeperDedup(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Quality filtering by GLOBAL percentile — the corpus-relative form
+    * of q16/q67's fixed-threshold filter (real pipelines cut the bottom
+    * quartile of the corpus, not an absolute score, so the threshold
+    * must be computed from the data). One narrow scan computes scores;
+    * the p25 scalar reduces to the driver and re-broadcasts (a
+    * 1-row crossJoin — free at any scale); the filter is then a second
+    * narrow pass. At 100 TB the exact percentile becomes
+    * percentile_approx (q68 demonstrates the sketch-vs-exact tolerance
+    * gate for precisely this swap). Threshold floor-rounded to 4 dp on
+    * both sides per the engine-parity rounding rule.
+    */
+  def q90QualityCutoff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val thr = d.agg(
+      (floor(expr("percentile(quality, 0.25D)") * 10000.0 + 0.5) / 10000.0).as("p25"))
+    d.crossJoin(broadcast(thr))
+      .filter(col("quality") >= col("p25"))
+      .select(col("doc_id"), col("quality"), col("p25"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic source-mixture sampling — the data-mixing op every
+    * training run starts with: keep a per-source fraction (in 16ths,
+    * e.g. src0 16/16 … src4 2/16) chosen by an md5 bucket of doc_id, so
+    * the sample is reproducible row-by-row (re-runs, resumes, and audit
+    * all see the same subset — why mixtures are hashed, never rand()).
+    * Pure narrow filter in the scan stage: no shuffle, no state, and at
+    * 100 TB the bucket predicate pushes into the scan like any other.
+    */
+  def q91SourceMixture(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+      .cast("int")
+    val rate = when(col("source") === "src0", 16)
+      .when(col("source") === "src1", 12)
+      .when(col("source") === "src2", 8)
+      .when(col("source") === "src3", 4)
+      .otherwise(2)
+    Tables.documents(spark, dir)
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.

@@ -73,6 +73,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(total == expected)
   }
 
+  test("quality cutoff keeps >= 75% of docs, all at or above the computed p25") {
+    val out = ScaleOps.q90QualityCutoff(spark, sfDir).collect()
+    val total = graft.Tables.documents(spark, sfDir).count()
+    assert(out.forall(r => r.getAs[Double]("quality") >= r.getAs[Double]("p25")))
+    // >= 75% survive by definition of p25 (ties at the threshold can only add)
+    assert(out.length >= (total * 0.75).toInt,
+      s"${out.length} of $total survived a p25 cutoff")
+    assert(out.length < total, "cutoff kept everything — threshold did nothing")
+  }
+
+  test("source mixture is deterministic and per-source fractions track the 16ths weights") {
+    val a = ScaleOps.q91SourceMixture(spark, sfDir).collect()
+    val b = ScaleOps.q91SourceMixture(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "hash-bucket sampling must be reproducible")
+    val totals = graft.Tables.documents(spark, sfDir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = a.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    // src0 keeps everything (16/16); src4 keeps a strict subset
+    assert(sampled("src0") == totals("src0"))
+    assert(sampled.getOrElse("src4", 0L) < totals("src4"))
+    // fractions are md5-uniform, so allow generous slack around rate/16
+    for ((src, rate) <- Seq("src1" -> 12, "src2" -> 8, "src3" -> 4)) {
+      val frac = sampled.getOrElse(src, 0L).toDouble / totals(src)
+      assert(math.abs(frac - rate / 16.0) < 0.2,
+        s"$src sampled fraction $frac vs expected ${rate / 16.0}")
+    }
+  }
+
   test("keeperDedup keeps the most-token member of each duplicate cluster") {
     import spark.implicits._
     val docs = Seq(
