@@ -211,13 +211,32 @@ object ScaleOps {
   /** Word n-gram shingles of a text column as distinct strings (the
     * string form q87's oracle can mirror; Dedup.shingles is the hashed
     * form the dedup family joins on). Empty array below n words.
+    * A tight-loop UDF, not transform/slice/array_join: those
+    * higher-order functions are CodegenFallback — interpreted per
+    * ELEMENT — and measured 3.3 s on q87 at sf0.1 where this loop
+    * runs it in well under a second.
     */
-  private def wordShingles(c: Column, n: Int): Column = {
-    val ws = split(trim(c), "\\s+")
-    when(size(ws) >= n,
-      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => array_join(slice(ws, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+  private def wordShingles(n: Int) = udf { text: String =>
+    if (text == null) Array.empty[String]
+    else {
+      val ws = text.trim.split("\\s+")
+      if (ws.length < n) Array.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i + n <= ws.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(ws(i + j)); j += 1
+          }
+          seen.add(sb.toString); i += 1
+        }
+        seen.toArray(Array.empty[String])
+      }
+    }
   }
 
   /** C4-style cross-document line dedup: a "line" occurring in more than
@@ -306,11 +325,14 @@ object ScaleOps {
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     isEval: Column, n: Int): DataFrame = {
+    val sh = wordShingles(n)
     val ev = docs.filter(isEval)
-      .select(explode(wordShingles(col(textCol), n)).as("s")).distinct()
-    // (id, s) is already distinct: wordShingles array_distincts per doc
-    docs.filter(!isEval)
-      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("s"))
+      .select(explode(sh(col(textCol))).as("s")).distinct()
+    // (id, s) is already distinct: wordShingles dedups per doc.
+    // widen: the per-row shingle UDF must not run on the fixture's
+    // single input split (Tables.widen is a no-op on well-split input)
+    Tables.widen(docs.filter(!isEval))
+      .select(col(idCol), explode(sh(col(textCol))).as("s"))
       .join(broadcast(ev), "s")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
       .orderBy(idCol)
