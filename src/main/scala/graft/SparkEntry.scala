@@ -120,6 +120,7 @@ object SparkEntry {
     "q89_keeper_dedup"     -> ScaleOps.q89KeeperDedup _,
     "q90_quality_cutoff"   -> ScaleOps.q90QualityCutoff _,
     "q91_source_mixture"   -> ScaleOps.q91SourceMixture _,
+    "q92_incremental_dedup" -> ScaleOps.q92IncrementalDedup _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1123,5 +1124,17 @@ object SparkEntry {
            CASE source WHEN 'src0' THEN 16 WHEN 'src1' THEN 12
                        WHEN 'src2' THEN 8 WHEN 'src3' THEN 4 ELSE 2 END
          ORDER BY doc_id""",
+    // new batch (top 20% of doc_id) deduped against the lake's fp index
+    // (anti-join) and then within itself (first-occurrence window)
+    "q92_incremental_dedup" ->
+      """WITH c AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS cut FROM documents),
+         f AS (SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
+         FROM documents),
+         lake AS (SELECT DISTINCT fp FROM f, c WHERE f.doc_id <= c.cut),
+         batch AS (SELECT f.doc_id, f.fp FROM f, c WHERE f.doc_id > c.cut),
+         fresh AS (SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM lake)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM fresh)
+         SELECT doc_id, fp FROM r WHERE rk = 1 ORDER BY doc_id""",
   )
 }

@@ -437,6 +437,40 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup — the form dedup actually takes on a live lake:
+    * a NEW batch is cleaned against the EXISTING corpus's fingerprint
+    * index plus itself, never re-deduping the whole lake. Three parts,
+    * each already the scale-correct primitive: (a) anti-join the batch
+    * against the lake's fp index (at 100 TB that index is a bucketed
+    * table co-partitioned with this join — BucketingSpec pins the
+    * no-Exchange plan for exactly this; here it shuffle-joins), (b)
+    * first-occurrence keep WITHIN the batch (q23's window), (c) the
+    * survivors are what appends. Stand-in split: lake = doc_id < 80%
+    * boundary, batch = the rest.
+    */
+  def incrementalDedup(batch: DataFrame, lakeFps: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val fped = batch.select(col(idCol),
+      Dedup.canonicalFingerprint(col(textCol)).as("fp"))
+    val fresh = fped.join(lakeFps, Seq("fp"), "left_anti")
+    val first = Window.partitionBy("fp").orderBy(idCol)
+    fresh.withColumn("rk", row_number().over(first))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("fp"))
+      .orderBy(idCol)
+  }
+
+  def q92IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // the 80% boundary is a scalar agg broadcast back (q90's pattern)
+    val cut = docs.agg(floor(max("doc_id") * 0.8).cast("long").as("cut"))
+    val withCut = docs.crossJoin(broadcast(cut))
+    val lakeFps = withCut.filter(col("doc_id") <= col("cut"))
+      .select(Dedup.canonicalFingerprint(col("text")).as("fp")).distinct()
+    incrementalDedup(withCut.filter(col("doc_id") > col("cut")),
+      lakeFps, "doc_id", "text")
+  }
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.

@@ -102,6 +102,21 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedup drops lake-known fps, keeps first occurrence within the batch") {
+    import spark.implicits._
+    val batch = Seq(
+      (10L, "a b c"),  // fp known to the lake -> dropped
+      (11L, "x y z"),  // fresh, first occurrence -> kept
+      (12L, "z y x"),  // same word set as 11 -> dropped (within-batch)
+      (13L, "p q r")   // fresh -> kept
+    ).toDF("doc_id", "text")
+    val lakeFps = Seq(Tuple1("c b a")).toDF("text")
+      .select(graft.dedup.Dedup.canonicalFingerprint(col("text")).as("fp"))
+    val out = ScaleOps.incrementalDedup(batch, lakeFps, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(11L, 13L))
+  }
+
   test("keeperDedup keeps the most-token member of each duplicate cluster") {
     import spark.implicits._
     val docs = Seq(
