@@ -121,6 +121,8 @@ object SparkEntry {
     "q90_quality_cutoff"   -> ScaleOps.q90QualityCutoff _,
     "q91_source_mixture"   -> ScaleOps.q91SourceMixture _,
     "q92_incremental_dedup" -> ScaleOps.q92IncrementalDedup _,
+    "q93_rank_metrics"     -> ScaleOps.q93RankMetrics _,
+    "q94_ngram_diversity"  -> TextOps.q94NgramDiversity _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1136,5 +1138,42 @@ object SparkEntry {
          fresh AS (SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM lake)),
          r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM fresh)
          SELECT doc_id, fp FROM r WHERE rk = 1 ORDER BY doc_id""",
+    // MRR/nDCG@10 with binary same-label relevance; IDCG truncated at
+    // min(relevant-in-corpus, 10); ranks off the 4-dp-rounded cosine
+    // (identical ordering both engines, as q28/q30)
+    "q93_rank_metrics" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS expected FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS nid, embedding AS cv, label AS nl FROM embeddings WHERE vec_id >= 20),
+         s AS (SELECT qid, expected, nid, nl,
+           round(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])))), 4) AS score
+           FROM q, c),
+         r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM s),
+         t AS (SELECT * FROM r WHERE rank <= 10),
+         lc AS (SELECT nl AS expected, count(*) AS n_rel FROM c GROUP BY nl),
+         pq AS (SELECT qid, expected,
+                 max(CASE WHEN nl = expected THEN 1.0/rank ELSE 0.0 END) AS rr,
+                 sum(CASE WHEN nl = expected THEN 1.0/(ln(rank + 1.0)/ln(2.0)) ELSE 0.0 END) AS dcg
+               FROM t GROUP BY qid, expected),
+         i AS (SELECT pq.qid, pq.rr, pq.dcg,
+                 list_sum([1.0/(ln(g + 1.0)/ln(2.0))
+                           for g in generate_series(1, CAST(least(lc.n_rel, 10) AS BIGINT))]) AS idcg
+               FROM pq JOIN lc ON pq.expected = lc.expected)
+         SELECT qid AS query_id,
+           floor(rr * 10000.0 + 0.5)/10000.0 AS rr,
+           floor(CASE WHEN idcg > 0 THEN dcg/idcg ELSE 0.0 END * 10000.0 + 0.5)/10000.0 AS ndcg
+         FROM i ORDER BY query_id""",
+    // per-source bigram type-token ratio (q82's pair formation)
+    "q94_ngram_diversity" ->
+      """WITH w AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+               FROM documents),
+         b AS (SELECT source, ws[i] || ' ' || ws[i+1] AS bigram
+               FROM (SELECT source, ws, unnest(generate_series(1, len(ws)-1)) AS i
+                     FROM w WHERE len(ws) > 1))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(count(DISTINCT bigram) AS BIGINT) AS n_distinct,
+           floor(CAST(count(DISTINCT bigram) AS DOUBLE) / count(*) * 10000.0 + 0.5)/10000.0 AS diversity
+         FROM b GROUP BY source ORDER BY source""",
   )
 }

@@ -89,6 +89,17 @@ object ScaleOps {
       "vec_id", "vec_id", "embedding", "label", 10)
   }
 
+  /** MRR/nDCG@10 retrieval eval — the rank-quality twin of q30's
+    * recall gate (a pipeline that gates on recall alone ships rank
+    * regressions silently; production gates track all three).
+    */
+  def q93RankMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    VectorOps.rankMetrics(
+      e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+      "vec_id", "vec_id", "embedding", "label", 10)
+  }
+
   /** Widening threshold cascade 0.45 → 0.30 (reference main.py:374-381). */
   def q31ThresholdCascade(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)

@@ -121,6 +121,29 @@ object TextOps {
     * partial-aggregates map-side. Deterministic total order
     * (count desc, bigram asc) before the limit.
     */
+  /** Per-source bigram diversity (distinct / total word-2-grams): the
+    * type-token ratio on bigrams — a corpus diversity signal the data-
+    * mixing step reads next to quality scores (a source whose diversity
+    * collapses is template spam, whatever its quality score says).
+    * Same zip_with pair formation as q82, ONE shuffle (the group-by):
+    * count + count-distinct are partial-aggregable per source.
+    */
+  def q94NgramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val pairs = zip_with(words, slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+      (x, y) => when(y.isNull, lit(null)).otherwise(concat(x, lit(" "), y)))
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(pairs).as("bigram"))
+      .filter(col("bigram").isNotNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bigram")).as("n_distinct"))
+      .select(col("source"), col("n_bigrams"), col("n_distinct"),
+        (floor(col("n_distinct").cast("double") / col("n_bigrams")
+          * 10000.0 + 0.5) / 10000.0).as("diversity"))
+      .orderBy("source")
+  }
+
   def q82BigramTopk(spark: SparkSession, dir: String): DataFrame = {
     val words = split(lower(trim(col("text"))), "\\s+")
     val pairs = zip_with(words, slice(words, lit(2), greatest(size(words) - 1, lit(0))),

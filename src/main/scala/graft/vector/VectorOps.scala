@@ -287,6 +287,54 @@ object VectorOps {
     hits.agg(round(avg("hit"), 4).as("recall"))
   }
 
+  /** Per-query rank metrics over exact cosine top-k with binary
+    * same-label relevance: reciprocal rank of the first relevant hit
+    * (MRR's per-query term) and nDCG@k with the ideal DCG truncated at
+    * min(relevant-in-corpus, k). Same shape as recallAtK — queries
+    * broadcast, corpus never shuffles, the window ships only
+    * (query_id, rank, rel) — plus a tiny per-label count agg broadcast
+    * back for the IDCG denominator. The ≤k-element IDCG sum runs
+    * through an `aggregate` HOF: interpreted, but over at most k
+    * elements per QUERY (not per corpus row), so it never touches the
+    * hot path.
+    */
+  def rankMetrics(queries: DataFrame, corpus: DataFrame, qId: String,
+                  cId: String, vecCol: String, labelCol: String,
+                  k: Int): DataFrame = {
+    val ln2 = math.log(2.0)
+    val q = queries.select(col(qId).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("expected"))
+      .withColumn("nq", l2Norm(col("qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(vecCol).as("cv"),
+        col(labelCol).as("nl"))
+      .withColumn("nc", l2Norm(col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val perQ = broadcast(q).crossJoin(c)
+      .withColumn("score", cosinePre(col("qv"), col("cv"), col("nq"), col("nc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("rel", when(col("nl") === col("expected"), 1.0).otherwise(0.0))
+      .groupBy("query_id", "expected")
+      .agg(
+        max(col("rel") / col("rank")).as("rr"),
+        sum(col("rel") / (log(col("rank").cast("double") + 1.0) / ln2)).as("dcg"))
+    val labCounts = c.groupBy(col("nl").as("expected"))
+      .agg(count(lit(1)).as("n_rel"))
+    perQ.join(broadcast(labCounts), "expected")
+      .withColumn("m", least(col("n_rel"), lit(k)).cast("int"))
+      .withColumn("idcg",
+        when(col("m") >= 1,
+          aggregate(sequence(lit(1), col("m")), lit(0.0),
+            (acc, r) => acc + lit(1.0) / (log(r.cast("double") + 1.0) / ln2)))
+          .otherwise(lit(0.0)))
+      .select(col("query_id"),
+        (floor(col("rr") * 10000.0 + 0.5) / 10000.0).as("rr"),
+        (floor(when(col("idcg") > 0.0, col("dcg") / col("idcg")).otherwise(0.0)
+          * 10000.0 + 0.5) / 10000.0).as("ndcg"))
+      .orderBy("query_id")
+  }
+
   /** Widening threshold cascade (reference main.py:374-381): primary
     * threshold, and only queries with zero primary hits fall back to the
     * lower tier. Anti-join keeps the fallback scan restricted to the

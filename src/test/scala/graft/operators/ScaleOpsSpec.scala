@@ -117,6 +117,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(11L, 13L))
   }
 
+  test("ngram diversity: one row per source, ratio in (0,1], distinct <= total") {
+    val rows = graft.operators.TextOps.q94NgramDiversity(spark, sfDir).collect()
+    val nSources = graft.Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(rows.length == nSources)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_bigrams")
+      val dist = r.getAs[Long]("n_distinct")
+      val div = r.getAs[Double]("diversity")
+      assert(dist >= 1 && dist <= total)
+      assert(div > 0.0 && div <= 1.0)
+    }
+  }
+
   test("keeperDedup keeps the most-token member of each duplicate cluster") {
     import spark.implicits._
     val docs = Seq(

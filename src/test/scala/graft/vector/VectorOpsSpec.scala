@@ -9,6 +9,25 @@ class VectorOpsSpec extends SparkSpec {
   private lazy val queries = e.filter(col("vec_id") < 10)
   private lazy val corpus = e.filter(col("vec_id") >= 10)
 
+  test("rank metrics: rr is first-relevant reciprocal rank, ndcg matches hand computation") {
+    import spark.implicits._
+    val q = Seq((0L, Array(1f, 0f), "A")).toDF("vec_id", "embedding", "label")
+    val c = Seq(
+      (10L, Array(1f, 0f), "A"),     // cos 1.0     rank 1, relevant
+      (11L, Array(0.9f, 0.1f), "B"), // cos ~0.9939 rank 2
+      (12L, Array(0.5f, 0.5f), "A")  // cos ~0.7071 rank 3, relevant
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.rankMetrics(q, c, "vec_id", "vec_id", "embedding", "label", 10)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("rr") == 1.0)
+    // dcg = 1/log2(2) + 1/log2(4); idcg over n_rel=2 = 1/log2(2) + 1/log2(3)
+    val dcg = 1.0 + 1.0 / 2.0
+    val idcg = 1.0 + 1.0 / (math.log(3.0) / math.log(2.0))
+    val expected = math.floor(dcg / idcg * 10000.0 + 0.5) / 10000.0
+    assert(out(0).getAs[Double]("ndcg") == expected)
+  }
+
   test("brute-force knn: k rows per query, scores non-increasing") {
     val res = VectorOps.knnBrute(queries, corpus, "vec_id", "vec_id", "embedding", 5)
       .collect().groupBy(_.getAs[Long]("query_id"))
