@@ -123,6 +123,12 @@ object SparkEntry {
     "q92_incremental_dedup" -> ScaleOps.q92IncrementalDedup _,
     "q93_rank_metrics"     -> ScaleOps.q93RankMetrics _,
     "q94_ngram_diversity"  -> TextOps.q94NgramDiversity _,
+    "q95_hard_negatives"   -> ScaleOps.q95HardNegatives _,
+    "q96_length_histogram" -> ScaleOps.q96LengthHistogram _,
+    // no oracle: zlib deflate is not SQL-expressible; semantics pinned
+    // by TextAnalysisSpec (repetition compresses tighter, bounds,
+    // determinism)
+    "q97_compression_ratio" -> TextOps.q97CompressionRatio _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1175,5 +1181,29 @@ object SparkEntry {
            CAST(count(DISTINCT bigram) AS BIGINT) AS n_distinct,
            floor(CAST(count(DISTINCT bigram) AS DOUBLE) / count(*) * 10000.0 + 0.5)/10000.0 AS diversity
          FROM b GROUP BY source ORDER BY source""",
+    // q28's shape with the relevance filter BEFORE the window: rank is
+    // over wrong-label negatives only
+    "q95_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS expected FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS nid, embedding AS cv, label AS nl FROM embeddings WHERE vec_id >= 20),
+         s AS (SELECT qid, nid,
+           round(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])))), 4) AS score
+           FROM q, c WHERE nl <> expected),
+         r AS (SELECT qid, nid, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+               FROM s)
+         SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, score
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // bucket = floor(log2(n_tokens)) via exact bit logic (length of the
+    // binary repr minus 1): ln(64)/ln(2) sits an ulp under 6.0
+    "q96_length_histogram" ->
+      """WITH d AS (SELECT source,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         FROM documents)
+         SELECT source, CAST(length(bin(n_tokens)) - 1 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM d GROUP BY source, bucket ORDER BY source, bucket""",
   )
 }

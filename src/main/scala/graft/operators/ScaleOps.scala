@@ -100,6 +100,34 @@ object ScaleOps {
       "vec_id", "vec_id", "embedding", "label", 10)
   }
 
+  /** Hard-negative mining (top-5 wrong-label by cosine) for the same
+    * query/corpus split as q28/q30/q93 — the training-data face of the
+    * retrieval stack.
+    */
+  def q95HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    VectorOps.hardNegatives(
+      e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+      "vec_id", "vec_id", "embedding", "label", 5)
+  }
+
+  /** Per-source token-length histogram in power-of-two buckets — the
+    * length-distribution profile every ingest monitors (a source whose
+    * mass shifts buckets between batches changed its upstream). Bucket
+    * = floor(log2(n_tokens)) computed EXACTLY as length(bin(n)) - 1 —
+    * integer bit logic, engine-identical, where ln(x)/ln(2) would sit
+    * an ulp below 6.0 at exactly 64 tokens. One partial-aggregable
+    * group-by.
+    */
+  def q96LengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        (length(bin(TextAnalysis.tokenCount(col("text")).cast("long"))) - 1)
+          .cast("int").as("bucket"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "bucket")
+
   /** Widening threshold cascade 0.45 → 0.30 (reference main.py:374-381). */
   def q31ThresholdCascade(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)

@@ -144,6 +144,20 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Compression-ratio quality signal (Gopher/RefinedWeb): deflate
+    * bytes / raw bytes per doc, with a repetitive flag at < 0.35. No
+    * SQL oracle (zlib isn't expressible in the oracle engine) — rows-
+    * only; semantics pinned by TextAnalysisSpec. `Tables.widen` keeps
+    * the per-row UDF parallel on the single-split fixture.
+    */
+  def q97CompressionRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextAnalysis.compressionRatio(col("text")).as("ratio"))
+      .withColumn("repetitive", col("ratio") < 0.35)
+      .orderBy("doc_id")
+
   def q82BigramTopk(spark: SparkSession, dir: String): DataFrame = {
     val words = split(lower(trim(col("text"))), "\\s+")
     val pairs = zip_with(words, slice(words, lit(2), greatest(size(words) - 1, lit(0))),

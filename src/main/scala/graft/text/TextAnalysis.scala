@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * language ID, quality scoring, token counting, document fingerprinting.
-  * All pure column expressions (codegen'd, no UDFs) so they run at full
+  * Pure column expressions (codegen'd, no UDFs) so they run at full
   * scan throughput — at 100 TB these are applied in the same stage as the
-  * parquet scan, no shuffle.
+  * parquet scan, no shuffle. The one exception is `compressionRatio`
+  * (zlib has no expression form): a narrow scan-stage UDF with a
+  * thread-local Deflater.
   */
 object TextAnalysis {
 
@@ -61,6 +63,36 @@ object TextAnalysis {
     // shortest decimal repr) and DuckDB (binary nearbyint) disagree by
     // 1e-4. Pure IEEE double ops are bit-identical in every engine.
     floor((lenScore + punctScore + stopScore + wlenScore) / 4.0 * 10000.0 + 0.5) / 10000.0
+  }
+
+  /** Deflate compression ratio (compressed bytes / raw bytes, level 6)
+    * — the Gopher/RefinedWeb repetitiveness signal: templated or
+    * looped text compresses far below natural prose, whatever its
+    * token stats say. Not SQL-expressible (no zlib in the oracle
+    * engine), so the registered query is rows-only and the semantics
+    * (repetition compresses tighter, bounds, determinism) are pinned
+    * by TextAnalysisSpec. The Deflater is thread-local and reset per
+    * row — one native allocation per task thread, not per row.
+    */
+  def compressionRatio(c: Column): Column = compressionRatioUdf(c)
+
+  private lazy val compressionRatioUdf = udf { s: String =>
+    if (s == null || s.isEmpty) 0.0
+    else {
+      val raw = s.getBytes("UTF-8")
+      val d = TextAnalysis.deflaters.get()
+      d.reset()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      math.floor(total.toDouble / raw.length * 10000.0 + 0.5) / 10000.0
+    }
+  }
+
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6)
   }
 
   /** Document fingerprint: md5 of the casefolded, whitespace-normalized

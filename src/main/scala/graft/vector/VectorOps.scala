@@ -335,6 +335,34 @@ object VectorOps {
       .orderBy("query_id")
   }
 
+  /** Hard-negative mining for contrastive retrieval training: per
+    * query, the top-k highest-cosine corpus items whose label DIFFERS —
+    * the negatives that actually teach a ranker (random negatives are
+    * trivially separable; the hard ones sit just under the decision
+    * boundary). Identical shape to knnBrute with the relevance filter
+    * applied BEFORE the window, so the rank is over negatives only.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, qId: String,
+                    cId: String, vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("expected"))
+      .withColumn("nq", l2Norm(col("qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(vecCol).as("cv"),
+        col(labelCol).as("nl"))
+      .withColumn("nc", l2Norm(col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    broadcast(q).crossJoin(c)
+      .withColumn("score", cosinePre(col("qv"), col("cv"), col("nq"), col("nc")))
+      .filter(col("nl") =!= col("expected"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Widening threshold cascade (reference main.py:374-381): primary
     * threshold, and only queries with zero primary hits fall back to the
     * lower tier. Anti-join keeps the fallback scan restricted to the
