@@ -129,6 +129,7 @@ object SparkEntry {
     // by TextAnalysisSpec (repetition compresses tighter, bounds,
     // determinism)
     "q97_compression_ratio" -> TextOps.q97CompressionRatio _,
+    "q98_curation_pipeline" -> ScaleOps.q98CurationPipeline _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1205,5 +1206,63 @@ object SparkEntry {
          SELECT source, CAST(length(bin(n_tokens)) - 1 AS INT) AS bucket,
            CAST(count(*) AS BIGINT) AS n_docs
          FROM d GROUP BY source, bucket ORDER BY source, bucket""",
+    // the full pipeline composition: q91 mixture (eval excluded) → q16
+    // quality floor → q85 line dedup → q23 exact dedup on kept_text →
+    // q87 decontamination vs the raw eval slice → q88 packing
+    "q98_curation_pipeline" ->
+      """WITH base AS (
+           SELECT doc_id, source, text FROM documents
+           WHERE doc_id % 97 <> 0
+             AND strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 <
+                 CASE source WHEN 'src0' THEN 16 WHEN 'src1' THEN 12
+                             WHEN 'src2' THEN 8 WHEN 'src3' THEN 4 ELSE 2 END),
+         qs AS (SELECT doc_id,
+                  CAST(length(text) AS DOUBLE) AS n_chars,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+                  CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+                  CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
+                FROM base),
+         ql AS (SELECT doc_id, floor((
+                  least(n_chars / 500.0, 1.0)
+                  + (1.0 - least(n_punct / greatest(n_words, 1.0) * 2.0, 1.0))
+                  + least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0)
+                  + CASE WHEN n_chars / greatest(n_words, 1.0) >= 3.0
+                          AND n_chars / greatest(n_words, 1.0) <= 10.0 THEN 1.0 ELSE 0.5 END
+                  ) / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality FROM qs),
+         sampled AS (SELECT base.doc_id, base.source, base.text
+                     FROM base JOIN ql USING (doc_id) WHERE ql.quality >= 0.5),
+         w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws FROM sampled),
+         c AS (SELECT doc_id, source,
+                 unnest(generate_series(0, greatest(CAST(ceil(len(ws)/10.0) AS BIGINT), 1) - 1)) AS i,
+                 ws FROM w),
+         x AS (SELECT doc_id, source, i,
+                 array_to_string(list_slice(ws, CAST(i*10+1 AS BIGINT), CAST(i*10+10 AS BIGINT)), ' ') AS line
+               FROM c),
+         l AS (SELECT * FROM x WHERE line <> ''),
+         r AS (SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, i) AS rk FROM l),
+         k AS (SELECT doc_id, source, array_to_string(list(line ORDER BY i), ' ') AS kept_text
+               FROM r WHERE rk = 1 GROUP BY doc_id, source),
+         f AS (SELECT *, md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(kept_text), '\s+'))), ' ')) AS fp FROM k),
+         e AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk2 FROM f),
+         ed AS (SELECT doc_id, source, kept_text FROM e WHERE rk2 = 1),
+         evw AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents WHERE doc_id % 97 = 0),
+         ev AS (SELECT DISTINCT unnest([array_to_string(ws[i:i+3], ' ') for i in generate_series(1, len(ws)-3)]) AS s
+                FROM evw WHERE len(ws) >= 4),
+         tw AS (SELECT doc_id, regexp_split_to_array(trim(kept_text), '\s+') AS ws2 FROM ed),
+         tsh AS (SELECT DISTINCT doc_id,
+                   unnest([array_to_string(ws2[i:i+3], ' ') for i in generate_series(1, len(ws2)-3)]) AS s
+                 FROM tw WHERE len(ws2) >= 4),
+         cont AS (SELECT DISTINCT tsh.doc_id FROM tsh JOIN ev ON tsh.s = ev.s),
+         clean AS (SELECT ed.doc_id, ed.source, ed.kept_text FROM ed
+                   WHERE ed.doc_id NOT IN (SELECT doc_id FROM cont)),
+         d AS (SELECT doc_id, source,
+                 CAST(len(regexp_split_to_array(trim(kept_text), '\s+')) AS BIGINT) AS n_tokens
+               FROM clean),
+         sums AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+                  FROM d)
+         SELECT source, CAST(floor(start_tok / 512.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM sums GROUP BY source, bin ORDER BY source, bin""",
   )
 }

@@ -292,10 +292,10 @@ object ScaleOps {
     * per-doc aggregation.
     */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
-                lineWords: Int): DataFrame = {
+                lineWords: Int, carry: Seq[String] = Nil): DataFrame = {
     val lines = docs
-      .select(col(idCol),
-        posexplode(graft.text.Chunker.wordChunks(col(textCol), lineWords)))
+      .select(col(idCol) +: carry.map(col) :+
+        posexplode(graft.text.Chunker.wordChunks(col(textCol), lineWords)): _*)
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "line")
     val first = Window.partitionBy("line").orderBy(col(idCol), col("i"))
     // ONE scan, TWO shuffles: every line (kept or not) flows into the
@@ -305,7 +305,7 @@ object ScaleOps {
     // broadcast join; this shape: 1 scan, 2 exchanges, no join).
     // collect_list skips the nulls the when() leaves for dropped lines.
     lines.withColumn("kept", row_number().over(first) === 1)
-      .groupBy(idCol)
+      .groupBy(idCol, carry: _*)
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         array_join(
@@ -313,8 +313,8 @@ object ScaleOps {
             array_sort(collect_list(when(col("kept"), struct(col("i"), col("line"))))),
             x => x.getField("line")), " ").as("kept_text"))
       .filter(col("n_kept") > 0)
-      .select(col(idCol), col("n_kept"),
-        (col("n_lines") - col("n_kept")).as("n_dropped"), col("kept_text"))
+      .select(col(idCol) +: carry.map(col) :+ col("n_kept") :+
+        (col("n_lines") - col("n_kept")).as("n_dropped") :+ col("kept_text"): _*)
       .orderBy(idCol)
   }
 
@@ -508,6 +508,57 @@ object ScaleOps {
       .select(Dedup.canonicalFingerprint(col("text")).as("fp")).distinct()
     incrementalDedup(withCut.filter(col("doc_id") > col("cut")),
       lakeFps, "doc_id", "text")
+  }
+
+  /** The full modern training-data pipeline as ONE declarative plan —
+    * the composition a 100 TB curation run actually executes, each
+    * stage an operator already oracle-verified in isolation:
+    * mixture sample (q91's md5 16ths, eval slice excluded) → quality
+    * floor (q16's score ≥ 0.5) → cross-doc line dedup with reassembly
+    * (q85) → exact dedup first-keep on the deduped text (q23) →
+    * decontaminate against the raw eval slice's 4-gram shingles (q87)
+    * → pack into 512-token bins per source (q88). Catalyst sees the
+    * whole thing at once: the first three predicates all run in the
+    * scan stage, and the only wide operations are the ones the
+    * operators themselves own (line window, fp window, broadcast
+    * shingle probe, per-shard pack windows). Output: the per-bin
+    * manifest a trainer would consume.
+    */
+  def q98CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+      .cast("int")
+    val rate = when(col("source") === "src0", 16)
+      .when(col("source") === "src1", 12)
+      .when(col("source") === "src2", 8)
+      .when(col("source") === "src3", 4)
+      .otherwise(2)
+    val isEval = col("doc_id") % 97 === 0
+    // 1+2: mixture sample, eval excluded, quality floor — all narrow
+    val sampled = docs.filter(!isEval && bucket < rate &&
+      TextAnalysis.qualityScore(col("text")) >= 0.5)
+    // 3: cross-doc line dedup, source carried through the reassembly
+    val lineDeduped = lineDedup(sampled, "doc_id", "text", 10, carry = Seq("source"))
+    // 4: exact dedup (first occurrence) on the REASSEMBLED text
+    val fpw = Window.partitionBy("fp").orderBy("doc_id")
+    val exactDeduped = lineDeduped
+      .withColumn("fp", Dedup.canonicalFingerprint(col("kept_text")))
+      .withColumn("rk", row_number().over(fpw))
+      .filter(col("rk") === 1)
+    // 5: drop docs sharing any 4-gram with the raw eval slice
+    val sh = wordShingles(4)
+    val evalShingles = docs.filter(isEval)
+      .select(explode(sh(col("text"))).as("s")).distinct()
+    val contaminated = exactDeduped
+      .select(col("doc_id"), explode(sh(col("kept_text"))).as("s"))
+      .join(broadcast(evalShingles), "s")
+      .select("doc_id").distinct()
+    val clean = exactDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // 6: pack the survivors into 512-token bins per source
+    packSequences(
+      clean.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("kept_text")).cast("long").as("n_tokens")),
+      "source", "doc_id", "n_tokens", 512L)
   }
 
   /** Greedy token-budget context packing (reference main.py:355-363):

@@ -131,6 +131,19 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("curation pipeline: output shrinks vs raw corpus, bins start at 0 per source") {
+    val out = ScaleOps.q98CurationPipeline(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(1)).min == 0L, s"$src bins must start at 0")
+    }
+    // every stage only removes: packed tokens < raw corpus tokens
+    val packed = out.map(_.getLong(3)).sum
+    val raw = graft.Tables.documents(spark, sfDir)
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))).head.getLong(0)
+    assert(packed > 0 && packed < raw)
+  }
+
   test("keeperDedup keeps the most-token member of each duplicate cluster") {
     import spark.implicits._
     val docs = Seq(
