@@ -130,6 +130,8 @@ object SparkEntry {
     // determinism)
     "q97_compression_ratio" -> TextOps.q97CompressionRatio _,
     "q98_curation_pipeline" -> ScaleOps.q98CurationPipeline _,
+    "q99_column_profile"   -> ScaleOps.q99ColumnProfile _,
+    "q100_stream_lake_filter" -> Events.q100StreamLakeFilter _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1264,5 +1266,30 @@ object SparkEntry {
          SELECT source, CAST(floor(start_tok / 512.0) AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          FROM sums GROUP BY source, bin ORDER BY source, bin""",
+    // melt -> one group-by: ndv on each engine's own (injective) string
+    // form, so counts agree even where float formatting differs
+    "q99_column_profile" ->
+      """WITH m AS (
+           SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+           UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+           UNION ALL SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+           UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+           UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+           UNION ALL SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders)
+         SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT v) AS BIGINT) AS ndv
+         FROM m GROUP BY col_name ORDER BY col_name""",
+    // the streamed lake filter is exactly the batch anti-join (no
+    // within-stream dedup — q92 owns that; see Events.q100StreamLakeFilter)
+    "q100_stream_lake_filter" ->
+      """WITH c AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS cut FROM documents),
+         f AS (SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
+         FROM documents),
+         lake AS (SELECT DISTINCT fp FROM f, c WHERE f.doc_id <= c.cut),
+         batch AS (SELECT f.doc_id, f.fp FROM f, c WHERE f.doc_id > c.cut)
+         SELECT doc_id, fp FROM batch WHERE fp NOT IN (SELECT fp FROM lake)
+         ORDER BY doc_id""",
   )
 }

@@ -561,6 +561,30 @@ object ScaleOps {
       "source", "doc_id", "n_tokens", 512L)
   }
 
+  /** One-pass column profiler — the data-quality sweep run before any
+    * table joins a pipeline: per column, row/null counts and exact ndv.
+    * The table is MELTED (explode of (col_name, value-as-string)
+    * structs) so one scan and one group-by profile every column —
+    * the per-column-query alternative scans the table once per column.
+    * ndv counts are computed on each engine's own string form, which is
+    * injective per engine, so the COUNTS agree even where float
+    * formatting differs. At 100 TB swap countDistinct for the HLL
+    * sketch under q68/q86's tolerance gate; the melt shape is unchanged.
+    */
+  def q99ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    Tables(spark, dir, "orders")
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("ndv"))
+      .orderBy("col_name")
+  }
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.

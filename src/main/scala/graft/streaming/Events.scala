@@ -534,6 +534,46 @@ object Events {
     * must be shared storage — HDFS/S3 — since executors, not the
     * driver, write the sink files.)
     */
+  /** Streaming twin of q92's lake-side half: a document STREAM filtered
+    * against the static lake fingerprint index — the already-ingested
+    * filter every continuous crawl runs (URLs/doc fps seen before are
+    * dropped on the way in). Stream-static joins support inner/left-
+    * outer/left-semi but NOT left-anti, so the anti is the equivalent
+    * left-outer + IS NULL on a lake marker column. Deliberately NO
+    * within-stream dedup here: which copy of an intra-batch duplicate
+    * survives a stateful dropDuplicates depends on micro-batch order,
+    * which would make the output non-deterministic — q92 (batch) owns
+    * the within-batch first-keep; this op owns the against-lake filter,
+    * and its output is exactly the batch anti-join (the oracle). On a
+    * 24/7 stream the lake side is a compacted, bucketed table refreshed
+    * per ingest cycle; state here is ZERO (no watermark needed — the
+    * join is stateless per micro-batch).
+    */
+  def q100StreamLakeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(floor(max("doc_id") * 0.8).cast("long")).head.getLong(0)
+    val lakeFps = docs.filter(col("doc_id") <= cut)
+      .select(graft.dedup.Dedup.canonicalFingerprint(col("text")).as("fp"))
+      .distinct()
+      .withColumn("in_lake", lit(true))
+    val tmp = graft.TempDirs.scratch("q100_lake_filter")
+    val out = tmp.resolve("out").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") > cut)
+      .withColumn("fp", graft.dedup.Dedup.canonicalFingerprint(col("text")))
+      .join(lakeFps, Seq("fp"), "left_outer")
+      .filter(col("in_lake").isNull)
+      .select("doc_id", "fp")
+    val sq = stream.writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    spark.read.parquet(out).orderBy("doc_id")
+  }
+
   def q70StreamAsof(spark: SparkSession, dir: String): DataFrame = {
     val tmp = graft.TempDirs.scratch("q70_stream_asof")
     val out = tmp.resolve("out").toString

@@ -92,6 +92,20 @@ class EventsSpec extends SparkSpec {
     assert(again == batch, "second q70 invocation must reproduce the result")
   }
 
+  test("stream-static lake filter equals the batch anti-join; q92 = its first-keep subset") {
+    import org.apache.spark.sql.functions._
+    val streamed = Events.q100StreamLakeFilter(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val batchIncr = graft.operators.ScaleOps.q92IncrementalDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(streamed.nonEmpty)
+    // q92 additionally first-keeps within the batch, so it is a subset
+    // with the same fp set
+    assert(batchIncr.toSet.subsetOf(streamed.toSet))
+    assert(streamed.map(_._2).toSet == batchIncr.map(_._2).toSet,
+      "within-batch dedup must not change WHICH fps survive the lake filter")
+  }
+
   test("streaming dedup (dropDuplicatesWithinWatermark) keeps the batch key set") {
     val q = Events.streamingDedup(spark, sfDir, "stream_dedup")
     q.processAllAvailable(); q.stop()
