@@ -287,9 +287,10 @@ object ScaleOps {
     * boilerplate-removal pass verbatim. 100 TB shape: ONE shuffle
     * partitions by line text (the row_number window is per-line argmin —
     * bounded state per key, skew-safe because a line's copies are
-    * capped by corpus repetition, and a salted two-phase argmin is the
-    * escape hatch for pathological boilerplate); reassembly is a narrow
-    * per-doc aggregation.
+    * capped by corpus repetition; for pathological boilerplate the
+    * escape hatch is `lineDedupSalted`, a two-phase argmin where no
+    * raw row ever shuffles on the line key, equality-pinned incl. on a
+    * hot-line fixture); reassembly is a narrow per-doc aggregation.
     */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
                 lineWords: Int, carry: Seq[String] = Nil): DataFrame = {
@@ -320,6 +321,47 @@ object ScaleOps {
 
   def q85LineDedup(spark: SparkSession, dir: String): DataFrame =
     lineDedup(Tables.documents(spark, dir), "doc_id", "text", 10)
+
+  /** Salted two-phase variant of `lineDedup` for PATHOLOGICAL
+    * boilerplate — a line occurring ~10⁹ times makes the window form's
+    * line partition one hot task. Here NO raw line row ever shuffles
+    * on the line key: phase 1 computes argmin(doc,i) per (line, salt)
+    * with map-side partial aggregation (a hot line spreads over
+    * `salts` reducers and each map task emits ONE partial per
+    * (line,salt)); phase 2 reduces the ≤`salts` partials per line to
+    * the global winner. Totals come from a doc-keyed count (partial-
+    * aggregable, skew-free), and reassembly reads only the winners —
+    * one row per DISTINCT line. Every shuffle carries aggregates, not
+    * rows. Output is identical to `lineDedup` (equality-pinned,
+    * including on a hot-line fixture).
+    */
+  def lineDedupSalted(docs: DataFrame, idCol: String, textCol: String,
+                      lineWords: Int, salts: Int = 16,
+                      carry: Seq[String] = Nil): DataFrame = {
+    val lines = docs
+      .select(col(idCol) +: carry.map(col) :+
+        posexplode(graft.text.Chunker.wordChunks(col(textCol), lineWords)): _*)
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "line")
+    val totals = lines.groupBy(idCol, carry: _*)
+      .agg(count(lit(1)).as("n_lines"))
+    // struct comparison is lexicographic by field order == the window
+    // form's orderBy(doc_id, i)
+    val winners = lines
+      .withColumn("salt", pmod(hash(col(idCol), col("i")), lit(salts)))
+      .groupBy("line", "salt")
+      .agg(min(struct(col(idCol).as("d"), col("i").as("i"))).as("w"))
+      .groupBy("line").agg(min("w").as("w"))
+      .select(col("w.d").as(idCol), col("w.i").as("i"), col("line"))
+    winners.groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("line")))),
+            x => x.getField("line")), " ").as("kept_text"))
+      .join(totals, idCol)
+      .select(col(idCol) +: carry.map(col) :+ col("n_kept") :+
+        (col("n_lines") - col("n_kept")).as("n_dropped") :+ col("kept_text"): _*)
+      .orderBy(idCol)
+  }
 
   /** Partial-sketch merge across groups — the algebra that makes sketches
     * the 100 TB profiling tool: per-lang HLL sketches are built in one

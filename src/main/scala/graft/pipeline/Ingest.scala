@@ -26,6 +26,32 @@ object Ingest {
       .partitionBy("year", "month")
       .parquet(path)
 
+  /** Write with in-flight metrics via `Dataset.observe` — the running
+    * pipeline-stats shape (stats_tracker.py's counters, q1's batch
+    * form) collected DURING the write itself: the observe node
+    * accumulates row count / token sum / null count as partitions
+    * stream through the writer, so the stats cost ZERO extra scans —
+    * the naive form (write, then re-read to count) reads the data
+    * twice, which at 100 TB is the difference between metrics being
+    * free and metrics being a second job. Returns (rows, tokenSum,
+    * nullTexts) from the completed write.
+    */
+  def observedWrite(df: DataFrame, textCol: String, path: String): (Long, Long, Long) = {
+    // Observation (a QueryExecutionListener under the hood), not
+    // df.observe(name,...) + queryExecution.observedMetrics: the write
+    // command runs as its OWN execution, so the original frame's
+    // queryExecution never executes and its metrics map stays empty
+    val obs = org.apache.spark.sql.Observation("ingest_stats")
+    df.observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("n_tokens"),
+        sum(when(col(textCol).isNull, 1L).otherwise(0L)).as("n_null"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val m = obs.get
+    (m("n_rows").asInstanceOf[Long], m("n_tokens").asInstanceOf[Long],
+      m("n_null").asInstanceOf[Long])
+  }
+
   /** Idempotent upsert keyed by `keyCol`: existing rows win (the
     * reference short-circuits on existing pmid, pipeline.py:135,158).
     * Dynamic partition overwrite rewrites only the partitions the new

@@ -551,6 +551,10 @@ object Events {
     */
   def q100StreamLakeFilter(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // driver-side scalar (vs q92's in-plan crossJoin broadcast): the cut
+    // must be a LITERAL in the stream's filter predicate — a streaming
+    // plan cannot re-derive it per micro-batch, and in production this
+    // boundary is configuration (the ingest high-watermark), not data
     val cut = docs.agg(floor(max("doc_id") * 0.8).cast("long")).head.getLong(0)
     val lakeFps = docs.filter(col("doc_id") <= cut)
       .select(graft.dedup.Dedup.canonicalFingerprint(col("text")).as("fp"))

@@ -29,6 +29,23 @@ class ScaleOpsSpec extends SparkSpec {
       (2L, 1L, 1L, tenWords("b"))))
   }
 
+  test("lineDedupSalted equals the window form, including on a hot-line corpus") {
+    import spark.implicits._
+    // the real fixture (10-word grid)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val window = ScaleOps.lineDedup(docs, "doc_id", "text", 10).collect().toSeq
+    val salted = ScaleOps.lineDedupSalted(docs, "doc_id", "text", 10).collect().toSeq
+    assert(window.nonEmpty && salted == window)
+    // pathological boilerplate: ONE line shared by all 2000 docs (the
+    // window form funnels every copy into a single line partition; the
+    // salted form never shuffles a raw row on the line key)
+    val hot = (0L until 2000L).map(i => (i, s"the same five word line w$i"))
+      .toDF("doc_id", "text")
+    val w2 = ScaleOps.lineDedup(hot, "doc_id", "text", 5).collect().toSeq
+    val s2 = ScaleOps.lineDedupSalted(hot, "doc_id", "text", 5).collect().toSeq
+    assert(w2.nonEmpty && s2 == w2)
+  }
+
   test("decontaminate flags exactly the train docs sharing an n-gram with the eval slice") {
     import spark.implicits._
     val docs = Seq(

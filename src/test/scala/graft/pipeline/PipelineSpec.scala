@@ -144,6 +144,19 @@ class PipelineSpec extends SparkSpec {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("observedWrite collects stats during the write itself — no second scan") {
+    val dir = tmpDir("observed")
+    val docs = Tables.documents(spark, sfDir)
+    val (rows, tokens, nulls) = Ingest.observedWrite(docs, "text", dir)
+    assert(rows == docs.count())
+    val expectedTokens = docs
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))).head.getLong(0)
+    assert(tokens == expectedTokens)
+    assert(nulls == 0L)
+    // and the write itself is complete and exact
+    assert(spark.read.parquet(dir).count() == rows)
+  }
+
   test("TempDirs.scratch returns one cleared directory per name (no per-invocation pile-up)") {
     val a = graft.TempDirs.scratch("spec_scratch")
     Files.write(a.resolve("x.txt"), "hi".getBytes("UTF-8"))
