@@ -31,5 +31,9 @@ object GraftFunctions {
         checkArity("clean_text", "text STRING", 1)(exprs)
         CleanTextExpr(exprs.head)
       }, "built-in")
+    // scalar UDFs with no Catalyst expression form (zlib): same name
+    // surface for SQL users as the Column API
+    spark.udf.register("compression_ratio",
+      graft.text.TextAnalysis.compressionRatioScala _)
   }
 }

@@ -76,7 +76,10 @@ object TextAnalysis {
     */
   def compressionRatio(c: Column): Column = compressionRatioUdf(c)
 
-  private lazy val compressionRatioUdf = udf { s: String =>
+  /** The scalar form, shared by the Column UDF and the SQL registration
+    * in GraftFunctions.
+    */
+  def compressionRatioScala(s: String): Double =
     if (s == null || s.isEmpty) 0.0
     else {
       val raw = s.getBytes("UTF-8")
@@ -88,7 +91,8 @@ object TextAnalysis {
       while (!d.finished()) total += d.deflate(buf)
       math.floor(total.toDouble / raw.length * 10000.0 + 0.5) / 10000.0
     }
-  }
+
+  private lazy val compressionRatioUdf = udf(compressionRatioScala _)
 
   private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
     override def initialValue(): java.util.zip.Deflater =

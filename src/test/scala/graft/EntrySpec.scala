@@ -38,6 +38,21 @@ class EntrySpec extends SparkSpec {
     assert(viaSql.forall { case (_, d) => math.abs(d - 1.0) < 1e-3 }) // unit vectors
   }
 
+  test("compression_ratio is SQL-registered and matches the Column API") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, sfDir).limit(5).createOrReplaceTempView("docs_cr")
+    val viaSql = spark.sql(
+      "SELECT doc_id, compression_ratio(text) AS r FROM docs_cr ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    import org.apache.spark.sql.functions.col
+    val viaApi = Tables.documents(spark, sfDir).limit(5)
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.compressionRatio(col("text")).as("r"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaSql.toSeq == viaApi.toSeq)
+    assert(viaSql.forall { case (_, r) => r > 0.0 && r <= 1.1 })
+  }
+
   test("GraftExtensions injects dot_product at session build time") {
     import org.apache.spark.sql.SparkSession
     spark.sparkContext // ensure the shared context exists first
