@@ -383,6 +383,34 @@ object Events {
       .start()
   }
 
+  /** Streaming sketch profiling — the incremental twin of q68/q86's
+    * batch sketches: per-hour windows carry HLL distinct-user estimates
+    * built incrementally. approx_count_distinct's partial sketches
+    * merge across MICRO-BATCHES exactly as they merge across executors
+    * (the algebra q86 demonstrates across groups), and HLL union is
+    * commutative, so the streamed estimate equals the batch estimate
+    * BIT-FOR-BIT — EventsSpec asserts full-row equality, not tolerance.
+    * Complete mode for the equality test (see streamingTumbling's
+    * state note).
+    */
+  def streamingSketchProfile(spark: SparkSession, dir: String,
+                             queryName: String): StreamingQuery = {
+    Tables.requireNanosAsLong(spark)
+    val schema = Tables.apply(spark, dir, "events").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), 0.02).as("ndv_users"))
+      .select(col("w.start").as("wstart"), col("n"), col("ndv_users"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   case class Ev(user_id: Long, tsSec: Long, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
   case class SessionOut(user_id: Long, session_start_s: Long, session_end_s: Long,

@@ -92,6 +92,35 @@ class EventsSpec extends SparkSpec {
     assert(again == batch, "second q70 invocation must reproduce the result")
   }
 
+  test("streaming sketch profile equals the batch sketch bit-for-bit (HLL merge is order-free)") {
+    import org.apache.spark.sql.functions._
+    val q = Events.streamingSketchProfile(spark, sfDir, "stream_sketch")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("stream_sketch")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), 0.02).as("ndv_users"))
+      .select(col("w.start"), col("n"), col("ndv_users"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      "micro-batch-merged HLL must equal the batch HLL exactly")
+    // and the sketch is honest: estimates within 5% of exact per window
+    val exact = graft.Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("ndv"))
+      .select(col("w.start"), col("ndv"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    streamed.foreach { case (w, _, est) =>
+      val ex = exact(w)
+      assert(math.abs(est - ex) <= math.max(2L, (ex * 0.05).toLong),
+        s"window $w: estimate $est vs exact $ex")
+    }
+    spark.catalog.dropTempView("stream_sketch")
+  }
+
   test("stream-static lake filter equals the batch anti-join; q92 = its first-keep subset") {
     import org.apache.spark.sql.functions._
     val streamed = Events.q100StreamLakeFilter(spark, sfDir)
