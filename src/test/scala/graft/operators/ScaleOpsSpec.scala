@@ -59,6 +59,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L)))
   }
 
+  test("sketch merge is exact algebra: union of group sketches == direct global sketch") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.documents(spark, sfDir).select(col("lang"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+    val viaUnion = d.groupBy("lang")
+      .agg(hll_sketch_agg(col("fp"), lit(12)).as("sk"))
+      .agg(hll_union_agg(col("sk")).as("u"))
+      .select(hll_sketch_estimate(col("u"))).head.getLong(0)
+    val direct = d.agg(hll_sketch_estimate(hll_sketch_agg(col("fp"), lit(12))))
+      .head.getLong(0)
+    // HLL union takes register maxima — commutative and associative, so
+    // partial-then-merge must equal single-pass BIT-FOR-BIT, not within
+    // tolerance (the q86/q68 tolerance bounds cover sketch-vs-EXACT)
+    assert(viaUnion == direct,
+      s"merged-group estimate $viaUnion != direct estimate $direct")
+  }
+
   test("sketch merge: union row equals global exact, every sketch within tolerance") {
     val rows = ScaleOps.q86SketchMerge(spark, sfDir).collect()
     assert(rows.forall(_.getAs[Boolean]("hll_ok")),

@@ -28,6 +28,43 @@ class VectorOpsSpec extends SparkSpec {
     assert(out(0).getAs[Double]("ndcg") == expected)
   }
 
+  test("rank metrics equal brute-force recomputation on random labeled sets") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      def vec() = Array.fill(8)(rnd.nextFloat() * 2f - 1f)
+      val qs = (0L until 5L).map(i => (i, vec(), s"L${rnd.nextInt(3)}"))
+      val cs = (100L until 140L).map(i => (i, vec(), s"L${rnd.nextInt(3)}"))
+      val out = VectorOps.rankMetrics(
+          qs.toDF("vec_id", "embedding", "label"),
+          cs.toDF("vec_id", "embedding", "label"),
+          "vec_id", "vec_id", "embedding", "label", 10)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      // brute force with the SAME rounded-cosine rank rule
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+        if (na * nb == 0) 0.0
+        else BigDecimal(dot / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val log2 = (x: Double) => math.log(x) / math.log(2.0)
+      qs.foreach { case (qid, qv, ql) =>
+        val ranked = cs.map { case (cid, cv, cl) => (cid, cos(qv, cv), cl) }
+          .sortBy { case (cid, s, _) => (-s, cid) }.take(10)
+        val rels = ranked.zipWithIndex.collect { case (((_, _, cl)), i) if cl == ql => i + 1 }
+        val rr = if (rels.isEmpty) 0.0 else 1.0 / rels.head
+        val dcg = rels.map(r => 1.0 / log2(r + 1.0)).sum
+        val nRel = cs.count(_._3 == ql)
+        val idcg = (1 to math.min(nRel, 10)).map(r => 1.0 / log2(r + 1.0)).sum
+        val ndcg = if (idcg > 0) dcg / idcg else 0.0
+        def fl(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+        assert(out(qid) == ((fl(rr), fl(ndcg))),
+          s"seed=$seed qid=$qid: ${out(qid)} vs (${fl(rr)}, ${fl(ndcg)})")
+      }
+    }
+  }
+
   test("brute-force knn: k rows per query, scores non-increasing") {
     val res = VectorOps.knnBrute(queries, corpus, "vec_id", "vec_id", "embedding", 5)
       .collect().groupBy(_.getAs[Long]("query_id"))
