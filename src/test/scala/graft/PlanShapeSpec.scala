@@ -163,4 +163,40 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(f).isDefined,
       "no partition filters on the lake scan")
   }
+
+  test("row-group statistics skipping: a sorted layout scans a fraction of an unsorted one") {
+    // the fourth data-layout lever next to partition pruning, bucketing,
+    // and bloom pruning: parquet row-group min/max stats. A lake sorted
+    // on its filter column packs each row group into a tight value range
+    // so a selective pushed filter SKIPS whole groups; the same data in
+    // random order makes every group span the full range — nothing
+    // skips. The executed scan's numOutputRows counts rows surviving
+    // parquet-level filtering, so sorted << unsorted IS the skipping.
+    import org.apache.spark.sql.functions.{col, rand}
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("rowgroup").toString
+    // small page/group sizes so the fixture yields MANY row groups
+    def write(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+      df.coalesce(1).write
+        .option("parquet.block.size", 16 * 1024)
+        .option("parquet.page.size", 4 * 1024)
+        .mode("overwrite").parquet(path)
+    write(docs.sortWithinPartitions("doc_id"), s"$base/sorted")
+    write(docs.orderBy(rand(7)).coalesce(1), s"$base/shuffled")
+    def scannedRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("doc_id") === 42L)
+      assert(q.count() == 1)
+      q.collect()
+      val scan = collectWithSubqueries(q.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      scan.metrics("numOutputRows").value
+    }
+    val sorted = scannedRows(s"$base/sorted")
+    val shuffled = scannedRows(s"$base/shuffled")
+    assert(shuffled >= docs.count(),
+      s"unsorted layout should scan every group (got $shuffled)")
+    assert(sorted * 4 <= shuffled,
+      s"sorted layout must skip most row groups: scanned $sorted vs $shuffled")
+  }
 }
