@@ -132,6 +132,10 @@ object SparkEntry {
     "q98_curation_pipeline" -> ScaleOps.q98CurationPipeline _,
     "q99_column_profile"   -> ScaleOps.q99ColumnProfile _,
     "q100_stream_lake_filter" -> Events.q100StreamLakeFilter _,
+    "q101_pii_mask"        -> graft.operators.Privacy.q101PiiMask _,
+    "q102_heavy_hitters"   -> TextOps.q102HeavyHitters _,
+    "q103_lm_perplexity"   -> TextOps.q103LmPerplexity _,
+    "q104_dedup_clusters"  -> graft.operators.Graph.q104DedupClusters _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1291,5 +1295,72 @@ object SparkEntry {
          batch AS (SELECT f.doc_id, f.fp FROM f, c WHERE f.doc_id > c.cut)
          SELECT doc_id, fp FROM batch WHERE fp NOT IN (SELECT fp FROM lake)
          ORDER BY doc_id""",
+    // md5 over identical UTF-8 bytes both sides; floor on IEEE doubles
+    // handles negative balances identically
+    "q101_pii_mask" ->
+      """WITH p AS (SELECT c_custkey,
+             md5('graft-pepper:' || c_name) AS name_token,
+             CAST(floor(c_acctbal / 1000.0) * 1000.0 AS BIGINT) AS balance_band,
+             c_mktsegment AS segment
+           FROM customer),
+         s AS (SELECT segment, balance_band, count(*) AS k_anon
+               FROM p GROUP BY segment, balance_band)
+         SELECT p.c_custkey, p.name_token, p.segment, p.balance_band,
+           s.k_anon, s.k_anon < 10 AS suppress
+         FROM p JOIN s USING (segment, balance_band)
+         ORDER BY p.c_custkey""",
+    // the sketch side is merge-order dependent, so only the MG guarantee
+    // booleans appear in the output — deterministically TRUE for any
+    // correct summary (integer arithmetic, no float tolerance); the
+    // anchors are the exact top-10
+    "q102_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+               FROM documents),
+         f AS (SELECT w, count(*) AS cnt FROM w WHERE w <> '' GROUP BY w),
+         t AS (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rank
+               FROM f)
+         SELECT CAST(rank AS INT) AS rank, w AS word, cnt, TRUE AS mg_ok
+         FROM t WHERE rank <= 10 ORDER BY rank""",
+    // self-scored corpus LM: every doc bigram is in the model, so the
+    // inner join loses nothing; exp runs on the identical floor-rounded
+    // mean in both engines
+    "q103_lm_perplexity" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+               FROM documents),
+         b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+               FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+                     FROM w WHERE len(ws) > 1)),
+         lm AS (SELECT bg, -ln(count(*) * 1.0 /
+                  (sum(count(*)) OVER (PARTITION BY split_part(bg, ' ', 1)))) AS nll
+                FROM b GROUP BY bg),
+         d AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 floor(avg(lm.nll) * 10000.0 + 0.5) / 10000.0 AS avg_nll
+               FROM b JOIN lm USING (bg) GROUP BY b.doc_id)
+         SELECT doc_id, n_bigrams, avg_nll,
+           floor(exp(avg_nll) * 10000.0 + 0.5) / 10000.0 AS ppl
+         FROM d ORDER BY doc_id""",
+    // transitive closure as a recursive CTE: reach(v,u) saturates to all
+    // reachable pairs (components are df-capped, so tiny); root = least
+    // id reachable. Edge set mirrors Graph.q104DedupClusters exactly.
+    "q104_dedup_clusters" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents),
+         l AS (SELECT DISTINCT doc_id, array_to_string(ws[5*i+1 : 5*i+5], ' ') AS line
+               FROM (SELECT doc_id, ws, unnest(generate_series(0,
+                       CAST(ceil(len(ws)*1.0/5) AS INT) - 1)) AS i FROM w)
+               WHERE array_to_string(ws[5*i+1 : 5*i+5], ' ') <> ''),
+         df AS (SELECT line, count(*) AS c FROM l GROUP BY line),
+         e0 AS (SELECT DISTINCT l1.doc_id AS a, l2.doc_id AS b
+                FROM l l1 JOIN l l2 USING (line) JOIN df USING (line)
+                WHERE df.c BETWEEN 2 AND 5 AND l1.doc_id < l2.doc_id),
+         e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         reach(v, u) AS (SELECT a, b FROM e
+                         UNION
+                         SELECT reach.v, e.b FROM reach JOIN e ON reach.u = e.a),
+         r AS (SELECT v AS doc_id, least(v, min(u)) AS root FROM reach GROUP BY v),
+         s AS (SELECT root, count(*) AS cluster_size FROM r GROUP BY root)
+         SELECT r.doc_id, r.root, s.cluster_size
+         FROM r JOIN s USING (root) ORDER BY r.doc_id""",
   )
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster formation over candidate pairs — the step every dedup family
+  * here stops short of: q24/q25/q62/q69 emit near-dup PAIRS, but a
+  * curation run keeps one document per CLUSTER, i.e. needs the
+  * transitive closure. Connected components via iterative min-label
+  * propagation, the Spark-native equivalent of GraphX's algorithm:
+  * the driver runs the CONTROL loop (O(component diameter) rounds,
+  * clamped by maxIter), every step is a distributed join + aggregation —
+  * no vertex or edge list ever reaches the driver. Label state is
+  * localCheckpoint'ed each round to cut the growing lineage, and each
+  * round is ONE shuffle keyed by vertex id (never by label, so a giant
+  * component does not make a hot partition; the per-vertex min is
+  * partial-aggregable map-side). Near-dup clusters are shallow in
+  * practice (quasi-cliques), so convergence is 2–4 rounds.
+  */
+object Graph {
+
+  /** Minimum reachable label per vertex. `edges` must be symmetric
+    * (both directions present); vertices are the edge endpoints.
+    * Returns (v, label) with label = min vertex id of v's component.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    var labels = e.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // each vertex takes the min of its own label and its neighbors'
+      val nbrMin = e.join(labels.withColumnRenamed("v", "dst"), "dst")
+        .groupBy(col("src").as("v")).agg(min("label").as("nbr"))
+      val next = labels.join(nbrMin, Seq("v"))
+        .select(col("v"), col("label"),
+          least(col("label"), col("nbr")).as("next_label"))
+        .localCheckpoint()
+      changed = next.filter(col("next_label") =!= col("label")).count()
+      labels = next.select(col("v"), col("next_label").as("label"))
+      i += 1
+    }
+    e.unpersist()
+    labels
+  }
+
+  /** Boilerplate-cluster dedup groups: documents are linked when they
+    * share a full 5-word grid line of DOCUMENT frequency 2..5 — the
+    * df-capped inverted index (q24's discipline: the cap bounds both
+    * posting lists and pair fan-out by construction; ubiquitous
+    * boilerplate lines are excluded, they link everything and identify
+    * nothing). One BoundedCollect shuffle builds the index, pairs
+    * explode only within ≤5-doc postings, then components + sizes.
+    */
+  def q104DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val maxDf = 5
+    val docLines = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.text.Chunker.wordChunks(col("text"), 5)).as("line"))
+      .distinct()
+    val postings = docLines
+      .groupBy("line")
+      .agg(graft.functions.BoundedCollect.collect(maxDf + 1)(
+        col("doc_id"), lit(0)).as("bc"))
+      .filter(col("bc._2").between(2, maxDf))
+      .select(transform(col("bc._1"), x => x.getField("_1")).as("ids"))
+    val pairs = postings
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val cc = connectedComponents(edges)
+    val sizes = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    cc.join(broadcast(sizes), Seq("label"))
+      .select(col("v").as("doc_id"), col("label").as("root"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+}

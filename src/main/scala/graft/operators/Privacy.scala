@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Privacy pass for training-data preparation: pseudonymization,
+  * generalization, and a k-anonymity audit — the step a real corpus runs
+  * between ingest and release (the fixture text carries no free-text PII,
+  * so the structured `customer` table is the demonstration surface).
+  *
+  * Scale shape: pseudonymization and generalization are pure scan-stage
+  * column expressions (codegen'd md5/floor — no shuffle, no UDF). The
+  * k-anonymity audit aggregates group sizes over the GENERALIZED key —
+  * a relation bounded by the generalization grid, not the table — and
+  * broadcasts it back, so the 100 TB fact table never shuffles at all.
+  */
+object Privacy {
+
+  /** Direct identifiers → salted-hash tokens (stable across runs, so
+    * joins on the token still work); quasi-identifier `c_acctbal` →
+    * 1000-unit band (floor handles negative balances identically in
+    * IEEE on both engines).
+    */
+  def pseudonymize(customers: DataFrame): DataFrame =
+    customers.select(
+      col("c_custkey"),
+      md5(concat(lit("graft-pepper:"), col("c_name")).cast("binary")).as("name_token"),
+      (floor(col("c_acctbal") / 1000.0) * 1000.0).cast("long").as("balance_band"),
+      col("c_mktsegment").as("segment"))
+
+  /** k-anonymity per record over the generalized quasi-identifier key
+    * (segment, balance_band): group sizes via partial-agg group-by,
+    * broadcast back — every record learns the size of its equivalence
+    * class without a fact-table shuffle. Records with k below the
+    * threshold are flagged for suppression, not silently dropped (the
+    * release decision belongs to the caller).
+    */
+  def kAnonymity(pseudonymized: DataFrame, k: Int): DataFrame = {
+    val sizes = pseudonymized.groupBy("segment", "balance_band")
+      .agg(count(lit(1)).as("k_anon"))
+    pseudonymized.join(broadcast(sizes), Seq("segment", "balance_band"))
+      .withColumn("suppress", col("k_anon") < k)
+  }
+
+  def q101PiiMask(spark: SparkSession, dir: String): DataFrame =
+    kAnonymity(pseudonymize(Tables.customer(spark, dir)), 10)
+      .select(col("c_custkey"), col("name_token"), col("segment"),
+        col("balance_band"), col("k_anon"), col("suppress"))
+      .orderBy("c_custkey")
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.MisraGries
 import graft.text.{Chunker, CleanText, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -157,6 +158,76 @@ object TextOps {
         TextAnalysis.compressionRatio(col("text")).as("ratio"))
       .withColumn("repetitive", col("ratio") < 0.35)
       .orderBy("doc_id")
+
+  /** Approximate heavy-hitters profile via the Misra–Gries mergeable
+    * sketch (graft.functions.MisraGries) — boilerplate detection before
+    * dedup/filter thresholds are chosen. At 100 TB only m-entry maps
+    * cross the shuffle (map-side partial fold per partition); the token
+    * stream itself never does, while the exact top-k needs a full
+    * (word, count) exchange. MG content is merge-order dependent, so the
+    * output carries exact anchors plus GUARANTEE booleans (the q68
+    * sketch pattern): for every word, est <= true and
+    * (true - est) * (m+1) <= N — integer arithmetic, no float tolerance.
+    */
+  def q102HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val m = 8
+    val words = Tables.widen(Tables.documents(spark, dir))
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val sketch = words.agg(
+      MisraGries.sketch(m)(col("w")).as("sk"),
+      count(lit(1)).as("n"))
+    val top = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("w").asc)))
+    top.crossJoin(broadcast(sketch))
+      .withColumn("est", coalesce(element_at(col("sk"), col("w")), lit(0L)))
+      .select(col("rank"), col("w").as("word"), col("cnt"),
+        (col("est") <= col("cnt") &&
+          (col("cnt") - col("est")) * (m + 1) <= col("n")).as("mg_ok"))
+      .orderBy("rank")
+  }
+
+  /** Corpus bigram-LM perplexity per document — the CCNet/KenLM-style
+    * quality signal next to q16's surface score and q97's compression
+    * ratio: text whose transitions diverge from the corpus model scores
+    * high. Self-scored (the model IS the corpus), so every bigram is
+    * seen and no smoothing is needed: P(w2|w1) = c(w1 w2) / c(w1 ·).
+    * Scale shape: the LM table is two partial-agg group-bys whose output
+    * is vocab-bounded, then BROADCAST to the doc-grain join — the
+    * classic bounded-model-vs-unbounded-corpus asymmetry; the per-doc
+    * mean is one exchange carrying one partially-aggregated row per doc.
+    * Perplexity is exp of the FLOOR-ROUNDED mean NLL (identical input to
+    * exp in both engines), then floor-rounded itself.
+    */
+  def q103LmPerplexity(spark: SparkSession, dir: String): DataFrame =
+    lmPerplexity(Tables.documents(spark, dir))
+
+  /** The core, over any (doc_id, text) frame — q103 and the spec's
+    * hand-computed corpora share it.
+    */
+  private[graft] def lmPerplexity(docs: DataFrame): DataFrame = {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val pairs = zip_with(words, slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+      (x, y) => when(y.isNull, lit(null)).otherwise(concat(x, lit(" "), y)))
+    val docBigrams = docs
+      .select(col("doc_id"), explode(pairs).as("bg"))
+      .filter(col("bg").isNotNull)
+    // corpus LM: c(w1 w2) and, via a window over the same relation
+    // (q74's df trick — no second corpus scan), c(w1 ·)
+    val lm = docBigrams.groupBy("bg").agg(count(lit(1)).as("cbg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("cw1", sum("cbg").over(Window.partitionBy("w1")))
+      .select(col("bg"), (-log(col("cbg").cast("double") / col("cw1"))).as("nll"))
+    docBigrams.join(broadcast(lm), "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(avg("nll") * 10000.0 + 0.5) / 10000.0).as("avg_nll"))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+        (floor(exp(col("avg_nll")) * 10000.0 + 0.5) / 10000.0).as("ppl"))
+      .orderBy("doc_id")
+  }
 
   def q82BigramTopk(spark: SparkSession, dir: String): DataFrame = {
     val words = split(lower(trim(col("text"))), "\\s+")

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  test("connected components equal brute-force union-find on random graphs") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      // sparse random graph: ~40 vertices, ~30 edges → many components,
+      // some chains (propagation needs > 1 round), some isolated pairs
+      val pairs = Seq.fill(30)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2)
+      val sym = pairs.flatMap(p => Seq(p, p.swap))
+      val got = Graph.connectedComponents(sym.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      val expected = unionFind(pairs)
+      assert(got == expected, s"seed=$seed: labels must equal union-find roots")
+    }
+  }
+
+  test("long chain converges to a single min label within maxIter") {
+    // path graph 0-1-2-...-19: worst-case diameter for min propagation
+    val chain = (0L until 19L).map(i => (i, i + 1))
+    val sym = chain.flatMap(p => Seq(p, p.swap))
+    val got = Graph.connectedComponents(sym.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 20 && got.values.forall(_ == 0L))
+  }
+
+  test("q104: rows are exactly the docs with an edge, roots are cluster minima, sizes consistent") {
+    val rows = Graph.q104DedupClusters(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("root"), r.getAs[Long]("cluster_size")))
+    assert(rows.nonEmpty, "the fixture must produce at least one cluster")
+    val byRoot = rows.groupBy(_._2)
+    byRoot.foreach { case (root, members) =>
+      assert(members.map(_._1).min == root, "root must be the min doc_id of its cluster")
+      assert(members.forall(_._3 == members.length.toLong), "size must match membership")
+      assert(members.length >= 2, "every clustered doc has at least one partner")
+    }
+  }
+}

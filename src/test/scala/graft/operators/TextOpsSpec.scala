@@ -59,4 +59,42 @@ class TextOpsSpec extends SparkSpec {
       assert(folded.forall(_ < 128), s"non-ASCII survived: $folded")
     }
   }
+
+  test("lm perplexity: deterministic transitions give ppl exactly 1") {
+    import spark.implicits._
+    // one doc, one chain a->b->a->...: every conditional is certain
+    val out = TextOps.lmPerplexity(
+        Seq((1L, "a b a b a b a b")).toDF("doc_id", "text"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_bigrams") == 7L)
+    assert(out.head.getAs[Double]("avg_nll") == 0.0)
+    assert(out.head.getAs[Double]("ppl") == 1.0)
+  }
+
+  test("lm perplexity: even two-way branch gives ppl 1.9999, short docs drop out") {
+    import spark.implicits._
+    // corpus c(a b) = c(a c) = 1 → P = 0.5 for each doc's single bigram;
+    // true ppl = 2, but exp runs on the FLOOR-ROUNDED avg_nll (0.6931 <
+    // ln 2) by design — deterministic and engine-identical beats exact:
+    // exp(0.6931) = 1.99991 → 1.9999. One-word doc has no bigram → no row.
+    val out = TextOps.lmPerplexity(
+        Seq((1L, "a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    assert(out == Map(1L -> 1.9999, 2L -> 1.9999))
+  }
+
+  test("lm perplexity: corpus-divergent doc scores strictly higher") {
+    import spark.implicits._
+    // docs 1–3 all carry a 1:1 mix of (a b, b a); doc 4's 1:1 mix of
+    // (a c, c a) takes the rare a-branch: P(b|a)=0.6 vs P(c|a)=0.4
+    val docs = Seq(
+      (1L, "a b a"), (2L, "a b a b a"), (3L, "a b a b a b a"),
+      (4L, "a c a c a")).toDF("doc_id", "text")
+    val ppl = TextOps.lmPerplexity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    assert(ppl(4L) > ppl(1L), "the doc using rare transitions must score higher")
+    assert(ppl(1L) == ppl(2L) && ppl(2L) == ppl(3L),
+      "docs made of the same transitions at the same mix score identically")
+  }
 }
