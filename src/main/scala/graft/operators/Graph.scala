@@ -25,7 +25,12 @@ object Graph {
     * Returns (v, label) with label = min vertex id of v's component.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist()
+    // co-partition the (static) edge list on the join key ONCE: every
+    // round's join then exchanges only the label side — at a billion
+    // edges that is the difference between shuffling the graph per
+    // round and shuffling per-vertex labels per round
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("dst")).persist()
     var labels = e.select(col("src").as("v")).distinct()
       .withColumn("label", col("v")).localCheckpoint()
     var changed = 1L

@@ -199,4 +199,49 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(sorted * 4 <= shuffled,
       s"sorted layout must skip most row groups: scanned $sorted vs $shuffled")
   }
+
+  test("z-order layout: row-group skipping works on BOTH dimensions, linear sort only on one") {
+    // the fifth layout lever (Layout.zValue): a lake linearly sorted on
+    // user_id skips nothing for an hour-of-day predicate — every row
+    // group spans all 24 hours. Interleaving the bits of both columns
+    // keeps min/max tight on each, so the same pushed filter skips
+    // groups under either predicate.
+    import org.apache.spark.sql.functions.{col, hour}
+    // sf0.01: 10k rows → ~30 row groups at 8 KiB blocks (sf0.001's 1k
+    // tiny rows fit in ~2 groups — nothing can skip at that granularity)
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), hour(col("ts")).as("hr"))
+    val n = ev.count()
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    def write(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+      df.coalesce(1).write
+        .option("parquet.block.size", 8 * 1024)
+        .option("parquet.page.size", 2 * 1024)
+        .mode("overwrite").parquet(path)
+    write(ev.sortWithinPartitions("user_id"), s"$base/linear")
+    // equalize the bit budget: hr (0..23) stretched into the same 8-bit
+    // range as user_id, else its constant high bits waste interleave
+    // positions and the curve degenerates to a user_id sort
+    write(ev.sortWithinPartitions(
+      graft.pipeline.Layout.zValue(col("user_id"), col("hr") * 8, 8)), s"$base/zorder")
+    def scannedRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(path).filter(pred)
+      q.collect()
+      val scan = collectWithSubqueries(q.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      scan.metrics("numOutputRows").value
+    }
+    // non-leading dimension: linear layout reads everything
+    val linearHr = scannedRows(s"$base/linear", col("hr") === 3)
+    val zHr = scannedRows(s"$base/zorder", col("hr") === 3)
+    assert(linearHr == n, s"linear-on-user layout must scan all $n rows for an hour filter")
+    assert(zHr * 2 <= linearHr,
+      s"z-order must skip row groups on the second dimension: $zHr vs $linearHr")
+    // leading dimension still skips under z-order too
+    val uid = ev.agg(org.apache.spark.sql.functions.min("user_id")).head().getLong(0)
+    val zUid = scannedRows(s"$base/zorder", col("user_id") === uid)
+    assert(zUid * 2 <= n,
+      s"z-order must also skip on the first dimension: $zUid vs $n")
+  }
 }
