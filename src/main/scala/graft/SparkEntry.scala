@@ -136,6 +136,7 @@ object SparkEntry {
     "q102_heavy_hitters"   -> TextOps.q102HeavyHitters _,
     "q103_lm_perplexity"   -> TextOps.q103LmPerplexity _,
     "q104_dedup_clusters"  -> graft.operators.Graph.q104DedupClusters _,
+    "q105_cluster_keepers" -> graft.operators.Graph.q105ClusterKeepers _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1362,5 +1363,37 @@ object SparkEntry {
          s AS (SELECT root, count(*) AS cluster_size FROM r GROUP BY root)
          SELECT r.doc_id, r.root, s.cluster_size
          FROM r JOIN s USING (root) ORDER BY r.doc_id""",
+    // q104's closure, then per-cluster keeper = argmax tokens (ties →
+    // min doc_id; q89's rule over transitive clusters)
+    "q105_cluster_keepers" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents),
+         l AS (SELECT DISTINCT doc_id, array_to_string(ws[5*i+1 : 5*i+5], ' ') AS line
+               FROM (SELECT doc_id, ws, unnest(generate_series(0,
+                       CAST(ceil(len(ws)*1.0/5) AS INT) - 1)) AS i FROM w)
+               WHERE array_to_string(ws[5*i+1 : 5*i+5], ' ') <> ''),
+         df AS (SELECT line, count(*) AS c FROM l GROUP BY line),
+         e0 AS (SELECT DISTINCT l1.doc_id AS a, l2.doc_id AS b
+                FROM l l1 JOIN l l2 USING (line) JOIN df USING (line)
+                WHERE df.c BETWEEN 2 AND 5 AND l1.doc_id < l2.doc_id),
+         e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         reach(v, u) AS (SELECT a, b FROM e
+                         UNION
+                         SELECT reach.v, e.b FROM reach JOIN e ON reach.u = e.a),
+         r AS (SELECT v AS doc_id, least(v, min(u)) AS root FROM reach GROUP BY v),
+         t AS (SELECT r.doc_id, r.root,
+                 CAST(len(w.ws) AS BIGINT) AS n_tokens
+               FROM r JOIN w USING (doc_id)),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY root
+                  ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM t),
+         agg AS (SELECT root, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+                 FROM t GROUP BY root)
+         SELECT agg.root, agg.n_docs, rk.doc_id AS keeper,
+           rk.n_tokens AS keeper_tokens,
+           agg.total_tokens - rk.n_tokens AS dropped_tokens
+         FROM agg JOIN rk ON agg.root = rk.root AND rk.rn = 1
+         ORDER BY agg.root""",
   )
 }

@@ -84,4 +84,30 @@ object Graph {
       .select(col("v").as("doc_id"), col("label").as("root"), col("cluster_size"))
       .orderBy("doc_id")
   }
+
+  /** The fuzzy-dedup endgame q104 stops short of: per CLUSTER, keep the
+    * argmax-token member (ties → min doc_id; q89's keeper rule, applied
+    * to transitive clusters instead of exact-fingerprint groups) and
+    * count what the cluster sheds. Cluster assignments are tiny relative
+    * to the corpus (only linked docs appear), so the docs join
+    * broadcasts the assignment, and the per-cluster argmax is one
+    * partial-aggregable max_by over at most cluster_size rows per key.
+    */
+  def q105ClusterKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = q104DedupClusters(spark, dir)
+      .select(col("doc_id"), col("root"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    docs.join(broadcast(clusters), Seq("doc_id"))
+      .groupBy("root")
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("n_tokens").as("t"), (-col("doc_id")).as("negid"))).as("best"),
+        sum("n_tokens").as("cluster_tokens"))
+      .select(col("root"), col("n_docs"),
+        (-col("best.negid")).as("keeper"),
+        col("best.t").as("keeper_tokens"),
+        (col("cluster_tokens") - col("best.t")).as("dropped_tokens"))
+      .orderBy("root")
+  }
 }

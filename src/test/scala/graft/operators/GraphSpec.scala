@@ -43,6 +43,29 @@ class GraphSpec extends SparkSpec {
     assert(got.size == 20 && got.values.forall(_ == 0L))
   }
 
+  test("q105: keeper is the argmax-token member of its q104 cluster, token accounting conserves") {
+    val tokens = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val clusters = Graph.q104DedupClusters(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("root")))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val out = Graph.q105ClusterKeepers(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("root") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("keeper"),
+         r.getAs[Long]("keeper_tokens"), r.getAs[Long]("dropped_tokens"))).toMap
+    assert(out.keySet == clusters.keySet, "one keeper row per cluster")
+    clusters.foreach { case (root, members) =>
+      val best = members.minBy(id => (-tokens(id), id))
+      val (nDocs, keeper, keeperTokens, droppedTokens) = out(root)
+      assert(nDocs == members.length.toLong)
+      assert(keeper == best, s"cluster $root: keeper must be argmax tokens, ties min id")
+      assert(keeperTokens == tokens(best))
+      assert(droppedTokens == members.map(tokens).sum - tokens(best),
+        "dropped tokens must be the cluster total minus the keeper")
+    }
+  }
+
   test("q104: rows are exactly the docs with an edge, roots are cluster minima, sizes consistent") {
     val rows = Graph.q104DedupClusters(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("root"), r.getAs[Long]("cluster_size")))
