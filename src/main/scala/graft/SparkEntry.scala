@@ -137,6 +137,7 @@ object SparkEntry {
     "q103_lm_perplexity"   -> TextOps.q103LmPerplexity _,
     "q104_dedup_clusters"  -> graft.operators.Graph.q104DedupClusters _,
     "q105_cluster_keepers" -> graft.operators.Graph.q105ClusterKeepers _,
+    "q106_stream_heavy_hitters" -> Events.q106StreamHeavyHitters _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1395,5 +1396,16 @@ object SparkEntry {
            agg.total_tokens - rk.n_tokens AS dropped_tokens
          FROM agg JOIN rk ON agg.root = rk.root AND rk.rn = 1
          ORDER BY agg.root""",
+    // q102's oracle verbatim: the streamed MG state must satisfy the
+    // same (per-bucket, tighter) guarantee against the same exact
+    // anchors, whatever arrival order the stream delivered
+    "q106_stream_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+               FROM documents),
+         f AS (SELECT w, count(*) AS cnt FROM w WHERE w <> '' GROUP BY w),
+         t AS (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rank
+               FROM f)
+         SELECT CAST(rank AS INT) AS rank, w AS word, cnt, TRUE AS mg_ok
+         FROM t WHERE rank <= 10 ORDER BY rank""",
   )
 }

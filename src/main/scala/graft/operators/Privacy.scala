@@ -32,9 +32,12 @@ object Privacy {
   /** k-anonymity per record over the generalized quasi-identifier key
     * (segment, balance_band): group sizes via partial-agg group-by,
     * broadcast back — every record learns the size of its equivalence
-    * class without a fact-table shuffle. Records with k below the
-    * threshold are flagged for suppression, not silently dropped (the
-    * release decision belongs to the caller).
+    * class without a fact-table shuffle. The size branch does re-scan
+    * the table (Spark has no automatic subtree reuse), but it reads
+    * ONLY the 2-column generalized key and collapses map-side — two
+    * narrow scans beat the window form's full-row exchange at 100 TB.
+    * Records with k below the threshold are flagged for suppression,
+    * not silently dropped (the release decision belongs to the caller).
     */
   def kAnonymity(pseudonymized: DataFrame, k: Int): DataFrame = {
     val sizes = pseudonymized.groupBy("segment", "balance_band")

@@ -606,6 +606,72 @@ object Events {
     spark.read.parquet(out).orderBy("doc_id")
   }
 
+  case class BucketSketch(bucket: Int, version: Long, words: Map[String, Long])
+
+  /** Streaming heavy hitters: the incremental twin of q102 — Misra–Gries
+    * summaries as KEYED STREAMING STATE (`mapGroupsWithState`), the 24/7
+    * boilerplate monitor a continuous crawl runs. Words shard by
+    * murmur3-hash bucket, each bucket folds its slice of the stream into
+    * an m-counter MG summary held in state (bounded: buckets × m
+    * counters, whatever the stream length); per-bucket disjointness
+    * TIGHTENS the guarantee to est <= true <= est + N_bucket/(m+1). The
+    * state carries a version so the LAST emission per bucket is
+    * identifiable whatever the micro-batch count; the memory sink holds
+    * only buckets × batches tiny map rows and is dropped after reading
+    * (q70's hygiene rule). Output shape and oracle are exactly q102's:
+    * exact batch anchors + guarantee booleans — TRUE is the MG theorem
+    * applied per bucket, whatever arrival order the stream delivered.
+    */
+  def q106StreamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = 8
+    val buckets = 16
+    val docs = Tables.documents(spark, dir)
+    val toWords = (df: DataFrame) => df
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .select(pmod(hash(col("w")), lit(buckets)).as("bucket"), col("w"))
+    val stream = toWords(spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+      .as[(Int, String)]
+    val fn: (Int, Iterator[(Int, String)], GroupState[(Long, Map[String, Long])]) => BucketSketch =
+      (bucket, rows, state) => {
+        val mg = new graft.functions.MisraGries.MG(m)
+        val (ver, cur) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+        val next = rows.foldLeft(cur)((b, r) => mg.reduce(b, r._2))
+        state.update((ver + 1, next))
+        BucketSketch(bucket, ver + 1, next)
+      }
+    val qn = s"q106_hh_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val sq = stream.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    val finalSketches = spark.table(qn).as[BucketSketch].collect()
+      .groupBy(_.bucket).map(_._2.maxBy(_.version).words)
+    spark.catalog.dropTempView(qn)
+    // buckets partition the vocabulary, so the union is a plain disjoint
+    // merge — no counter arithmetic needed
+    val merged: Map[String, Long] =
+      finalSketches.foldLeft(Map.empty[String, Long])(_ ++ _)
+    val words = toWords(docs)
+    val bucketN = words.groupBy("bucket").agg(count(lit(1)).as("nb"))
+    val top = words.groupBy("bucket", "w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("w").asc)))
+    top.join(broadcast(bucketN), Seq("bucket"))
+      .withColumn("est", coalesce(
+        element_at(typedLit(merged), col("w")), lit(0L)))
+      .select(col("rank"), col("w").as("word"), col("cnt"),
+        (col("est") <= col("cnt") &&
+          (col("cnt") - col("est")) * (m + 1) <= col("nb")).as("mg_ok"))
+      .orderBy("rank")
+  }
+
   def q70StreamAsof(spark: SparkSession, dir: String): DataFrame = {
     val tmp = graft.TempDirs.scratch("q70_stream_asof")
     val out = tmp.resolve("out").toString

@@ -63,6 +63,17 @@ class MisraGriesSpec extends SparkSpec {
     }
   }
 
+  test("q106 streaming twin: same anchors as q102, per-bucket guarantee holds after streamed folds") {
+    val batch = graft.operators.TextOps.q102HeavyHitters(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("word"), r.getAs[Long]("cnt")))
+    val streamed = graft.streaming.Events.q106StreamHeavyHitters(spark, sfDir).collect()
+    assert(streamed.map(r => (r.getAs[Int]("rank"), r.getAs[String]("word"),
+      r.getAs[Long]("cnt"))).toSeq == batch.toSeq,
+      "exact anchors must be identical to the batch form")
+    assert(streamed.forall(_.getAs[Boolean]("mg_ok")),
+      "the per-bucket MG guarantee must hold for state built from stream arrival order")
+  }
+
   test("q102 registration: exact anchors ranked, every guarantee boolean true") {
     val rows = graft.operators.TextOps.q102HeavyHitters(spark, sfDir).collect()
     assert(rows.length == 10)
