@@ -138,6 +138,8 @@ object SparkEntry {
     "q104_dedup_clusters"  -> graft.operators.Graph.q104DedupClusters _,
     "q105_cluster_keepers" -> graft.operators.Graph.q105ClusterKeepers _,
     "q106_stream_heavy_hitters" -> Events.q106StreamHeavyHitters _,
+    "q107_corpus_shuffle"  -> ScaleOps.q107CorpusShuffle _,
+    "q108_weighted_sample" -> ScaleOps.q108WeightedSample _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1407,5 +1409,45 @@ object SparkEntry {
                FROM f)
          SELECT CAST(rank AS INT) AS rank, w AS word, cnt, TRUE AS mg_ok
          FROM t WHERE rank <= 10 ORDER BY rank""",
+    // identical md5-derived shard + order on both sides; pos is the
+    // per-shard window rank
+    "q107_corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+             md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents),
+         s AS (SELECT doc_id, skey,
+             CAST(concat('0x', substr(skey, 1, 2)) AS INTEGER) % 8 AS shard
+           FROM k)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INT) AS pos,
+           skey
+         FROM s ORDER BY shard, pos""",
+    // the coin is exact (60-bit integer / 2^60) and keep_prob is a plain
+    // product of the 4-dp quality — both engines decide every row
+    // identically; only the DISPLAYED keep_prob is rounded
+    "q108_weighted_sample" ->
+      """WITH s AS (SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+           CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+           CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
+         FROM documents),
+         q AS (SELECT doc_id, floor((
+           least(n_chars / 500.0, 1.0)
+           + (1.0 - least(n_punct / greatest(n_words, 1.0) * 2.0, 1.0))
+           + least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0)
+           + CASE WHEN n_chars / greatest(n_words, 1.0) >= 3.0
+                   AND n_chars / greatest(n_words, 1.0) <= 10.0 THEN 1.0 ELSE 0.5 END
+           ) / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality
+         FROM s),
+         c AS (SELECT doc_id, quality,
+             quality * quality * quality * quality AS keep_prob,
+             CAST(CAST(concat('0x', substr(
+               md5('sample7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+               / 1152921504606846976.0 AS u
+           FROM q)
+         SELECT doc_id, quality,
+           floor(keep_prob * 10000.0 + 0.5) / 10000.0 AS keep_prob
+         FROM c WHERE u < keep_prob ORDER BY doc_id""",
   )
 }

@@ -627,6 +627,54 @@ object ScaleOps {
       .orderBy("col_name")
   }
 
+  /** Deterministic epoch shuffle into training shards — the global
+    * reshuffle a pre-training run does per epoch. The shuffle key is
+    * md5(epoch_seed : doc_id): shard assignment AND within-shard order
+    * both derive from it, so the epoch is fully reproducible from the
+    * seed alone and changes completely when the seed does. Scale shape:
+    * NO global sort — the only exchange is the per-shard window
+    * (partition by shard), and within-shard ordering is each reducer's
+    * local sort; at 100 TB shard count rises with the cluster, the
+    * pattern is unchanged.
+    */
+  def q107CorpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 8
+    val skey = md5(concat(lit("epoch0:"), col("doc_id").cast("string")).cast("binary"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), skey.as("skey"))
+      .withColumn("shard",
+        pmod(conv(substring(col("skey"), 1, 2), 16, 10).cast("int"), lit(nShards)))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard").orderBy("skey", "doc_id")))
+      .select("doc_id", "shard", "pos", "skey")
+      .orderBy("shard", "pos")
+  }
+
+  /** Quality-weighted sampling (the FineWeb-style retention curve):
+    * keep a document with probability quality⁴ — acceptance rises
+    * steeply with the q16 score instead of a hard cutoff (q90), so
+    * borderline text is thinned, not guillotined. The coin is
+    * md5-derived (top 60 bits / 2⁶⁰): exact integer-over-power-of-two
+    * division, so both engines compute the identical double and the
+    * SAME sample — reproducible, re-runnable, and seedable per epoch.
+    * quality⁴ is plain multiplication (pow() differs by ulps across
+    * libm builds; products do not). Pure scan-stage expressions.
+    */
+  def q108WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(
+        md5(concat(lit("sample7:"), col("doc_id").cast("string")).cast("binary")),
+        1, 15), 16, 10).cast("long").cast("double") / lit(math.pow(2, 60)))
+    val q = col("quality")
+    Tables.documents(spark, dir)
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("keep_prob", q * q * q * q)
+      .withColumn("u", u)
+      .filter(col("u") < col("keep_prob"))
+      .select(col("doc_id"), col("quality"),
+        (floor(col("keep_prob") * 10000.0 + 0.5) / 10000.0).as("keep_prob"))
+      .orderBy("doc_id")
+  }
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.

@@ -191,4 +191,43 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_docs") == 2L)
     assert(out(0).getAs[Long]("keeper_tokens") == 5L)
   }
+
+  test("corpus shuffle: every doc exactly once, per-shard positions dense, order is the md5 key") {
+    val rows = ScaleOps.q107CorpusShuffle(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+        r.getAs[Int]("pos"), r.getAs[String]("skey")))
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == n && rows.map(_._1).distinct.length == n,
+      "a shuffle is a permutation — every doc exactly once")
+    rows.groupBy(_._2).foreach { case (shard, members) =>
+      assert(members.map(_._3).sorted.toSeq == (1 to members.length),
+        s"shard $shard positions must be dense from 1")
+      val ordered = members.sortBy(_._3).map(m => (m._4, m._1))
+      assert(ordered.sorted.toSeq == ordered.toSeq,
+        s"shard $shard order must follow (skey, doc_id)")
+    }
+    // deterministic: a rerun produces the identical permutation
+    val again = ScaleOps.q107CorpusShuffle(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+    assert(again.toSeq == rows.map(t => (t._1, t._2, t._3)).toSeq)
+  }
+
+  test("weighted sample: kept set equals the brute-force md5 coin, retention rises with quality") {
+    val quality = graft.operators.TextOps.q16Quality(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    def coin(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sample7:$id".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 60)
+    }
+    val expected = quality.collect {
+      case (id, q) if coin(id) < q * q * q * q => id
+    }.toSet
+    val got = ScaleOps.q108WeightedSample(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expected, "sampled set must match the deterministic coin exactly")
+    assert(got.nonEmpty && got.size < quality.size,
+      "the curve must thin the corpus, not pass or drop everything")
+  }
 }
