@@ -140,6 +140,8 @@ object SparkEntry {
     "q106_stream_heavy_hitters" -> Events.q106StreamHeavyHitters _,
     "q107_corpus_shuffle"  -> ScaleOps.q107CorpusShuffle _,
     "q108_weighted_sample" -> ScaleOps.q108WeightedSample _,
+    "q109_gopher_rules"    -> TextOps.q109GopherRules _,
+    "q110_corpus_drift"    -> TextOps.q110CorpusDrift _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1449,5 +1451,59 @@ object SparkEntry {
          SELECT doc_id, quality,
            floor(keep_prob * 10000.0 + 0.5) / 10000.0 AS keep_prob
          FROM c WHERE u < keep_prob ORDER BY doc_id""",
+    // every rule is an exact integer ratio compared in IEEE doubles —
+    // identical booleans both engines, no rounding needed
+    "q109_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+               FROM documents),
+         w2 AS (SELECT doc_id, w FROM w WHERE w <> ''),
+         wf AS (SELECT doc_id, w, count(*) AS c FROM w2 GROUP BY doc_id, w),
+         s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(max(c) AS BIGINT) AS top_c,
+                 CAST(sum(CASE WHEN w IN ('the','a','and','of','to','in','is','that','for','with')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_types,
+                 CAST(sum(CASE WHEN regexp_matches(w, '[a-z]') THEN c ELSE 0 END) AS BIGINT) AS n_alpha
+               FROM wf GROUP BY doc_id),
+         d AS (SELECT doc_id,
+                 CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS n_chars
+               FROM documents)
+         SELECT s.doc_id, s.n_words,
+           s.n_words BETWEEN 50 AND 100000 AS r_len,
+           (d.n_chars / s.n_words >= 3.0 AND d.n_chars / s.n_words <= 10.0) AS r_word_len,
+           s.n_alpha * 1.0 / s.n_words >= 0.8 AS r_alpha,
+           s.n_stop_types >= 2 AS r_stopwords,
+           (1.0 - s.n_distinct * 1.0 / s.n_words) <= 0.5 AS r_dup_words,
+           s.top_c * 1.0 / s.n_words <= 0.1 AS r_top_word,
+           (s.n_words BETWEEN 50 AND 100000
+            AND d.n_chars / s.n_words >= 3.0 AND d.n_chars / s.n_words <= 10.0
+            AND s.n_alpha * 1.0 / s.n_words >= 0.8
+            AND s.n_stop_types >= 2
+            AND (1.0 - s.n_distinct * 1.0 / s.n_words) <= 0.5
+            AND s.top_c * 1.0 / s.n_words <= 0.1) AS pass
+         FROM s JOIN d USING (doc_id) ORDER BY s.doc_id""",
+    // probabilities are exact count ratios; ln/sums carry the usual
+    // sub-ulp float noise, absorbed by the 1e-6 floor-rounding
+    "q110_corpus_drift" ->
+      """WITH w AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+               FROM documents WHERE source IN ('src0', 'src1')),
+         w2 AS (SELECT source, w FROM w WHERE w <> ''),
+         da AS (SELECT w, count(*) AS c FROM w2 WHERE source = 'src0' GROUP BY w),
+         db AS (SELECT w, count(*) AS c FROM w2 WHERE source = 'src1' GROUP BY w),
+         pa AS (SELECT w, c * 1.0 / CAST((SELECT sum(c) FROM da) AS DOUBLE) AS pa FROM da),
+         pb AS (SELECT w, c * 1.0 / CAST((SELECT sum(c) FROM db) AS DOUBLE) AS pb FROM db),
+         j AS (SELECT w, coalesce(pa, 0.0) AS pa, coalesce(pb, 0.0) AS pb
+               FROM pa FULL OUTER JOIN pb USING (w)),
+         t AS (SELECT w, pa, pb,
+                 (CASE WHEN pa > 0.0 THEN pa * ln(pa / ((pa + pb) / 2.0)) ELSE 0.0 END
+                  + CASE WHEN pb > 0.0 THEN pb * ln(pb / ((pa + pb) / 2.0)) ELSE 0.0 END) / 2.0 AS contrib
+               FROM j),
+         js AS (SELECT floor(sum(contrib) * 1000000.0 + 0.5) / 1000000.0 AS js FROM t)
+         SELECT t.w AS word,
+           floor(t.pa * 1000000.0 + 0.5) / 1000000.0 AS p_a,
+           floor(t.pb * 1000000.0 + 0.5) / 1000000.0 AS p_b,
+           floor(abs(t.pa - t.pb) * 1000000.0 + 0.5) / 1000000.0 AS abs_diff,
+           js.js AS js_divergence
+         FROM t, js ORDER BY abs_diff DESC, word ASC LIMIT 10""",
   )
 }

@@ -229,6 +229,92 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The Gopher quality-rule suite as one composite filter — the named
+    * ruleset (Rae et al. 2021, §A1.1) modern pipelines apply before any
+    * model-based scoring, completing the q16/q73/q97/q103 signal family
+    * with the standard BOOLEAN form: each rule is its own column (a
+    * curation run reads per-rule failure rates to debug a crawl slice),
+    * `pass` is their conjunction. Word-grain rules ride q73's one
+    * (doc_id, word) exchange; everything else is scan-stage expressions.
+    * Thresholds follow the paper where the fixture exercises them
+    * (length, mean word length, stopwords) and are tuned to split this
+    * corpus where the paper's target differs (dup-word 0.5 — the
+    * fixture's 31-word vocabulary makes 0.3 reject nearly everything).
+    */
+  def q109GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val wordStats = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_c"),
+        // grain is (doc, word): this counts DISTINCT stopword types, the
+        // paper's ">= 2 of the list appear" reading
+        sum(when(col("w").isin("the", "a", "and", "of", "to", "in", "is",
+          "that", "for", "with"), 1L).otherwise(0L)).as("n_stop_types"),
+        sum(when(col("w").rlike("[a-z]"), col("c")).otherwise(0L)).as("n_alpha"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("double").as("n_chars"))
+      .join(wordStats, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        col("n_words").between(50, 100000).as("r_len"),
+        ((col("n_chars") / col("n_words")) >= 3.0 &&
+          (col("n_chars") / col("n_words")) <= 10.0).as("r_word_len"),
+        (col("n_alpha").cast("double") / col("n_words") >= 0.8).as("r_alpha"),
+        (col("n_stop_types") >= 2).as("r_stopwords"),
+        ((lit(1.0) - col("n_distinct").cast("double") / col("n_words")) <= 0.5)
+          .as("r_dup_words"),
+        (col("top_c").cast("double") / col("n_words") <= 0.1).as("r_top_word"))
+      .withColumn("pass",
+        col("r_len") && col("r_word_len") && col("r_alpha") &&
+          col("r_stopwords") && col("r_dup_words") && col("r_top_word"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus drift between two ingest slices: Jensen–Shannon divergence
+    * of their word distributions plus the top-10 drift contributors —
+    * the monitoring statistic a continuous pipeline reads before
+    * admitting a new crawl batch next to an old one (JS is symmetric
+    * and bounded by ln 2, so one alerting threshold works for any pair
+    * of slices). Scale shape: two filters of ONE scan feed vocab-sized
+    * group-bys; the full-outer join and the JS sum are over the
+    * vocabulary, not the corpus. Probabilities are exact count ratios;
+    * only the final logs/sums are floats, floor-rounded as usual.
+    */
+  def q110CorpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val dist = (src: String) => words.filter(col("source") === src)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("p", col("c").cast("double") /
+        sum("c").over(Window.partitionBy(lit(1))))
+    val joined = dist("src0").select(col("w"), col("p").as("pa"))
+      .join(dist("src1").select(col("w"), col("p").as("pb")), Seq("w"), "full_outer")
+      .na.fill(0.0, Seq("pa", "pb"))
+      .withColumn("m", (col("pa") + col("pb")) / 2.0)
+      .withColumn("contrib",
+        (when(col("pa") > 0.0, col("pa") * log(col("pa") / col("m"))).otherwise(0.0) +
+         when(col("pb") > 0.0, col("pb") * log(col("pb") / col("m"))).otherwise(0.0)) / 2.0)
+    val js = joined.agg(sum("contrib").as("js")).select(
+      (floor(col("js") * 1000000.0 + 0.5) / 1000000.0).as("js"))
+    joined.crossJoin(broadcast(js))
+      .select(col("w").as("word"),
+        (floor(col("pa") * 1000000.0 + 0.5) / 1000000.0).as("p_a"),
+        (floor(col("pb") * 1000000.0 + 0.5) / 1000000.0).as("p_b"),
+        (floor(abs(col("pa") - col("pb")) * 1000000.0 + 0.5) / 1000000.0).as("abs_diff"),
+        col("js").as("js_divergence"))
+      .orderBy(col("abs_diff").desc, col("word").asc)
+      .limit(10)
+  }
+
   def q82BigramTopk(spark: SparkSession, dir: String): DataFrame = {
     val words = split(lower(trim(col("text"))), "\\s+")
     val pairs = zip_with(words, slice(words, lit(2), greatest(size(words) - 1, lit(0))),

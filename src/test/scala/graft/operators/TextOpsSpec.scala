@@ -60,6 +60,61 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules: every boolean matches brute-force recomputation, corpus splits on pass") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val stop = Set("the", "a", "and", "of", "to", "in", "is", "that", "for", "with")
+    val out = TextOps.q109GopherRules(spark, sfDir).collect()
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val n = ws.length.toDouble
+      val chars = text.replaceAll("\\s+", "").length.toDouble
+      assert(r.getAs[Boolean]("r_len") == (ws.length >= 50 && ws.length <= 100000))
+      assert(r.getAs[Boolean]("r_word_len") == (chars / n >= 3.0 && chars / n <= 10.0))
+      assert(r.getAs[Boolean]("r_alpha") ==
+        (ws.count(_.exists(c => c >= 'a' && c <= 'z')) / n >= 0.8))
+      assert(r.getAs[Boolean]("r_stopwords") == (ws.toSet.count(stop) >= 2))
+      assert(r.getAs[Boolean]("r_dup_words") == (1.0 - ws.distinct.length / n <= 0.5))
+      assert(r.getAs[Boolean]("r_top_word") ==
+        (ws.groupBy(identity).values.map(_.length).max / n <= 0.1))
+      assert(r.getAs[Boolean]("pass") ==
+        Seq("r_len", "r_word_len", "r_alpha", "r_stopwords", "r_dup_words", "r_top_word")
+          .forall(r.getAs[Boolean]))
+    }
+    val passes = out.map(_.getAs[Boolean]("pass")).toSet
+    assert(passes == Set(true, false), "the ruleset must split the corpus, not rubber-stamp it")
+  }
+
+  test("corpus drift: JS divergence matches brute force and sits inside (0, ln 2)") {
+    val words = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("source").isin("src0", "src1"))
+      .select("source", "text").collect()
+      .flatMap(r => r.getAs[String]("text").trim.toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).map(w => r.getAs[String]("source") -> w))
+    def dist(src: String): Map[String, Double] = {
+      val ws = words.collect { case (s, w) if s == src => w }
+      ws.groupBy(identity).view.mapValues(_.length.toDouble / ws.length).toMap
+    }
+    val (pa, pb) = (dist("src0"), dist("src1"))
+    val expected = (pa.keySet ++ pb.keySet).toSeq.map { w =>
+      val (a, b) = (pa.getOrElse(w, 0.0), pb.getOrElse(w, 0.0))
+      val m = (a + b) / 2.0
+      ((if (a > 0) a * math.log(a / m) else 0.0) +
+       (if (b > 0) b * math.log(b / m) else 0.0)) / 2.0
+    }.sum
+    val out = TextOps.q110CorpusDrift(spark, sfDir).collect()
+    assert(out.length == 10)
+    val js = out.head.getAs[Double]("js_divergence")
+    assert(out.forall(_.getAs[Double]("js_divergence") == js))
+    assert(math.abs(js - expected) < 1e-5, s"js $js vs brute-force $expected")
+    assert(js > 0.0 && js < math.log(2.0), "JS of distinct nonidentical slices is in (0, ln 2)")
+    val diffs = out.map(_.getAs[Double]("abs_diff"))
+    assert(diffs.zip(diffs.tail).forall { case (x, y) => x >= y }, "top contributors first")
+  }
+
   test("lm perplexity: deterministic transitions give ppl exactly 1") {
     import spark.implicits._
     // one doc, one chain a->b->a->...: every conditional is certain
