@@ -142,6 +142,7 @@ object SparkEntry {
     "q108_weighted_sample" -> ScaleOps.q108WeightedSample _,
     "q109_gopher_rules"    -> TextOps.q109GopherRules _,
     "q110_corpus_drift"    -> TextOps.q110CorpusDrift _,
+    "q111_sorted_neighborhood" -> ScaleOps.q111SortedNeighborhood _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1505,5 +1506,24 @@ object SparkEntry {
            floor(abs(t.pa - t.pb) * 1000000.0 + 0.5) / 1000000.0 AS abs_diff,
            js.js AS js_divergence
          FROM t, js ORDER BY abs_diff DESC, word ASC LIMIT 10""",
+    // identical block/sort/window logic both sides — SNM's windowed
+    // recall restriction is part of the contract, not a silent loss
+    "q111_sorted_neighborhood" ->
+      """WITH d AS (SELECT doc_id,
+             list_sort(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS ws
+           FROM documents),
+         k AS (SELECT doc_id, ws, array_to_string(ws, ' ') AS key FROM d
+               WHERE array_to_string(ws, ' ') <> ''),
+         r AS (SELECT doc_id, ws, key, split_part(key, ' ', 1) AS blk,
+                 row_number() OVER (PARTITION BY split_part(key, ' ', 1)
+                   ORDER BY key, doc_id) AS rk
+               FROM k),
+         p AS (SELECT r1.doc_id AS a, r2.doc_id AS b,
+                 floor(len(list_intersect(r1.ws, r2.ws)) * 1.0 /
+                   len(list_distinct(list_concat(r1.ws, r2.ws))) * 10000.0 + 0.5)
+                   / 10000.0 AS jaccard
+               FROM r r1 JOIN r r2
+                 ON r1.blk = r2.blk AND r2.rk - r1.rk BETWEEN 1 AND 2)
+         SELECT a, b, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY a, b""",
   )
 }

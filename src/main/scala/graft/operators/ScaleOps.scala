@@ -675,6 +675,42 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Sorted-neighborhood near-dup candidates (the Hernández–Stolfo SNM
+    * merge/purge pass) — the sixth dedup regime, SORT-based where
+    * q24/q25/q62/q69 are index/bucket-based: records sort by a canonical
+    * blocking key (here the sorted-distinct-word string) and only rows
+    * within a w-row window of the sorted order become candidates, then
+    * exact Jaccard verifies. Scale shape: blocks (first key word) bound
+    * the sort AND the window — one exchange on the block key, per-block
+    * local sort, candidate fan-out ≤ w per row by construction, no
+    * inverted index materialized. Like q69, the window's recall
+    * restriction is CONTRACTUAL: the oracle mirrors the exact same
+    * block/sort/window logic, so a pair whose keys diverge early is
+    * excluded identically on both sides (SNM's documented tradeoff).
+    */
+  def q111SortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val w = 2
+    val ws = array_sort(array_distinct(split(lower(trim(col("text"))), "\\s+")))
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .withColumn("key", array_join(col("ws"), " "))
+      .filter(col("key") =!= "")
+      .withColumn("blk", substring_index(col("key"), " ", 1))
+    val ranked = keyed.withColumn("rk",
+      row_number().over(Window.partitionBy("blk").orderBy("key", "doc_id")))
+    val left = ranked.select(col("blk"), col("rk"), col("doc_id").as("a"), col("ws").as("wa"))
+    val right = ranked.select(col("blk"), col("rk").as("rkb"),
+      col("doc_id").as("b"), col("ws").as("wb"))
+    left.join(right, Seq("blk"))
+      .filter((col("rkb") - col("rk")).between(1, w))
+      .withColumn("jaccard",
+        floor(size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))) * 10000.0 + 0.5) / 10000.0)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a"), col("b"), col("jaccard"))
+      .orderBy("a", "b")
+  }
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.

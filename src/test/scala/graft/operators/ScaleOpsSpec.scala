@@ -192,6 +192,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("keeper_tokens") == 5L)
   }
 
+  test("sorted neighborhood: sound (every pair verified vs brute force), exact dups found") {
+    val sets = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet)
+      .filter(_._2.nonEmpty).toMap
+    def jac(a: Set[String], b: Set[String]): Double =
+      (a & b).size.toDouble / (a | b).size
+    val out = ScaleOps.q111SortedNeighborhood(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, j) =>
+      val truth = jac(sets(a), sets(b))
+      assert(math.floor(truth * 10000.0 + 0.5) / 10000.0 == j,
+        s"pair ($a,$b): reported jaccard $j must be the true one")
+      assert(truth >= 0.8, s"pair ($a,$b) below threshold")
+    }
+    // identical word sets sort adjacently: every 2-member exact-dup
+    // cluster must be recovered by the window
+    val exactPairs = sets.groupBy(_._2).values.filter(_.size == 2)
+      .map(m => { val ids = m.keys.toSeq.sorted; (ids(0), ids(1)) }).toSet
+    val found = out.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    assert(exactPairs.subsetOf(found),
+      s"missing exact-dup pairs: ${exactPairs -- found}")
+  }
+
   test("corpus shuffle: every doc exactly once, per-shard positions dense, order is the md5 key") {
     val rows = ScaleOps.q107CorpusShuffle(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
