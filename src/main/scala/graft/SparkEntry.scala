@@ -143,6 +143,10 @@ object SparkEntry {
     "q109_gopher_rules"    -> TextOps.q109GopherRules _,
     "q110_corpus_drift"    -> TextOps.q110CorpusDrift _,
     "q111_sorted_neighborhood" -> ScaleOps.q111SortedNeighborhood _,
+    // no oracle: BPE training is iterative argmax-dependent rewriting
+    // (not SQL-expressible); pinned by TextOpsSpec equality with an
+    // independent local reference implementation
+    "q112_bpe_train"       -> TextOps.q112BpeTrain _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -315,6 +315,67 @@ object TextOps {
       .limit(10)
   }
 
+  /** BPE vocabulary training (Sennrich et al. 2016), distributed the way
+    * production tokenizer training actually scales: the iteration runs
+    * on the DISTINCT-WORD table with corpus counts — bounded by the
+    * language's vocabulary, not the corpus — so a 100 TB corpus costs
+    * one word-count aggregation up front and each merge round is a
+    * vocab-sized explode + group-by. The driver loop carries only the
+    * per-round ARGMAX pair (one scalar row), exactly like q104's control
+    * loop; tie-breaks are deterministic (count desc, then pair). Merges
+    * apply via a tight per-word loop UDF (the wordShingles precedent —
+    * HOF chains are CodegenFallback). No SQL oracle: iterative
+    * argmax-dependent rewriting isn't expressible — the seventh
+    * documented rows-only row; TextOpsSpec pins EXACT equality with an
+    * independent single-machine reference implementation.
+    */
+  def bpeTrain(docs: DataFrame, steps: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val splitChars = udf { w: String => w.map(_.toString).toArray }
+    var words = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(splitChars(col("w")).as("syms"), col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < steps && !done) {
+      val pairs = words.select(posexplode(col("syms")).as(Seq("i", "l")), col("syms"), col("n"))
+        .filter(col("i") < size(col("syms")) - 1)
+        .select(col("l"), col("syms").getItem(col("i") + 1).as("r"), col("n"))
+        .groupBy("l", "r").agg(sum("n").as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (pairs.isEmpty || pairs.head.getAs[Long]("c") < 2) done = true
+      else {
+        val (l, r, c) = (pairs.head.getAs[String]("l"),
+          pairs.head.getAs[String]("r"), pairs.head.getAs[Long]("c"))
+        merges += ((step + 1, l, r, c))
+        val applyMerge = udf { syms: Seq[String] =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toArray
+        }
+        words = words.select(applyMerge(col("syms")).as("syms"), col("n"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right", "pair_count")
+      .orderBy("step")
+  }
+
+  def q112BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.documents(spark, dir), 20)
+
   def q82BigramTopk(spark: SparkSession, dir: String): DataFrame = {
     val words = split(lower(trim(col("text"))), "\\s+")
     val pairs = zip_with(words, slice(words, lit(2), greatest(size(words) - 1, lit(0))),

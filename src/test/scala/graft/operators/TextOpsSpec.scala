@@ -115,6 +115,56 @@ class TextOpsSpec extends SparkSpec {
     assert(diffs.zip(diffs.tail).forall { case (x, y) => x >= y }, "top contributors first")
   }
 
+  test("bpe training: merge table equals an independent local reference, exactly") {
+    import spark.implicits._
+    // independent single-machine BPE (same determinism rules: count
+    // desc, then (left, right) lexicographic; stop below pair count 2)
+    def localBpe(texts: Seq[String], steps: Int): Seq[(Int, String, String, Long)] = {
+      var words: Map[Vector[String], Long] = texts
+        .flatMap(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, g) => w.map(_.toString).toVector -> g.size.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var step = 0
+      var continue = true
+      while (step < steps && continue) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach { case (syms, n) =>
+          syms.sliding(2).foreach {
+            case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+            case _ =>
+          }
+        }
+        val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+        best match {
+          case Some(((l, r), c)) if c >= 2 =>
+            out += ((step + 1, l, r, c))
+            words = words.groupMapReduce { case (syms, _) =>
+              val m = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                  m += (l + r); i += 2
+                } else { m += syms(i); i += 1 }
+              }
+              m.toVector
+            }(_._2)(_ + _)
+            step += 1
+          case _ => continue = false
+        }
+      }
+      out.toSeq
+    }
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").as[String].collect().toSeq
+    val expected = localBpe(texts, 12)
+    val got = TextOps.bpeTrain(texts.zipWithIndex.map(t => (t._2.toLong, t._1))
+        .toDF("doc_id", "text"), 12)
+      .collect().map(r => (r.getAs[Int]("step"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count"))).toSeq
+    assert(got == expected, "distributed BPE must equal the local reference merge-for-merge")
+    assert(got.length == 12, "the fixture has at least 12 productive merges")
+  }
+
   test("lm perplexity: deterministic transitions give ppl exactly 1") {
     import spark.implicits._
     // one doc, one chain a->b->a->...: every conditional is certain
