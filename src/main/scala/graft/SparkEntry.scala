@@ -147,6 +147,8 @@ object SparkEntry {
     // (not SQL-expressible); pinned by TextOpsSpec equality with an
     // independent local reference implementation
     "q112_bpe_train"       -> TextOps.q112BpeTrain _,
+    "q113_gap_fill"        -> Events.q113GapFill _,
+    "q114_forward_fill"    -> Events.q114ForwardFill _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1529,5 +1531,32 @@ object SparkEntry {
                FROM r r1 JOIN r r2
                  ON r1.blk = r2.blk AND r2.rk - r1.rk BETWEEN 1 AND 2)
          SELECT a, b, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY a, b""",
+    // grid = types x generate_series over the observed day span; sparse
+    // daily aggregate left-joins in, zeros where nothing happened
+    "q113_gap_fill" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+         g AS (SELECT t.event_type, dd.day
+               FROM (SELECT DISTINCT event_type FROM d) t,
+                    (SELECT unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS day
+                     FROM b) dd)
+         SELECT g.event_type, strftime(g.day, '%Y-%m-%d') AS day,
+           coalesce(d.n, 0) AS n, coalesce(d.total_value, 0.0) AS total_value
+         FROM g LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day
+         ORDER BY g.event_type, day""",
+    // whole-second ordering + event_id tiebreak (q35's convention);
+    // last_value IGNORE NULLS over the running frame is LOCF in both
+    "q114_forward_fill" ->
+      """WITH e AS (SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tss, event_type,
+             CASE WHEN event_type = 'purchase' THEN round(value, 2) END AS pv
+           FROM events)
+         SELECT event_id, user_id, tss, event_type,
+           last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY tss, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+         FROM e ORDER BY event_id""",
   )
 }

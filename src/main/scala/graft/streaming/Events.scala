@@ -606,6 +606,53 @@ object Events {
     spark.read.parquet(out).orderBy("doc_id")
   }
 
+  /** Calendar gap-fill: the dense (event_type × day) grid with zeros
+    * where nothing happened — dashboards and models both need the
+    * missing days to EXIST (a moving average over a sparse series is
+    * silently wrong). The grid is generated (types × sequence of days,
+    * both tiny broadcast sides), then the sparse daily aggregate
+    * left-joins in; the corpus touches only the one daily group-by.
+    */
+  def q113GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    grid.join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Forward fill (last observation carried forward): each event carries
+    * the user's most recent purchase value — the classic sparse-attribute
+    * densification before feature extraction. One user-keyed window;
+    * state is a single value per user however long the history
+    * (running `last(..., ignoreNulls)` over an unbounded-preceding
+    * frame), and partitioning by user keeps the sort local per key.
+    */
+  def q114ForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    // whole-second ordering with the event_id tiebreak — the q35/q50
+    // convention, so the window order is identical in both engines
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tss"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("tss", unix_timestamp(col("ts")))
+      .withColumn("purchase_value",
+        when(col("event_type") === "purchase", round(col("value"), 2)))
+      .withColumn("last_purchase_value",
+        last(col("purchase_value"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("tss"),
+        col("event_type"), col("last_purchase_value"))
+      .orderBy("event_id")
+  }
+
   case class BucketSketch(bucket: Int, version: Long, words: Map[String, Long])
 
   /** Streaming heavy hitters: the incremental twin of q102 — Misra–Gries

@@ -172,4 +172,48 @@ class EventsSpec extends SparkSpec {
     val keys = deduped.select("user_id", "event_type", "value").distinct().count()
     assert(deduped.count() == keys)
   }
+
+  test("gap fill: dense type x day grid, cells match brute force with zeros where absent") {
+    import org.apache.spark.sql.functions.{col, to_date, date_format}
+    val out = Events.q113GapFill(spark, sfDir).collect()
+    val types = out.map(_.getAs[String]("event_type")).distinct
+    val days = out.map(_.getAs[String]("day")).distinct.sorted
+    assert(out.length == types.length * days.length, "the grid must be dense")
+    // every calendar day in the span is present, even if the fixture
+    // happens to have no gaps (sf0.001 is dense; the GRID is the point)
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val (d0, d1) = (java.time.LocalDate.parse(days.head, fmt),
+      java.time.LocalDate.parse(days.last, fmt))
+    assert(days.length == java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1,
+      "every day between min and max must appear")
+    val truth = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .count().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        r.getAs[Long]("count")).toMap
+    out.foreach { r =>
+      val key = (r.getAs[String]("event_type"), r.getAs[String]("day"))
+      assert(r.getAs[Long]("n") == truth.getOrElse(key, 0L),
+        s"cell $key must be the true count or a zero fill")
+    }
+  }
+
+  test("forward fill equals a per-user scan of the ordered history") {
+    import org.apache.spark.sql.functions.{col, round}
+    val rawValue = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), round(col("value"), 2).as("v")).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("v")).toMap
+    val rows = Events.q114ForwardFill(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("tss"), r.getAs[String]("event_type"),
+        Option(r.getAs[java.lang.Double]("last_purchase_value")).map(_.toDouble)))
+    rows.groupBy(_._2).foreach { case (_, evs) =>
+      var carried: Option[Double] = None
+      evs.sortBy(e => (e._3, e._1)).foreach { case (id, _, _, tpe, got) =>
+        if (tpe == "purchase") carried = Some(rawValue(id))
+        assert(got == carried, s"event $id: expected carry $carried, got $got")
+      }
+    }
+    assert(rows.exists(_._5.isEmpty), "history before any purchase must stay null")
+  }
 }
