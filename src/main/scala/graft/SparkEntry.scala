@@ -149,6 +149,10 @@ object SparkEntry {
     "q112_bpe_train"       -> TextOps.q112BpeTrain _,
     "q113_gap_fill"        -> Events.q113GapFill _,
     "q114_forward_fill"    -> Events.q114ForwardFill _,
+    "q115_bloom_prefilter" -> ScaleOps.q115BloomPrefilter _,
+    "q116_dup_spans"       -> ScaleOps.q116DupSpans _,
+    "q117_span_removal"    -> ScaleOps.q117SpanRemoval _,
+    "q118_stratified_sample" -> ScaleOps.q118StratifiedSample _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1558,5 +1562,74 @@ object SparkEntry {
              ORDER BY tss, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
          FROM e ORDER BY event_id""",
+    // exact semantics of q92 — the Bloom prefilter only prunes lake rows
+    // provably absent from the batch, so the oracle is q92's
+    "q115_bloom_prefilter" ->
+      """WITH c AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS cut FROM documents),
+         f AS (SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
+         FROM documents),
+         lake AS (SELECT DISTINCT fp FROM f, c WHERE f.doc_id <= c.cut),
+         batch AS (SELECT f.doc_id, f.fp FROM f, c WHERE f.doc_id > c.cut),
+         fresh AS (SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM lake)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM fresh)
+         SELECT doc_id, fp FROM r WHERE rk = 1 ORDER BY doc_id""",
+    // word-5-gram positions duplicated anywhere in the corpus, merged
+    // per doc into maximal spans (starts p<q touch iff q-p <= 5);
+    // integer arithmetic end to end
+    "q116_dup_spans" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         p AS (SELECT doc_id,
+                 unnest(generate_series(1, len(ws)-4)) AS pos,
+                 unnest([array_to_string(ws[i:i+4], ' ') for i in generate_series(1, len(ws)-4)]) AS s
+               FROM w WHERE len(ws) >= 5),
+         dup AS (SELECT s FROM p GROUP BY s HAVING count(*) >= 2),
+         m AS (SELECT p.doc_id, p.pos FROM p JOIN dup USING (s)),
+         b AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                      THEN 0 ELSE 1 END AS brk
+               FROM m),
+         i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM b)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+           CAST(count(*) AS BIGINT) AS n_shingles
+         FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+    // q116's spans re-applied: drop covered word positions, reassemble
+    // the survivors in order, report salvage accounting
+    "q117_span_removal" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         p AS (SELECT doc_id,
+                 unnest(generate_series(1, len(ws)-4)) AS pos,
+                 unnest([array_to_string(ws[i:i+4], ' ') for i in generate_series(1, len(ws)-4)]) AS s
+               FROM w WHERE len(ws) >= 5),
+         dup AS (SELECT s FROM p GROUP BY s HAVING count(*) >= 2),
+         m AS (SELECT p.doc_id, p.pos FROM p JOIN dup USING (s)),
+         b AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                      THEN 0 ELSE 1 END AS brk
+               FROM m),
+         i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM b),
+         spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+                   FROM i GROUP BY doc_id, island),
+         words AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos,
+                     unnest(ws) AS word FROM w),
+         cov AS (SELECT wd.doc_id, wd.pos, wd.word,
+                  EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = wd.doc_id
+                          AND wd.pos BETWEEN s.span_start AND s.span_end) AS covered
+                 FROM words wd)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           coalesce(string_agg(CASE WHEN NOT covered THEN word END, ' ' ORDER BY pos), '') AS kept_text
+         FROM cov GROUP BY doc_id HAVING n_dropped > 0 ORDER BY doc_id""",
+    // seeded md5 order makes the exact-k stratified sample reproducible
+    // row-by-row in both engines
+    "q118_stratified_sample" ->
+      """WITH c AS (SELECT doc_id, source,
+             md5('strat9:' || CAST(doc_id AS VARCHAR)) AS coin FROM documents),
+         r AS (SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY coin, doc_id) AS INT) AS rk
+           FROM c)
+         SELECT source, rk, doc_id FROM r WHERE rk <= 40 ORDER BY source, rk""",
   )
 }

@@ -711,6 +711,144 @@ object ScaleOps {
       .orderBy("a", "b")
   }
 
+  /** Bloom-prefiltered incremental dedup — q92's EXACT semantics with
+    * the access pattern a 100 TB lake demands. q92 shuffle-joins the new
+    * batch against the full lake fingerprint index; here the SMALL side
+    * (the batch) is summarized into a Bloom filter on the driver and
+    * shipped to the lake scan as a narrow membership predicate, so the
+    * lake index emits only fps that MIGHT be in the batch (~|batch∩lake|
+    * plus fpp·|lake| false positives) instead of all of them. That
+    * survivor set is broadcast, turning the anti-join into a
+    * broadcast anti-join — the 100 TB lake index is never shuffled at
+    * all. The result is exact: a lake fp rejected by the Bloom filter is
+    * provably absent from the batch, so dropping it cannot change the
+    * anti-join; false positives merely ride into the exact join and
+    * fail to match. Same oracle as q92.
+    */
+  def q115BloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(floor(max("doc_id") * 0.8).cast("long").as("cut"))
+    val withCut = docs.crossJoin(broadcast(cut))
+    val batch = withCut.filter(col("doc_id") > col("cut"))
+      .select(col("doc_id"), Dedup.canonicalFingerprint(col("text")).as("fp"))
+    // the batch is the small, known-size side (an ingest increment); its
+    // cardinality is one narrow count — in production it's the ingest
+    // manifest's row count, not a job
+    val n = math.max(batch.count(), 1L)
+    val bloom = batch.stat.bloomFilter("fp", n, 0.01)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => fp != null && bloomB.value.mightContain(fp))
+    val lakeHits = withCut.filter(col("doc_id") <= col("cut"))
+      .select(Dedup.canonicalFingerprint(col("text")).as("fp"))
+      .filter(mightContain(col("fp")))
+      .distinct()
+    val fresh = batch.join(broadcast(lakeHits), Seq("fp"), "left_anti")
+    val first = Window.partitionBy("fp").orderBy("doc_id")
+    fresh.withColumn("rk", row_number().over(first))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact duplicated-substring spans — the substring-level exact dedup
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), which removes verbatim repeated passages rather
+    * than whole documents. Suffix arrays don't distribute; the
+    * equivalent bounded form does: a word 5-gram occurring ≥ 2 times
+    * anywhere in the corpus (cross-doc OR within-doc) marks its
+    * positions duplicated, and per doc the marked positions merge into
+    * maximal spans (two shingle starts p < q overlap or touch iff
+    * q − p ≤ k). Shingling is fully narrow (`transform` over the split
+    * array — no window, no UDF); the ONE wide op is the occurrence
+    * count group-by, exactly q24's inverted-index discipline; the
+    * islands pass is a per-doc window. Integer positions only — no
+    * rounding surface anywhere.
+    */
+  def q116DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val ws = split(trim(col("text")), "\\s+")
+    val positioned = Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - (k - 1)),
+        i => struct(i.as("pos"),
+          array_join(slice(col("ws"), i, lit(k)), " ").as("s")))).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.s").as("s"))
+    val dupShingles = positioned.groupBy("s")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select("s")
+    val marked = positioned.join(dupShingles, "s")
+    val ord = Window.partitionBy("doc_id").orderBy("pos")
+    val run = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(ord) <= k, 0).otherwise(1))
+      .withColumn("island", sum("brk").over(run))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + (k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select("doc_id", "span_start", "span_end", "n_shingles")
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Span removal — the second half of substring dedup: drop every word
+    * position covered by a q116 span and reassemble the surviving text.
+    * The positions⟖spans overlap join is keyed on doc_id (spans per doc
+    * are few), so at 100 TB it's a co-keyed join plus a per-row range
+    * test — no non-equi blow-up; reassembly is one per-doc sort inside
+    * the collect_list agg. Emits per-doc salvage accounting a curation
+    * run logs: words kept/dropped and the cleaned text.
+    */
+  def q117SpanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val spans = q116DupSpans(spark, dir)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val ws = split(trim(col("text")), "\\s+")
+    val positioned = Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("word"))
+    positioned.join(spans, Seq("doc_id"), "left_outer")
+      .withColumn("covered", coalesce(exists(col("spans"),
+        sp => col("pos").between(sp("span_start"), sp("span_end"))), lit(false)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+          when(!col("covered"), struct(col("pos"), col("word"))))),
+          e => e("word")), " ").as("kept_text"))
+      .filter(col("n_dropped") > 0)
+      .select("doc_id", "n_words", "n_dropped", "kept_text")
+      .orderBy("doc_id")
+  }
+
+  /** Exact-k stratified sample — k docs per source, chosen by a seeded
+    * md5 order so the sample is reproducible row-by-row (q91 keeps a
+    * FRACTION per stratum; audits and eval sets need an exact COUNT).
+    * The rank-≤-k filter is the shape Catalyst rewrites with
+    * WindowGroupLimit: each input partition keeps only its own top-k
+    * BEFORE the exchange, so the shuffle carries ≤ k·partitions rows
+    * per stratum however large the corpus — the plan-level reason this
+    * survives 100 TB (PlanShapeSpec pins the node's presence).
+    */
+  def q118StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val kPer = 40
+    val coin = md5(concat(lit("strat9:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("source").orderBy(col("coin"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), coin.as("coin"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kPer)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy("source", "rk")
+  }
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.

@@ -51,6 +51,22 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "expected the broadcast-side crossJoin shape")
   }
 
+  test("stratified sample (q118) keeps per-partition top-k BEFORE the exchange") {
+    // the rank-<=-k filter must rewrite to WindowGroupLimit with a
+    // Partial pass below the shuffle: each input partition forwards at
+    // most k rows per stratum, so the exchange carries <= k*partitions
+    // rows per source however large the corpus — the reason an exact-k
+    // sample survives 100 TB
+    val df = graft.operators.ScaleOps.q118StratifiedSample(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected a partial (map-side) WindowGroupLimit in:\n$plan")
+    // and the scan reads only the two needed columns
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      "scan must prune to (doc_id, source)")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // the 100 TB story: a selective filter on the dim side becomes a
     // bloom filter applied INSIDE the fact scan stage, pruning rows

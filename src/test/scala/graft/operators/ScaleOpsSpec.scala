@@ -256,4 +256,103 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < quality.size,
       "the curve must thin the corpus, not pass or drop everything")
   }
+
+  test("bloom prefilter dedup equals the exact incremental dedup row-for-row") {
+    val exact = ScaleOps.q92IncrementalDedup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"))).toSeq
+    val bloomed = ScaleOps.q115BloomPrefilter(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"))).toSeq
+    assert(bloomed == exact,
+      "the Bloom filter may only prune lake fps absent from the batch — " +
+        "the survivor set must be identical to the exact anti-join's")
+    assert(exact.nonEmpty)
+  }
+
+  private def bruteSpans(k: Int): Map[Long, Seq[(Int, Int, Long)]] = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long](0) -> Option(r.getAs[String](1)).getOrElse(""))
+    val occurrences = docs.toSeq.flatMap { case (id, t) =>
+      val ws = t.trim.split("\\s+")
+      (0 to ws.length - k).map(i => (ws.slice(i, i + k).mkString(" "), id, i + 1))
+    }
+    val dupPositions = occurrences.groupBy(_._1).filter(_._2.size >= 2)
+      .values.flatten.map(o => (o._2, o._3)).toSeq
+    dupPositions.groupBy(_._1).map { case (id, ps) =>
+      val sorted = ps.map(_._2).distinct.sorted
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+      var start = sorted.head; var prev = sorted.head; var n = 1L
+      for (p <- sorted.tail) {
+        if (p - prev <= k) { prev = p; n += 1 }
+        else { spans += ((start, prev + k - 1, n)); start = p; prev = p; n = 1L }
+      }
+      spans += ((start, prev + k - 1, n))
+      id -> spans.toSeq
+    }
+  }
+
+  test("dup spans equal a brute-force substring-dedup reference") {
+    val expected = bruteSpans(5).toSeq.flatMap { case (id, ss) =>
+      ss.map(s => (id, s._1.toLong, s._2.toLong, s._3))
+    }.sorted
+    val got = ScaleOps.q116DupSpans(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_shingles"))).toSeq.sorted
+    assert(got == expected, "span set must match the brute-force reference exactly")
+    assert(got.nonEmpty, "the fixture's duplicated docs must produce spans")
+    // maximality: consecutive spans in one doc never touch or overlap
+    got.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 > a._3 + 1,
+          s"spans $a and $b would have merged if truly adjacent")
+        case _ =>
+      }
+    }
+  }
+
+  test("span removal drops exactly the covered word positions and reassembles the rest") {
+    val k = 5
+    val spans = bruteSpans(k)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long](0) -> Option(r.getAs[String](1)).getOrElse(""))
+    val expected = docs.toSeq.flatMap { case (id, t) =>
+      val ws = t.trim.split("\\s+")
+      val covered = spans.getOrElse(id, Seq.empty)
+        .flatMap(s => s._1 to s._2).toSet
+      val dropped = ws.indices.count(i => covered(i + 1))
+      if (dropped == 0) None
+      else Some((id, ws.length.toLong, dropped.toLong,
+        ws.indices.filterNot(i => covered(i + 1)).map(ws).mkString(" ")))
+    }.sorted
+    val got = ScaleOps.q117SpanRemoval(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_dropped"), r.getAs[String]("kept_text"))).toSeq.sorted
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("stratified sample: exact top-k per source by the seeded md5 order") {
+    def coin(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"strat9:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val bySource = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+      .groupBy(_._1)
+    val expected = bySource.toSeq.flatMap { case (src, members) =>
+      members.map(_._2).sortBy(id => (coin(id), id)).take(40)
+        .zipWithIndex.map { case (id, i) => (src, i + 1, id) }
+    }.sorted
+    val got = ScaleOps.q118StratifiedSample(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rk"),
+        r.getAs[Long]("doc_id"))).toSeq.sorted
+    assert(got == expected)
+    // every stratum returns min(40, |stratum|) rows with dense ranks
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._2).sorted == (1 to math.min(40, bySource(src).length)),
+        s"stratum $src ranks must be dense from 1")
+    }
+  }
 }

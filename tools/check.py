@@ -21,13 +21,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, names=()):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if names:  # dev-loop subset, mirrors Verify's SPARK_GRAFT_ONLY
+        oracles = {k: v for k, v in oracles.items() if k in names}
     n_pass = n_fail = 0
     for name in sorted(oracles):
         qdir = f"{out_dir}/{name}"
@@ -65,6 +67,8 @@ def main(sf_dir, out_dir):
     # rows-only queries (no oracle)
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
+        if names and name not in names:
+            continue
         if name not in oracles:
             files = glob.glob(f"{qdir}/*.parquet")
             n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
@@ -74,4 +78,4 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
