@@ -153,6 +153,10 @@ object SparkEntry {
     "q116_dup_spans"       -> ScaleOps.q116DupSpans _,
     "q117_span_removal"    -> ScaleOps.q117SpanRemoval _,
     "q118_stratified_sample" -> ScaleOps.q118StratifiedSample _,
+    "q119_interval_join"   -> Events.q119IntervalJoin _,
+    // no oracle: the merge table is the product of q112's iterative
+    // argmax training; segmentation pinned train-identical by TextOpsSpec
+    "q120_bpe_encode"      -> TextOps.q120BpeEncode _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1631,5 +1635,22 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY source ORDER BY coin, doc_id) AS INT) AS rk
            FROM c)
          SELECT source, rk, doc_id FROM r WHERE rk <= 40 ORDER BY source, rk""",
+    // unkeyed interval join: the bucketization is invisible to the
+    // result, so the oracle is the plain non-equi containment join;
+    // whole-second tss (q114's convention), [start, end) windows
+    "q119_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tss, event_type, value
+           FROM events),
+         w AS (SELECT event_id AS window_id, tss - 1800 AS w_start, tss + 1800 AS w_end
+               FROM e WHERE event_type = 'purchase'
+               ORDER BY value DESC, event_id ASC LIMIT 5)
+         SELECT w.window_id, w.w_start, w.w_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           round(sum(e.value), 2) AS total_value
+         FROM w JOIN e ON e.tss >= w.w_start AND e.tss < w.w_end
+         GROUP BY w.window_id, w.w_start, w.w_end
+         ORDER BY window_id""",
   )
 }

@@ -376,6 +376,56 @@ object TextOps {
   def q112BpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeTrain(Tables.documents(spark, dir), 20)
 
+  /** BPE encoding — applying a trained merge table to a corpus, the
+    * inference half of q112 (a tokenizer you can train but not apply
+    * prices nothing). Same vocabulary-bounded discipline as training:
+    * each DISTINCT word is encoded exactly once (the merge list rides a
+    * broadcast; application is the same sequential rank-order rewrite
+    * the trainer used, so segmentation is train-identical), then the
+    * tiny encoded vocab broadcast-joins back to the exploded corpus for
+    * per-doc token accounting. A 100 TB corpus pays one word explode +
+    * one broadcast join; the per-word merge loop touches only the vocab.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val mergesB = spark.sparkContext.broadcast(merges.toArray)
+    val encodeWord = udf { w: String =>
+      var syms: Array[String] = w.map(_.toString).toArray
+      for ((l, r) <- mergesB.value if syms.length > 1) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+      syms.length
+    }
+    val docWords = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = docWords.select("w").distinct()
+      .withColumn("n_bpe", encodeWord(col("w")))
+    docWords.join(broadcast(vocab), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_bpe").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Train 20 merges on the corpus, then encode the corpus with them.
+    * Rows-only like q112 (the merge table is the product of iterative
+    * argmax training); TextOpsSpec pins the encoded segmentation equal
+    * to the trainer's own final word states.
+    */
+  def q120BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeTrain(docs, 20).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    bpeEncode(docs, merges)
+  }
+
   def q82BigramTopk(spark: SparkSession, dir: String): DataFrame = {
     val words = split(lower(trim(col("text"))), "\\s+")
     val pairs = zip_with(words, slice(words, lit(2), greatest(size(words) - 1, lit(0))),

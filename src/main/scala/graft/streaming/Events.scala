@@ -653,6 +653,39 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Unkeyed interval join via time bucketization — the batch range-join
+    * family q70 covers only for streams. Incident windows (here: ±30 min
+    * around the 5 highest-value purchases) have no join key, so the
+    * naive plan is a broadcast NLJ that dies when the interval set
+    * outgrows memory. The scale form: explode each interval into the
+    * fixed-width time buckets it covers, map each event to its single
+    * bucket, equi-join on bucket, then filter exact containment — both
+    * sides shuffle by bucket key, so it survives millions of intervals;
+    * per-bucket fan-out is bounded by interval_len/bucket_width + 1.
+    * An event meets a window through exactly one bucket (its own), so
+    * no post-join dedup is needed. Whole-second arithmetic end to end.
+    */
+  def q119IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = 1800L
+    val ev = Tables.events(spark, dir)
+      .withColumn("tss", unix_timestamp(col("ts")))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .orderBy(col("value").desc, col("event_id").asc).limit(5)
+      .select(col("event_id").as("window_id"),
+        (col("tss") - 1800L).as("w_start"), (col("tss") + 1800L).as("w_end"))
+    val exploded = windows.withColumn("bkt",
+      explode(sequence(floor(col("w_start") / bucket).cast("long"),
+        floor(col("w_end") / bucket).cast("long"))))
+    ev.withColumn("bkt", floor(col("tss") / bucket).cast("long"))
+      .join(exploded, Seq("bkt"))
+      .filter(col("tss") >= col("w_start") && col("tss") < col("w_end"))
+      .groupBy("window_id", "w_start", "w_end")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("window_id")
+  }
+
   case class BucketSketch(bucket: Int, version: Long, words: Map[String, Long])
 
   /** Streaming heavy hitters: the incremental twin of q102 — Misra–Gries

@@ -165,6 +165,44 @@ class TextOpsSpec extends SparkSpec {
     assert(got.length == 12, "the fixture has at least 12 productive merges")
   }
 
+  test("bpe encoding: per-doc token counts equal a local reference encode, exactly") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val merges = TextOps.bpeTrain(docs.toDF("doc_id", "text"), 12).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    // local reference: identical sequential rank-order application
+    def encode(w: String): Int = {
+      var syms = w.map(_.toString).toVector
+      for ((l, r) <- merges if syms.length > 1) {
+        val m = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            m += (l + r); i += 2
+          } else { m += syms(i); i += 1 }
+        }
+        syms = m.toVector
+      }
+      syms.length
+    }
+    val expected = docs.flatMap { case (id, t) =>
+      val ws = Option(t).getOrElse("").trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (ws.isEmpty) None
+      else Some((id, ws.length.toLong, ws.map(encode(_).toLong).sum))
+    }.sorted
+    val got = TextOps.bpeEncode(docs.toDF("doc_id", "text"), merges).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_bpe_tokens"))).toSeq.sorted
+    assert(got == expected, "distributed encode must equal the local reference")
+    // merges genuinely compress: strictly fewer tokens than characters
+    val chars = expected.map { case (id, _, _) =>
+      docs.toMap.apply(id).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(_.length.toLong).sum
+    }.sum
+    assert(got.map(_._3).sum < chars, "BPE tokens must undercut character count")
+  }
+
   test("lm perplexity: deterministic transitions give ppl exactly 1") {
     import spark.implicits._
     // one doc, one chain a->b->a->...: every conditional is certain

@@ -198,6 +198,36 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("interval join equals the brute-force containment scan") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("tss", org.apache.spark.sql.functions.unix_timestamp(col("ts")))
+      .select("event_id", "user_id", "tss", "event_type", "value").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("tss"), r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    val windows = ev.filter(_._4 == "purchase")
+      .sortBy(e => (-e._5, e._1)).take(5)
+      .map(e => (e._1, e._3 - 1800L, e._3 + 1800L))
+    val expected = windows.map { case (wid, s, epos) =>
+      val in = ev.filter(e => e._3 >= s && e._3 < epos)
+      (wid, s, epos, in.length.toLong, in.map(_._2).distinct.length.toLong,
+        math.floor(in.map(_._5).sum * 100.0 + 0.5) / 100.0)
+    }.sortBy(_._1).toSeq
+    val got = Events.q119IntervalJoin(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("window_id"), r.getAs[Long]("w_start"),
+        r.getAs[Long]("w_end"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_users"),
+        r.getAs[Double]("total_value"))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)) ==
+      expected.map(t => (t._1, t._2, t._3, t._4, t._5)),
+      "bucketized join must equal the brute-force containment scan")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._6 - e._6) < 1e-9, s"window ${g._1} value sum drifted")
+    }
+    // each window contains at least its own anchor purchase
+    assert(got.forall(_._4 >= 1))
+  }
+
   test("forward fill equals a per-user scan of the ordered history") {
     import org.apache.spark.sql.functions.{col, round}
     val rawValue = spark.read.parquet(s"$sfDir/events.parquet")
