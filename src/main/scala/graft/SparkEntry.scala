@@ -157,6 +157,7 @@ object SparkEntry {
     // no oracle: the merge table is the product of q112's iterative
     // argmax training; segmentation pinned train-identical by TextOpsSpec
     "q120_bpe_encode"      -> TextOps.q120BpeEncode _,
+    "q121_kmeans"          -> ScaleOps.q121Kmeans _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1652,5 +1653,55 @@ object SparkEntry {
          FROM w JOIN e ON e.tss >= w.w_start AND e.tss < w.w_end
          GROUP BY w.window_id, w.w_start, w.w_end
          ORDER BY window_id""",
+    // three unrolled Lloyd rounds with the Scala side's exact rounding
+    // discipline: 6 dp squared-L2 before each argmin (ties on cl), 9 dp
+    // centroid components after each update — identical assignment
+    // sequence in both engines, so the hash-match is exact
+    "q121_kmeans" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         seeds AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cl, vec AS centroid
+                   FROM (SELECT id, vec FROM v ORDER BY id LIMIT 8) s),
+         d1 AS (SELECT v.id, v.vec, c.cl,
+                 round(list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid), 6) AS d2
+                FROM v, seeds c),
+         a1 AS (SELECT id, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d1) t
+                WHERE rk = 1),
+         c1 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT cl, pos, round(avg(x), 9) AS m FROM (
+                    SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a1) u
+                  GROUP BY cl, pos) g GROUP BY cl),
+         d2_ AS (SELECT v.id, v.vec, c.cl,
+                 round(list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid), 6) AS d2
+                FROM v, c1 c),
+         a2 AS (SELECT id, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d2_) t
+                WHERE rk = 1),
+         c2 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT cl, pos, round(avg(x), 9) AS m FROM (
+                    SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a2) u
+                  GROUP BY cl, pos) g GROUP BY cl),
+         d3 AS (SELECT v.id, v.vec, c.cl,
+                 round(list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid), 6) AS d2
+                FROM v, c2 c),
+         a3 AS (SELECT id, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d3) t
+                WHERE rk = 1),
+         c3 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT cl, pos, round(avg(x), 9) AS m FROM (
+                    SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a3) u
+                  GROUP BY cl, pos) g GROUP BY cl),
+         df_ AS (SELECT v.id, c.cl,
+                 round(list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid), 6) AS d2
+                FROM v, c3 c),
+         af AS (SELECT id, cl, d2 FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM df_) t
+                WHERE rk = 1)
+         SELECT cl, CAST(count(*) AS BIGINT) AS n_vecs, round(sum(d2), 4) AS inertia
+         FROM af GROUP BY cl ORDER BY cl""",
   )
 }

@@ -849,6 +849,22 @@ object ScaleOps {
       .orderBy("source", "rk")
   }
 
+  /** k-means fit over the embeddings table (k=8, 3 Lloyd rounds) —
+    * cluster cardinalities and within-cluster inertia, the training
+    * step the IVF family (q29/q69) takes as given. The DuckDB oracle
+    * unrolls the identical three rounds with the identical rounding
+    * discipline (6 dp distances before argmin, 9 dp centroid
+    * components), so both engines walk the same assignment sequence —
+    * an iterative ML loop held to the same hash-match bar as the
+    * relational queries.
+    */
+  def q121Kmeans(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.kmeansFit(Tables.widen(Tables.embeddings(spark, dir)),
+      "vec_id", "embedding", 8, 3)
+      .groupBy("cl")
+      .agg(count(lit(1)).as("n_vecs"), round(sum("d2"), 4).as("inertia"))
+      .orderBy("cl")
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.

@@ -88,6 +88,58 @@ object VectorOps {
       .select(col("id"), col("vec"), col("nv"), col("cl"))
   }
 
+  /** Distributed k-means (Lloyd's) — the trainer behind the IVF index
+    * (`knnIvf`/`ivfAssign` consume given cluster labels; this is where
+    * those labels come from when nobody hands them to you). The driver
+    * loop carries NOTHING but the iteration counter (q104/q112's
+    * control-loop discipline): centroids live in a k×dim DataFrame that
+    * rides a broadcast into the assignment join, assignment is an
+    * argmin window over |V|·k scored rows, and the update is one
+    * posexplode group-by — per round, one broadcast + two exchanges,
+    * independent of corpus size. Determinism across engines: distances
+    * are squared-L2 composed from three sequential-fold dot products
+    * rounded to 6 dp BEFORE the argmin (ties break on cluster id), and
+    * updated centroid components round to 9 dp — so Spark and the
+    * DuckDB oracle converge through identical assignments every round
+    * regardless of their aggregation orders. Seeds: the k lowest-id
+    * vectors (deterministic; smarter seeding composes in front).
+    * An emptied cluster drops out in both engines identically.
+    *
+    * Returns (id, cl, d2): each vector's final cluster and its rounded
+    * squared distance under the final centroids.
+    */
+  def kmeansFit(vecs: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val d2 = (vec: Column, c: Column) =>
+      round(dot(vec, vec) - lit(2.0) * dot(vec, c) + dot(c, c), 6)
+    val argmin = Window.partitionBy("id").orderBy(col("d2").asc, col("cl").asc)
+    var cent = v.orderBy("id").limit(k)
+      .select((row_number().over(Window.orderBy("id")) - 1).as("cl"),
+        col("vec").as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = v.crossJoin(broadcast(cent))
+        .withColumn("d2", d2(col("vec"), col("centroid")))
+        .withColumn("rk", row_number().over(argmin))
+        .filter(col("rk") === 1)
+        .select("id", "vec", "cl")
+      cent = assigned
+        .select(col("cl"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("cl", "pos").agg(round(avg("x"), 9).as("m"))
+        .groupBy("cl").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cl"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+        // cut the per-round lineage — without this, round r's plan
+        // re-executes rounds 1..r-1 (q104's localCheckpoint rule)
+        .localCheckpoint()
+    }
+    v.crossJoin(broadcast(cent))
+      .withColumn("d2", d2(col("vec"), col("centroid")))
+      .withColumn("rk", row_number().over(argmin))
+      .filter(col("rk") === 1)
+      .select("id", "cl", "d2")
+  }
+
   /** Embedding near-dup pairs ≥ threshold with IVF-bucketed candidate
     * generation: score only pairs sharing one of their `nProbe` nearest
     * centroids, then verify with exact cosine — the crossJoin never

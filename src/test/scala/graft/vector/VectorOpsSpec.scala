@@ -169,6 +169,49 @@ class VectorOpsSpec extends SparkSpec {
     assert(zeroish.nonEmpty && zeroish.forall(_.getAs[Double]("score") == 0.0))
   }
 
+  test("kmeans fit equals a local Lloyd reference assignment-for-assignment") {
+    def rnd(x: Double, dp: Int): Double = {
+      // mirror Spark/DuckDB round (HALF_UP) without float re-scaling drift
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def dotp(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val k = 4; val iters = 3
+    var cent: Seq[(Int, Array[Double])] =
+      vecs.take(k).zipWithIndex.map { case ((_, v), i) => (i, v) }.toSeq
+    def assign(): Map[Long, (Double, Int)] = vecs.map { case (id, v) =>
+      val scored = cent.map { case (cl, c) =>
+        (cl, rnd(dotp(v, v) - 2.0 * dotp(v, c) + dotp(c, c), 6))
+      }
+      id -> scored.minBy { case (cl, d) => (d, cl) }.swap
+    }.toMap
+    for (_ <- 1 to iters) {
+      val a = assign()
+      val byId = vecs.toMap
+      cent = a.toSeq.groupBy(_._2._2).toSeq.map { case (cl, members) =>
+        val vs = members.map(m => byId(m._1))
+        val m = new Array[Double](vs.head.length)
+        for (v <- vs; i <- v.indices) m(i) += v(i)
+        (cl, m.map(x => rnd(x / vs.length, 9)))
+      }.sortBy(_._1)
+    }
+    val expected = assign().toSeq.map { case (id, (d, cl)) => (id, cl, d) }.sorted
+    val got = VectorOps.kmeansFit(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding",
+        k, iters)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("cl"),
+        r.getAs[Double]("d2"))).toSeq.sorted
+    assert(got == expected,
+      "distributed Lloyd must equal the local reference exactly, " +
+        "assignments and rounded distances both")
+    assert(got.map(_._2).distinct.size > 1, "the fixture must genuinely cluster")
+  }
+
   test("cosine is symmetric and 1.0 on self") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f), Array(3f, 2f, 1f)))
