@@ -158,6 +158,8 @@ object SparkEntry {
     // argmax training; segmentation pinned train-identical by TextOpsSpec
     "q120_bpe_encode"      -> TextOps.q120BpeEncode _,
     "q121_kmeans"          -> ScaleOps.q121Kmeans _,
+    "q122_changepoint"     -> Events.q122Changepoint _,
+    "q123_scd2"            -> Events.q123Scd2 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1703,5 +1705,41 @@ object SparkEntry {
                 WHERE rk = 1)
          SELECT cl, CAST(count(*) AS BIGINT) AS n_vecs, round(sum(d2), 4) AS inertia
          FROM af GROUP BY cl ORDER BY cl""",
+    // integer-exact scaled CUSUM: S_d = D*cumsum_d - d*T, peak |S| wins
+    // (earliest day on ties) — BIGINT end to end
+    "q122_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         scored AS (SELECT event_type, day,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS d_idx,
+             sum(c) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+             sum(c) OVER (PARTITION BY event_type) AS total
+           FROM daily),
+         s AS (SELECT event_type, day, n_days, total,
+             n_days * cum - d_idx * total AS sv
+           FROM scored),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(sv) DESC, day ASC) AS rk FROM s)
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
+           CAST(abs(sv) AS BIGINT) AS peak_scaled_cusum,
+           n_days, CAST(total AS BIGINT) AS total
+         FROM r WHERE rk = 1 ORDER BY event_type""",
+    // SCD2 versioned history: lead() closes each validity range, the
+    // open row carries a null valid_to and the current flag
+    "q123_scd2" ->
+      """WITH p AS (SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tss, round(value, 2) AS value
+           FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY tss, event_id) AS INT) AS version,
+             value, tss AS valid_from,
+             lead(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS valid_to
+           FROM p)
+         SELECT user_id, version, value, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+         FROM v ORDER BY user_id, version""",
   )
 }

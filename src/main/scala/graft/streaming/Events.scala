@@ -686,6 +686,65 @@ object Events {
       .orderBy("window_id")
   }
 
+  /** CUSUM changepoint per event type — where did the daily level
+    * shift? The classic drift alarm an ingest monitor runs next to
+    * q110's distributional drift. Exactness trick: the textbook
+    * statistic Σ(c_i − mean) needs a fractional mean; scaling by the
+    * day count D gives S_d = D·cumsum_d − d·T — pure BIGINT arithmetic,
+    * so both engines agree to the last bit with no rounding surface.
+    * The changepoint is the day of peak |S| (earliest on ties). One
+    * daily group-by + two windows per type, nothing corpus-sized past
+    * the first aggregate; for series with silent days, q113's gap-fill
+    * composes in front to densify first.
+    */
+  def q122Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val ord = Window.partitionBy("event_type").orderBy("day")
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("d_idx", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum("c").over(run))
+      .withColumn("n_days", count(lit(1)).over(all))
+      .withColumn("total", sum("c").over(all))
+      .withColumn("s", col("n_days") * col("cum") - col("d_idx") * col("total"))
+    val peak = Window.partitionBy("event_type")
+      .orderBy(abs(col("s")).desc, col("day").asc)
+    scored.withColumn("rk", row_number().over(peak))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+        abs(col("s")).as("peak_scaled_cusum"),
+        col("n_days"), col("total"))
+      .orderBy("event_type")
+  }
+
+  /** SCD2 dimension history — the lakehouse maintenance shape for a
+    * slowly-changing attribute: each user's purchase stream becomes
+    * versioned rows with [valid_from, valid_to) ranges and a current
+    * flag (valid_to null on the open row). One per-user window (lead +
+    * row_number over the same sort), so the build is a single exchange
+    * keyed by the dimension key however long the history; the q35/q50
+    * whole-second + event_id ordering convention keeps both engines'
+    * version numbering identical.
+    */
+  def q123Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tss").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("tss", unix_timestamp(col("ts")))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead("tss", 1).over(w))
+      .select(col("user_id"), col("version"),
+        round(col("value"), 2).as("value"),
+        col("tss").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   case class BucketSketch(bucket: Int, version: Long, words: Map[String, Long])
 
   /** Streaming heavy hitters: the incremental twin of q102 — Misra–Gries

@@ -228,6 +228,58 @@ class EventsSpec extends SparkSpec {
     assert(got.forall(_._4 >= 1))
   }
 
+  test("changepoint: peak scaled CUSUM matches brute force; the statistic telescopes to zero") {
+    import org.apache.spark.sql.functions.{col, to_date, date_format}
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .count().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"), r.getAs[Long]("count")))
+    val expected = daily.groupBy(_._1).map { case (tpe, rows) =>
+      val ordered = rows.sortBy(_._2)
+      val d = ordered.length.toLong
+      val t = ordered.map(_._3).sum
+      var cum = 0L
+      val s = ordered.zipWithIndex.map { case ((_, day, c), i) =>
+        cum += c
+        (day, d * cum - (i + 1) * t)
+      }
+      // telescoping: the last partial sum is D*T - D*T = 0 exactly
+      assert(s.last._2 == 0L, s"type $tpe: S_D must telescope to zero")
+      val peak = s.minBy { case (day, sv) => (-math.abs(sv), day) }
+      (tpe, peak._1, math.abs(peak._2), d, t)
+    }.toSeq.sorted
+    val got = Events.q122Changepoint(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("cp_day"),
+        r.getAs[Long]("peak_scaled_cusum"), r.getAs[Long]("n_days"),
+        r.getAs[Long]("total"))).toSeq.sorted
+    assert(got == expected)
+    assert(got.forall(_._3 > 0), "a flat series would have no peak; the fixture is not flat")
+  }
+
+  test("scd2: versions dense, ranges chain, exactly one open current row per user") {
+    val rows = Events.q123Scd2(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version"),
+        r.getAs[Double]("value"), r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+        r.getAs[Boolean]("is_current")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, hist) =>
+      val ordered = hist.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1 to ordered.length),
+        s"user $uid versions must be dense from 1")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4),
+            s"user $uid v${a._2}: valid_to must equal the next valid_from")
+          assert(!a._6, "only the last version may be current")
+        case _ =>
+      }
+      val last = ordered.last
+      assert(last._5.isEmpty && last._6,
+        s"user $uid: the open row must have null valid_to and is_current")
+    }
+  }
+
   test("forward fill equals a per-user scan of the ordered history") {
     import org.apache.spark.sql.functions.{col, round}
     val rawValue = spark.read.parquet(s"$sfDir/events.parquet")
