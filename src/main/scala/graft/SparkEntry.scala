@@ -160,6 +160,7 @@ object SparkEntry {
     "q121_kmeans"          -> ScaleOps.q121Kmeans _,
     "q122_changepoint"     -> Events.q122Changepoint _,
     "q123_scd2"            -> Events.q123Scd2 _,
+    "q124_ivf_e2e"         -> ScaleOps.q124IvfE2e _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1741,5 +1742,72 @@ object SparkEntry {
          SELECT user_id, version, value, valid_from, valid_to,
            valid_to IS NULL AS is_current
          FROM v ORDER BY user_id, version""",
+    // q121's kmeans CTE chain spliced into q29's probe chain: the
+    // corpus labels are the LEARNED final assignment, then probe 2 of 8
+    // and exact-cosine the probed clusters' members
+    "q124_ivf_e2e" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         seeds AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cl, vec AS centroid
+                   FROM (SELECT id, vec FROM v ORDER BY id LIMIT 8) s),
+         d1 AS (SELECT v.id, v.vec, c.cl,
+                 round(list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid), 6) AS d2
+                FROM v, seeds c),
+         a1 AS (SELECT id, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d1) t
+                WHERE rk = 1),
+         c1 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT cl, pos, round(avg(x), 9) AS m FROM (
+                    SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a1) u
+                  GROUP BY cl, pos) g GROUP BY cl),
+         d2_ AS (SELECT v.id, v.vec, c.cl,
+                 round(list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid), 6) AS d2
+                FROM v, c1 c),
+         a2 AS (SELECT id, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d2_) t
+                WHERE rk = 1),
+         c2 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT cl, pos, round(avg(x), 9) AS m FROM (
+                    SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a2) u
+                  GROUP BY cl, pos) g GROUP BY cl),
+         d3 AS (SELECT v.id, v.vec, c.cl,
+                 round(list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid), 6) AS d2
+                FROM v, c2 c),
+         a3 AS (SELECT id, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d3) t
+                WHERE rk = 1),
+         c3 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT cl, pos, round(avg(x), 9) AS m FROM (
+                    SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a3) u
+                  GROUP BY cl, pos) g GROUP BY cl),
+         df_ AS (SELECT v.id, v.vec, c.cl,
+                 round(list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid), 6) AS d2
+                FROM v, c3 c),
+         af AS (SELECT id, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM df_) t
+                WHERE rk = 1),
+         q AS (SELECT id AS qid, vec AS qv FROM af WHERE id < 10),
+         c AS (SELECT id AS nid, vec AS cv, cl FROM af WHERE id >= 10),
+         ci AS (SELECT cl, unnest(generate_series(1, 64)) AS i, cv FROM c),
+         cent AS (SELECT cl, i, avg(cv[i]) AS m FROM ci GROUP BY cl, i),
+         centv AS (SELECT cl, list(m ORDER BY i) AS ce FROM cent GROUP BY cl),
+         probe AS (SELECT qid, cl, qv FROM (
+             SELECT q.qid, centv.cl, q.qv,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 round(list_dot_product(q.qv, centv.ce) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(centv.ce, centv.ce))), 4) DESC,
+                 centv.cl ASC) AS pr
+             FROM q, centv) p WHERE pr <= 2),
+         s AS (SELECT probe.qid, c.nid,
+             round(list_dot_product(probe.qv, c.cv) /
+               (sqrt(list_dot_product(probe.qv, probe.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 4) AS score
+           FROM probe JOIN c ON c.cl = probe.cl),
+         r AS (SELECT qid, nid, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM s)
+         SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, score
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
   )
 }

@@ -865,6 +865,25 @@ object ScaleOps {
       .agg(count(lit(1)).as("n_vecs"), round(sum("d2"), 4).as("inertia"))
       .orderBy("cl")
 
+  /** IVF ANN end to end with LEARNED centroids — q121's k-means fit
+    * feeding q29's probe-and-score, no given labels anywhere: fit on
+    * the full table, label the corpus with the final assignment, probe
+    * 2 of 8 learned clusters, exact-cosine the members. The composition
+    * every self-contained vector index actually runs at build+query
+    * time; oracle = the kmeans CTE chain spliced into the q29 probe
+    * chain, so the whole trained index is hash-checked.
+    */
+  def q124IvfE2e(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val fitted = VectorOps.kmeansFit(Tables.widen(e), "vec_id", "embedding", 8, 3)
+      .select(col("id").as("vec_id"), col("cl"))
+    val labeled = e.join(fitted, "vec_id")
+    VectorOps.knnIvf(
+      labeled.filter(col("vec_id") < 10), labeled.filter(col("vec_id") >= 10),
+      "vec_id", "vec_id", "embedding", "cl", 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.

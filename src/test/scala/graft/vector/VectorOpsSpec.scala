@@ -212,6 +212,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.map(_._2).distinct.size > 1, "the fixture must genuinely cluster")
   }
 
+  test("trained IVF e2e: 5 ranked rows per query, scores non-increasing, real recall vs brute force") {
+    val got = graft.operators.ScaleOps.q124IvfE2e(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("score")))
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"query $qid ranks must be dense")
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $qid scores must be non-increasing")
+    }
+    // the learned index must find a meaningful share of the true top-5
+    val brute = graft.operators.ScaleOps.q28KnnBrute(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val hits = got.count(r => brute.contains((r._1, r._3)))
+    assert(hits.toDouble / brute.size >= 0.2,
+      s"trained-IVF recall vs brute force too low: $hits/${brute.size}")
+  }
+
   test("cosine is symmetric and 1.0 on self") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f), Array(3f, 2f, 1f)))
