@@ -161,6 +161,7 @@ object SparkEntry {
     "q122_changepoint"     -> Events.q122Changepoint _,
     "q123_scd2"            -> Events.q123Scd2 _,
     "q124_ivf_e2e"         -> ScaleOps.q124IvfE2e _,
+    "q125_pagerank"        -> graft.operators.Graph.q125PageRank _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1809,5 +1810,45 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM s)
          SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, score
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q104's shared-line edge graph + 3 unrolled PageRank rounds; all
+    // float ops CAST to DOUBLE (DuckDB decimal literals would otherwise
+    // diverge from Spark's double arithmetic), ranks rounded to 9 dp
+    // after each update — the same discipline as q121's kmeans
+    "q125_pagerank" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents),
+         l AS (SELECT DISTINCT doc_id, array_to_string(ws[5*i+1 : 5*i+5], ' ') AS line
+               FROM (SELECT doc_id, ws, unnest(generate_series(0,
+                       CAST(ceil(len(ws)*1.0/5) AS INT) - 1)) AS i FROM w) t
+               WHERE array_to_string(ws[5*i+1 : 5*i+5], ' ') <> ''),
+         df AS (SELECT line, count(*) AS c FROM l GROUP BY line),
+         e0 AS (SELECT DISTINCT l1.doc_id AS a, l2.doc_id AS b
+                FROM l l1 JOIN l l2 USING (line) JOIN df USING (line)
+                WHERE df.c BETWEEN 2 AND 5 AND l1.doc_id < l2.doc_id),
+         e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY a),
+         nv AS (SELECT count(*) AS n FROM deg),
+         r0 AS (SELECT v, 1.0::DOUBLE / (SELECT n FROM nv) AS pr FROM deg),
+         r1 AS (SELECT d.v, round((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nv)
+                  + 0.85::DOUBLE * coalesce(i.inflow, 0.0::DOUBLE), 9) AS pr
+                FROM deg d LEFT JOIN (
+                  SELECT e.b AS v, sum(r.pr / dd.deg) AS inflow
+                  FROM e JOIN r0 r ON r.v = e.a JOIN deg dd ON dd.v = e.a
+                  GROUP BY e.b) i ON i.v = d.v),
+         r2 AS (SELECT d.v, round((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nv)
+                  + 0.85::DOUBLE * coalesce(i.inflow, 0.0::DOUBLE), 9) AS pr
+                FROM deg d LEFT JOIN (
+                  SELECT e.b AS v, sum(r.pr / dd.deg) AS inflow
+                  FROM e JOIN r1 r ON r.v = e.a JOIN deg dd ON dd.v = e.a
+                  GROUP BY e.b) i ON i.v = d.v),
+         r3 AS (SELECT d.v, round((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nv)
+                  + 0.85::DOUBLE * coalesce(i.inflow, 0.0::DOUBLE), 9) AS pr
+                FROM deg d LEFT JOIN (
+                  SELECT e.b AS v, sum(r.pr / dd.deg) AS inflow
+                  FROM e JOIN r2 r ON r.v = e.a JOIN deg dd ON dd.v = e.a
+                  GROUP BY e.b) i ON i.v = d.v)
+         SELECT r3.v AS doc_id, deg.deg, r3.pr
+         FROM r3 JOIN deg ON deg.v = r3.v
+         ORDER BY r3.pr DESC, doc_id ASC LIMIT 20""",
   )
 }

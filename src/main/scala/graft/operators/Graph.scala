@@ -59,7 +59,12 @@ object Graph {
     * nothing). One BoundedCollect shuffle builds the index, pairs
     * explode only within ≤5-doc postings, then components + sizes.
     */
-  def q104DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** The symmetric shared-line edge list both graph queries run on:
+    * documents linked when they share a full 5-word grid line with
+    * document frequency 2..5 (df-capped inverted index — q24's
+    * discipline bounds postings and pair fan-out by construction).
+    */
+  private[operators] def lineGraphEdges(spark: SparkSession, dir: String): DataFrame = {
     val maxDf = 5
     val docLines = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -76,14 +81,62 @@ object Graph {
         "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+    pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    val cc = connectedComponents(edges)
+  }
+
+  def q104DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val cc = connectedComponents(lineGraphEdges(spark, dir))
     val sizes = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     cc.join(broadcast(sizes), Seq("label"))
       .select(col("v").as("doc_id"), col("label").as("root"), col("cluster_size"))
       .orderBy("doc_id")
   }
+
+  /** PageRank over a symmetric edge list — link-structure authority, the
+    * scoring a crawl-derived corpus ranks domains with (quality signal
+    * #4 next to q16's intrinsic, q103's LM, and q109's rules). Same
+    * control-loop discipline as `connectedComponents`: the driver holds
+    * only the iteration counter and the vertex count; each round is one
+    * contribution join + one vertex-keyed aggregation,
+    * localCheckpoint'ed. Symmetric edges mean no dangling vertices, so
+    * no lost-mass correction is needed. Cross-engine exactness: ranks
+    * round to 9 dp after every update, so accumulation-order drift
+    * (≤ ulps) never survives a round.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      .persist()
+    val n = deg.count()
+    var ranks = deg.select(col("v"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val inflow = e
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .join(deg.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), (col("pr") / col("deg")).as("c"))
+        .groupBy("v").agg(sum("c").as("inflow"))
+      ranks = deg.select(col("v"))
+        .join(inflow, Seq("v"), "left_outer")
+        .select(col("v"),
+          round(lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0)), 9).as("pr"))
+        .localCheckpoint()
+    }
+    val out = ranks.join(deg, "v")
+    e.unpersist(); deg.unpersist()
+    out
+  }
+
+  /** Top-20 authorities of the shared-line graph after 3 rounds —
+    * boilerplate hubs surface first (a doc sharing lines with many
+    * near-dup families collects rank from all of them).
+    */
+  def q125PageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRank(lineGraphEdges(spark, dir), 3)
+      .select(col("v").as("doc_id"), col("deg"), col("pr"))
+      .orderBy(col("pr").desc, col("doc_id").asc)
+      .limit(20)
 
   /** The fuzzy-dedup endgame q104 stops short of: per CLUSTER, keep the
     * argmax-token member (ties → min doc_id; q89's keeper rule, applied

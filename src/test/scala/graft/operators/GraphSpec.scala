@@ -66,6 +66,34 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRank equals a local reference on a random graph; mass is conserved") {
+    val rng = new scala.util.Random(11)
+    val pairs = (0 until 40).map(_ =>
+      (rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val sym = (pairs ++ pairs.map(_.swap)).distinct
+    def rnd9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val deg = sym.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    val n = deg.size
+    var pr: Map[Long, Double] = deg.map { case (v, _) => v -> 1.0 / n }
+    for (_ <- 1 to 3) {
+      val inflow = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / deg(u) }.sum
+      }
+      pr = deg.map { case (v, _) =>
+        v -> rnd9((1.0 - 0.85) / n + 0.85 * inflow.getOrElse(v, 0.0))
+      }
+    }
+    val got = Graph.pageRank(sym.toDF("src", "dst"), 3).collect()
+      .map(r => (r.getAs[Long]("v"), r.getAs[Double]("pr"), r.getAs[Long]("deg")))
+    assert(got.map(g => g._1 -> g._2).toMap == pr,
+      "distributed PageRank must equal the local reference after identical rounding")
+    assert(got.forall(g => g._3 == deg(g._1)))
+    // symmetric graph, no dangling mass: ranks stay a distribution
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-6)
+  }
+
   test("q104: rows are exactly the docs with an edge, roots are cluster minima, sizes consistent") {
     val rows = Graph.q104DedupClusters(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("root"), r.getAs[Long]("cluster_size")))
