@@ -162,6 +162,8 @@ object SparkEntry {
     "q123_scd2"            -> Events.q123Scd2 _,
     "q124_ivf_e2e"         -> ScaleOps.q124IvfE2e _,
     "q125_pagerank"        -> graft.operators.Graph.q125PageRank _,
+    "q126_snapshot_diff"   -> Events.q126SnapshotDiff _,
+    "q127_quality_normalize" -> ScaleOps.q127QualityNormalize _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1850,5 +1852,45 @@ object SparkEntry {
          SELECT r3.v AS doc_id, deg.deg, r3.pr
          FROM r3 JOIN deg ON deg.v = r3.v
          ORDER BY r3.pr DESC, doc_id ASC LIMIT 20""",
+    // overlapping-window snapshots full-outer joined on the key;
+    // integer day offsets via `//` (double->int CAST rounds in DuckDB)
+    "q126_snapshot_diff" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         b AS (SELECT min(day) AS d0, max(day) AS d1,
+                 date_diff('day', min(day), max(day)) AS span FROM e),
+         sa AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_a,
+                  CAST(count(DISTINCT day) AS BIGINT) AS days_a
+                FROM e, b WHERE day <= d0 + CAST((span * 4) // 5 AS INTEGER) GROUP BY user_id),
+         sb AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_b,
+                  CAST(count(DISTINCT day) AS BIGINT) AS days_b
+                FROM e, b WHERE day >= d0 + CAST(span // 5 AS INTEGER) GROUP BY user_id)
+         SELECT coalesce(sa.user_id, sb.user_id) AS user_id,
+           CASE WHEN sa.user_id IS NULL THEN 'added'
+                WHEN sb.user_id IS NULL THEN 'removed'
+                WHEN sa.n_a = sb.n_b AND sa.days_a = sb.days_b THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           coalesce(sa.n_a, 0) AS n_a, coalesce(sb.n_b, 0) AS n_b
+         FROM sa FULL OUTER JOIN sb ON sa.user_id = sb.user_id
+         ORDER BY user_id""",
+    // percent_rank over the 4dp-rounded q16 quality, per source; the
+    // only float op past the rounded score is (rank-1)/(n-1), at 6 dp
+    "q127_quality_normalize" ->
+      """WITH s AS (SELECT doc_id, source,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+           CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+           CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
+         FROM documents),
+         q AS (SELECT doc_id, source, floor((
+           least(n_chars / 500.0, 1.0)
+           + (1.0 - least(n_punct / greatest(n_words, 1.0) * 2.0, 1.0))
+           + least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0)
+           + CASE WHEN n_chars / greatest(n_words, 1.0) >= 3.0
+                   AND n_chars / greatest(n_words, 1.0) <= 10.0 THEN 1.0 ELSE 0.5 END
+           ) / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality
+         FROM s)
+         SELECT doc_id, source, quality,
+           round(percent_rank() OVER (PARTITION BY source ORDER BY quality ASC), 6) AS pctl
+         FROM q ORDER BY doc_id""",
   )
 }

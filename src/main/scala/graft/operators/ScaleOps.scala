@@ -884,6 +884,29 @@ object ScaleOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Corpus-relative quality normalization — percent-rank of the q16
+    * quality score WITHIN each source, the cross-source calibration a
+    * mixed corpus needs before one global threshold means anything
+    * (a 0.6 from a clean source and a 0.6 from a noisy one are not the
+    * same signal; their per-source ranks are). percent_rank is
+    * rank-based, so it needs no distributional assumption and is exact:
+    * the only float is the final (rank-1)/(n-1) division, rounded to
+    * 6 dp. One window per source partition — a single exchange keyed by
+    * source; ties (equal scores) share a rank in both engines by
+    * definition of percent_rank.
+    */
+  def q127QualityNormalize(spark: SparkSession, dir: String): DataFrame = {
+    // rank on the 4 dp-ROUNDED score (q16's published form): ranking on
+    // raw doubles would let a final-ulp difference reorder two docs
+    val pr = Window.partitionBy("source").orderBy(col("quality").asc)
+    Tables.documents(spark, dir)
+      .withColumn("quality",
+        floor(TextAnalysis.qualityScore(col("text")) * 10000.0 + 0.5) / 10000.0)
+      .withColumn("pctl", round(percent_rank().over(pr), 6))
+      .select(col("doc_id"), col("source"), col("quality"), col("pctl"))
+      .orderBy("doc_id")
+  }
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.

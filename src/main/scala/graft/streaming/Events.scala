@@ -745,6 +745,49 @@ object Events {
       .orderBy("user_id", "version")
   }
 
+  /** Snapshot reconciliation — the audit a lakehouse runs after every
+    * incremental maintenance cycle: did the rebuilt aggregate equal
+    * what a from-scratch run would produce, and for which keys did it
+    * drift? Two per-user activity snapshots over OVERLAPPING time
+    * windows (A = all but the last fifth of the day span, B = all but
+    * the first fifth) full-outer join on the key and classify:
+    * `added` (key only in B), `removed` (only in A), `changed` /
+    * `unchanged` by aggregate equality. One aggregation per snapshot
+    * + one key-partitioned join — at 100 TB both snapshots are already
+    * aggregates (small relative to raw events), and the classification
+    * is a narrow projection. Integer counts end to end.
+    */
+  def q126SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+    val bounds = ev.agg(
+      min("day").as("d0"),
+      max("day").as("d1"),
+      datediff(max("day"), min("day")).as("span"))
+    val e = ev.crossJoin(broadcast(bounds))
+    def snap(pred: org.apache.spark.sql.Column) = e.filter(pred)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("day")).as("active_days"))
+    // `div` keeps the day offsets integer (plain `/` is fractional in
+    // both engines; DuckDB's double->int CAST rounds instead of
+    // truncating, so integer division is the only safe spelling)
+    val a = snap(col("day") <= date_add(col("d0"), expr("(span * 4) div 5").cast("int")))
+      .select(col("user_id"), col("n").as("n_a"), col("active_days").as("days_a"))
+    val b = snap(col("day") >= date_add(col("d0"), expr("span div 5").cast("int")))
+      .select(col("user_id"), col("n").as("n_b"), col("active_days").as("days_b"))
+    a.join(b, Seq("user_id"), "full_outer")
+      .withColumn("status",
+        when(col("n_a").isNull, "added")
+          .when(col("n_b").isNull, "removed")
+          .when(col("n_a") === col("n_b") && col("days_a") === col("days_b"),
+            "unchanged")
+          .otherwise("changed"))
+      .select(col("user_id"), col("status"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .orderBy("user_id")
+  }
+
   case class BucketSketch(bucket: Int, version: Long, words: Map[String, Long])
 
   /** Streaming heavy hitters: the incremental twin of q102 — Misra–Gries

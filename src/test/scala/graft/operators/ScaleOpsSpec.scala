@@ -332,6 +332,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("quality normalization: percent_rank matches brute force per source") {
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = ScaleOps.q127QualityNormalize(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Double]("quality"), r.getAs[Double]("pctl")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, members) =>
+      val n = members.length
+      val sorted = members.map(_._3).sorted
+      members.foreach { case (id, _, q, pctl) =>
+        // percent_rank = (rank - 1) / (n - 1), rank = 1 + count(strictly below)
+        val rank = 1 + sorted.count(_ < q)
+        val expected = if (n == 1) 0.0 else rnd6((rank - 1).toDouble / (n - 1))
+        assert(pctl == expected,
+          s"doc $id in $src: pctl $pctl != brute-force $expected")
+      }
+      assert(members.map(_._4).max <= 1.0 && members.map(_._4).min >= 0.0)
+    }
+  }
+
   test("stratified sample: exact top-k per source by the seeded md5 order") {
     def coin(id: Long): String =
       java.security.MessageDigest.getInstance("MD5")

@@ -280,6 +280,37 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff classifies every user correctly vs brute force") {
+    import org.apache.spark.sql.functions.{col, to_date, date_format}
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day")))
+    val days = ev.map(_._2).distinct.sorted
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val d0 = java.time.LocalDate.parse(days.head, fmt)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      d0, java.time.LocalDate.parse(days.last, fmt))
+    val aEnd = d0.plusDays(span * 4 / 5).format(fmt)
+    val bStart = d0.plusDays(span / 5).format(fmt)
+    def agg(rows: Array[(Long, String)]) = rows.groupBy(_._1)
+      .map { case (u, es) => u -> (es.length.toLong, es.map(_._2).distinct.length.toLong) }
+    val sa = agg(ev.filter(_._2 <= aEnd)); val sb = agg(ev.filter(_._2 >= bStart))
+    val expected = (sa.keySet ++ sb.keySet).toSeq.sorted.map { u =>
+      val status = (sa.get(u), sb.get(u)) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some(a), Some(b)) => if (a == b) "unchanged" else "changed"
+      }
+      (u, status, sa.get(u).map(_._1).getOrElse(0L), sb.get(u).map(_._1).getOrElse(0L))
+    }
+    val got = Events.q126SnapshotDiff(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("status"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))).toSeq
+    assert(got == expected)
+    assert(got.map(_._2).distinct.size >= 2,
+      "overlapping windows on the fixture must yield more than one status")
+  }
+
   test("forward fill equals a per-user scan of the ordered history") {
     import org.apache.spark.sql.functions.{col, round}
     val rawValue = spark.read.parquet(s"$sfDir/events.parquet")
