@@ -280,6 +280,82 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("windowed aggregation state survives a checkpoint restart (exactly-once resume)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val tmp = graft.TempDirs.scratch("resume_test")
+    val (srcDir, ckpt, sink) = (s"$tmp/src", s"$tmp/ckpt", s"$tmp/sink")
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // split by TIME at an hh:30 point (not a window boundary, and never
+    // behind run 1's final watermark — an event-id interleave would
+    // deliver run-2 rows as late data and the watermark would correctly
+    // drop them): the window containing tSplit gets rows from BOTH
+    // runs, so its final count REQUIRES run 2 to restore run 1's state
+    // choose the split hour from the data: an hour populated in BOTH
+    // half-hours (a blind midpoint can land in a silent half-hour and
+    // prove nothing), split at its hh:30
+    val halves = ev.select((unix_timestamp(col("ts")) / 3600).cast("long").as("hr"),
+        ((unix_timestamp(col("ts")) % 3600) < 1800).as("firstHalf"))
+      .groupBy("hr").agg(
+        sum(when(col("firstHalf"), 1).otherwise(0)).as("a"),
+        sum(when(!col("firstHalf"), 1).otherwise(0)).as("b"))
+      .filter(col("a") > 0 && col("b") > 0)
+      .agg(min("hr")).head().getLong(0)
+    val tSplit = halves * 3600 + 1800
+    ev.filter(unix_timestamp(col("ts")) < tSplit).write.parquet(s"$srcDir/p1")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(s"$srcDir/*")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("wstart"), col("n"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val afterRun1 = spark.read.parquet(sink).count()
+    ev.filter(unix_timestamp(col("ts")) >= tSplit).write.parquet(s"$srcDir/p2")
+    runOnce()
+    val emitted = spark.read.parquet(sink).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("wstart") -> r.getAs[Long]("n"))
+    // exactly-once: no window emitted twice across the two runs
+    assert(emitted.map(_._1).distinct.length == emitted.length,
+      "a window must be emitted exactly once across restarts")
+    assert(emitted.length > afterRun1,
+      "run 2 must close windows run 1 left open")
+    // every emitted window's count covers BOTH halves of the split —
+    // impossible unless run 2 resumed run 1's state from the checkpoint
+    val batch = graft.Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("n"))
+      .collect().map(r => r.getAs[java.sql.Timestamp]("wstart") -> r.getAs[Long]("n"))
+      .toMap
+    assert(emitted.nonEmpty)
+    emitted.foreach { case (w, n) =>
+      assert(batch(w) == n,
+        s"window $w: resumed count $n must equal the full-data batch count ${batch(w)}")
+    }
+    // the straddling window is the proof: both runs contributed to it,
+    // and it can only be correct if run 2 restored run 1's state
+    val straddle = new java.sql.Timestamp(tSplit / 3600 * 3600 * 1000L)
+    val before = graft.Tables.events(spark, sfDir)
+      .filter(unix_timestamp(col("ts")) >= tSplit - 1800 &&
+        unix_timestamp(col("ts")) < tSplit).count()
+    val after = graft.Tables.events(spark, sfDir)
+      .filter(unix_timestamp(col("ts")) >= tSplit &&
+        unix_timestamp(col("ts")) < tSplit + 1800).count()
+    assert(before > 0 && after > 0,
+      "the fixture must populate the straddling window on both sides of the split")
+    assert(emitted.toMap.get(straddle).contains(batch(straddle)),
+      s"straddling window $straddle must be emitted with the merged count")
+  }
+
   test("snapshot diff classifies every user correctly vs brute force") {
     import org.apache.spark.sql.functions.{col, to_date, date_format}
     val ev = graft.Tables.events(spark, sfDir)
