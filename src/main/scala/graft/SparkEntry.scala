@@ -164,6 +164,7 @@ object SparkEntry {
     "q125_pagerank"        -> graft.operators.Graph.q125PageRank _,
     "q126_snapshot_diff"   -> Events.q126SnapshotDiff _,
     "q127_quality_normalize" -> ScaleOps.q127QualityNormalize _,
+    "q128_data_contract"   -> Relational.q128DataContract _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1892,5 +1893,33 @@ object SparkEntry {
          SELECT doc_id, source, quality,
            round(percent_rank() OVER (PARTITION BY source ORDER BY quality ASC), 6) AS pctl
          FROM q ORDER BY doc_id""",
+    // one row per contract check: uniqueness, nulls, FK integrity,
+    // domain sanity — integer violation counts
+    "q128_data_contract" ->
+      """WITH checks AS (
+           SELECT 'customer' AS table_name, 'unique_c_custkey' AS check_name,
+             CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS n_violations FROM customer
+           UNION ALL SELECT 'customer', 'nonneg_acctbal_nulls',
+             CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+           UNION ALL SELECT 'orders', 'unique_o_orderkey',
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+           UNION ALL SELECT 'orders', 'positive_totalprice',
+             CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+           UNION ALL SELECT 'lineitem', 'positive_quantity',
+             CAST(sum(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+           UNION ALL SELECT 'lineitem', 'discount_in_unit_range',
+             CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+           UNION ALL SELECT 'documents', 'unique_doc_id',
+             CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) FROM documents
+           UNION ALL SELECT 'documents', 'nonempty_text',
+             CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+           UNION ALL SELECT 'orders', 'fk_o_custkey_customer',
+             CAST(count(*) AS BIGINT) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+           UNION ALL SELECT 'lineitem', 'fk_l_orderkey_orders',
+             CAST(count(*) AS BIGINT) FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         SELECT table_name, check_name, n_violations, n_violations = 0 AS pass
+         FROM checks ORDER BY table_name, check_name""",
   )
 }

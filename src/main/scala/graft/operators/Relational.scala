@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -230,5 +230,61 @@ object Relational {
           lit("\n### Response:\n"), substring(col("text"), 1, 60)).as("to_text"))
     rawTrain.unionByName(instructions)
       .orderBy("record_type", "doc_id")
+  }
+
+  /** Data-contract audit — the dbt-tests layer a production lake runs
+    * before anything downstream trusts a table: key uniqueness, null
+    * rates, referential integrity, and domain sanity, emitted as one
+    * row per check with a violation count and pass flag. Cost
+    * discipline: all single-table checks on a table compute in ONE
+    * scan as parallel aggregate expressions (not one job per check —
+    * at 100 TB the scan IS the cost, so checks must share it); the two
+    * FK checks are broadcast anti-join counts against the small parent
+    * side. Integer counts end to end.
+    */
+  /** All of one table's checks in ONE scan: aggregate expressions in a
+    * single agg, then unpivoted to (table, check, violations) rows.
+    */
+  private[operators] def contractChecks(table: String, df: DataFrame,
+                                        cs: (String, Column)*): DataFrame =
+    df.agg(cs.head._2.as(cs.head._1), cs.tail.map(c => c._2.as(c._1)): _*)
+      .select(explode(array(cs.map(c =>
+        struct(lit(table).as("table_name"), lit(c._1).as("check_name"),
+          col(c._1).cast("long").as("n_violations"))): _*)).as("c"))
+      .select("c.*")
+
+  def q128DataContract(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val single = contractChecks("customer", cust,
+        "unique_c_custkey" -> (count(lit(1)) - countDistinct(col("c_custkey"))),
+        "nonneg_acctbal_nulls" -> sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)))
+      .unionByName(contractChecks("orders", ord,
+        "unique_o_orderkey" -> (count(lit(1)) - countDistinct(col("o_orderkey"))),
+        "positive_totalprice" -> sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L))))
+      .unionByName(contractChecks("lineitem", li,
+        "positive_quantity" -> sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)),
+        "discount_in_unit_range" ->
+          sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L).otherwise(0L))))
+      .unionByName(contractChecks("documents", docs,
+        "unique_doc_id" -> (count(lit(1)) - countDistinct(col("doc_id"))),
+        "nonempty_text" ->
+          sum(when(col("text").isNull || length(trim(col("text"))) === 0, 1L).otherwise(0L))))
+    val fkOrders = ord.join(broadcast(cust),
+        ord("o_custkey") === cust("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orders").as("table_name"),
+        lit("fk_o_custkey_customer").as("check_name"), col("n_violations"))
+    val fkLineitem = li.select(col("l_orderkey")).join(
+        ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("lineitem").as("table_name"),
+        lit("fk_l_orderkey_orders").as("check_name"), col("n_violations"))
+    single.unionByName(fkOrders).unionByName(fkLineitem)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy("table_name", "check_name")
   }
 }
