@@ -167,6 +167,8 @@ object SparkEntry {
     "q128_data_contract"   -> Relational.q128DataContract _,
     "q129_int8_ann"        -> ScaleOps.q129Int8Ann _,
     "q130_two_stage"       -> ScaleOps.q130TwoStage _,
+    "q131_event_paths"     -> Events.q131EventPaths _,
+    "q132_iqr_outliers"    -> Events.q132IqrOutliers _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1968,5 +1970,39 @@ object SparkEntry {
                FROM ex)
          SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, score
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q35's sessionization + two leads inside each session = every
+    // consecutive 3-step path; global count, top-10
+    "q131_event_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events),
+         s AS (SELECT *, CASE WHEN prev IS NULL OR tss - prev > 1800 THEN 1 ELSE 0 END AS ns
+               FROM (SELECT *, lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev
+                     FROM e) t),
+         g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tss, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM s),
+         p AS (SELECT event_type || '>' || lead(event_type, 1) OVER w
+                 || '>' || lead(event_type, 2) OVER w AS path,
+                 lead(event_type, 2) OVER w AS s3
+               FROM g WINDOW w AS (PARTITION BY user_id, session_id ORDER BY tss, event_id))
+         SELECT path, CAST(count(*) AS BIGINT) AS n FROM p WHERE s3 IS NOT NULL
+         GROUP BY path ORDER BY n DESC, path ASC LIMIT 10""",
+    // integer-rank quartiles (value at rank ceil(p*n)) — interpolation
+    // formulas are where engines diverge, rank selection cannot
+    "q132_iqr_outliers" ->
+      """WITH r AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         q AS (SELECT event_type,
+             max(CASE WHEN rn = CAST(ceil(n * 0.25::DOUBLE) AS BIGINT) THEN value END) AS q1,
+             max(CASE WHEN rn = CAST(ceil(n * 0.75::DOUBLE) AS BIGINT) THEN value END) AS q3,
+             CAST(max(n) AS BIGINT) AS n_events
+           FROM r GROUP BY event_type)
+         SELECT r.event_type, q.n_events, round(q.q1, 4) AS q1, round(q.q3, 4) AS q3,
+           CAST(sum(CASE WHEN r.value < q.q1 - 1.5*(q.q3 - q.q1)
+                          OR r.value > q.q3 + 1.5*(q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM r JOIN q USING (event_type)
+         GROUP BY r.event_type, q.n_events, q.q1, q.q3
+         ORDER BY event_type""",
   )
 }

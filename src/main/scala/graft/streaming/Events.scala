@@ -788,6 +788,64 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Path analysis — the top 3-step event sequences users actually walk
+    * inside a session (the product-analytics companion to q76's fixed
+    * funnel: the funnel checks a HYPOTHESIZED path, this MINES the real
+    * ones). Sessionize (q35's lag + cumulative-flag windows), then two
+    * leads inside each session give every consecutive step trigram; one
+    * global count + top-10. The per-user windows are one exchange;
+    * the trigram count is vocabulary-sized (|event_types|³ ceiling).
+    */
+  def q131EventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inSession = Window.partitionBy("user_id", "session_id")
+      .orderBy("tss", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("tss", unix_timestamp(col("ts")))
+      .withColumn("prev_tss", lag("tss", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_tss").isNull || col("tss") - col("prev_tss") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(cum))
+      .withColumn("s2", lead("event_type", 1).over(inSession))
+      .withColumn("s3", lead("event_type", 2).over(inSession))
+      .filter(col("s3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("s2"), col("s3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(10)
+  }
+
+  /** IQR outlier detection per event type — the robust-statistics fence
+    * (Tukey's rule) an ingest monitor runs on value distributions.
+    * Quartiles are INTEGER-RANK order statistics (the value at rank
+    * ceil(p·n)), not interpolated percentiles: interpolation formulas
+    * are where engines diverge, rank selection cannot. The fences are
+    * then two identical double ops on identical inputs. One sort window
+    * + one count per type.
+    */
+  def q132IqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+    val all = Window.partitionBy("event_type")
+    val ranked = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("q1", max(when(col("rn") === ceil(col("n") * 0.25), col("value"))).over(all))
+      .withColumn("q3", max(when(col("rn") === ceil(col("n") * 0.75), col("value"))).over(all))
+    ranked
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      .groupBy("event_type")
+      .agg(
+        max("n").as("n_events"),
+        round(max("q1"), 4).as("q1"),
+        round(max("q3"), 4).as("q3"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   case class BucketSketch(bucket: Int, version: Long, words: Map[String, Long])
 
   /** Streaming heavy hitters: the incremental twin of q102 — Misra–Gries

@@ -387,6 +387,63 @@ class EventsSpec extends SparkSpec {
       "overlapping windows on the fixture must yield more than one status")
   }
 
+  test("event paths equal brute-force session trigram mining") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("tss", unix_timestamp(col("ts")))
+      .select("user_id", "event_id", "event_type", "tss").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("tss")))
+    val paths = scala.collection.mutable.Map.empty[String, Long]
+    ev.groupBy(_._1).values.foreach { rows =>
+      val ordered = rows.sortBy(r => (r._4, r._2))
+      // split into sessions at >30 min gaps, mine trigrams per session
+      val sessions = ordered.foldLeft(List.empty[List[(Long, Long, String, Long)]]) {
+        case (acc, e) => acc match {
+          case cur :: rest if e._4 - cur.head._4 <= 1800 => (e :: cur) :: rest
+          case _ => List(e) :: acc
+        }
+      }.map(_.reverse)
+      sessions.foreach { s =>
+        s.map(_._3).sliding(3).foreach {
+          case Seq(a, b, c) =>
+            val p = s"$a>$b>$c"; paths(p) = paths.getOrElse(p, 0L) + 1
+          case _ =>
+        }
+      }
+    }
+    val expected = paths.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = Events.q131EventPaths(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.head._2 >= got.last._2)
+  }
+
+  test("IQR outliers equal brute-force integer-rank quartile fences") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value")))
+    def rnd4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = ev.groupBy(_._1).toSeq.map { case (tpe, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = sorted.length
+      val q1 = sorted(math.ceil(n * 0.25).toInt - 1)
+      val q3 = sorted(math.ceil(n * 0.75).toInt - 1)
+      val (lo, hi) = (q1 - (q3 - q1) * 1.5, q3 + (q3 - q1) * 1.5)
+      (tpe, n.toLong, rnd4(q1), rnd4(q3),
+        sorted.count(v => v < lo || v > hi).toLong)
+    }.sortBy(_._1)
+    val got = Events.q132IqrOutliers(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("q1"), r.getAs[Double]("q3"),
+        r.getAs[Long]("n_outliers"))).toSeq
+    assert(got == expected)
+    assert(got.forall { case (_, n, q1, q3, out) => q1 <= q3 && out < n })
+  }
+
   test("forward fill equals a per-user scan of the ordered history") {
     import org.apache.spark.sql.functions.{col, round}
     val rawValue = spark.read.parquet(s"$sfDir/events.parquet")
