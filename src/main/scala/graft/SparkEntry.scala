@@ -169,6 +169,7 @@ object SparkEntry {
     "q130_two_stage"       -> ScaleOps.q130TwoStage _,
     "q131_event_paths"     -> Events.q131EventPaths _,
     "q132_iqr_outliers"    -> Events.q132IqrOutliers _,
+    "q133_token_budget"    -> ScaleOps.q133TokenBudget _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2004,5 +2005,20 @@ object SparkEntry {
          FROM r JOIN q USING (event_type)
          GROUP BY r.event_type, q.n_events, q.q1, q.q3
          ORDER BY event_type""",
+    // the exact deterministic q91 sample per source + ceil-division
+    // epoch count; integer arithmetic to the last step
+    "q133_token_budget" ->
+      """WITH d AS (SELECT source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bucket,
+             CASE source WHEN 'src0' THEN 16 WHEN 'src1' THEN 12
+                         WHEN 'src2' THEN 8 WHEN 'src3' THEN 4 ELSE 2 END AS rate
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
+           CAST(sum(CASE WHEN bucket < rate THEN n_tokens ELSE 0 END) AS BIGINT) AS epoch_tokens,
+           CASE WHEN sum(CASE WHEN bucket < rate THEN n_tokens ELSE 0 END) = 0 THEN NULL
+                ELSE CAST(ceil(1000000.0::DOUBLE / sum(CASE WHEN bucket < rate THEN n_tokens ELSE 0 END)) AS BIGINT) END AS epochs_for_1m
+         FROM d GROUP BY source ORDER BY source""",
   )
 }

@@ -245,7 +245,7 @@ object Relational {
   /** All of one table's checks in ONE scan: aggregate expressions in a
     * single agg, then unpivoted to (table, check, violations) rows.
     */
-  private[operators] def contractChecks(table: String, df: DataFrame,
+  private[graft] def contractChecks(table: String, df: DataFrame,
                                         cs: (String, Column)*): DataFrame =
     df.agg(cs.head._2.as(cs.head._1), cs.tail.map(c => c._2.as(c._1)): _*)
       .select(explode(array(cs.map(c =>

@@ -930,6 +930,37 @@ object ScaleOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Token-budget epoch planner — the table every training run starts
+    * with: per source, what the corpus holds, what one epoch of the
+    * q91 mixture actually samples (the EXACT deterministic md5 sample,
+    * not the expectation), and how many epochs reach a 1M-token budget
+    * share. Pure integer arithmetic to the division, which is a
+    * ceil over integers both engines spell identically. One scan.
+    */
+  def q133TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+      .cast("int")
+    val rate = when(col("source") === "src0", 16)
+      .when(col("source") === "src1", 12)
+      .when(col("source") === "src2", 8)
+      .when(col("source") === "src3", 4)
+      .otherwise(2)
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("sampled", bucket < rate)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("corpus_tokens"),
+        sum(when(col("sampled"), col("n_tokens")).otherwise(0L)).as("epoch_tokens"))
+      // a source can sample ZERO tokens (rate 2/16 over few docs) — an
+      // honest planner reports "unreachable" (null), not a crash
+      .withColumn("epochs_for_1m",
+        when(col("epoch_tokens") === 0L, lit(null))
+          .otherwise(ceil(lit(1000000.0) / col("epoch_tokens")).cast("long")))
+      .orderBy("source")
+  }
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.

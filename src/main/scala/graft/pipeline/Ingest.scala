@@ -275,6 +275,41 @@ object Ingest {
     (before.size, parquets(dir).size)
   }
 
+  /** Write–Audit–Publish: the lakehouse promotion gate. The dataset is
+    * written to a STAGING path, the caller's audit runs against the
+    * staged (post-write, post-encoding) data, and only a fully passing
+    * audit promotes staging into the live path with the same atomic
+    * swap `compactLake` uses. On ANY violation the live data is
+    * untouched and staging is kept for inspection — failed audits must
+    * be debuggable, not vanish. Returns the violating (table, check)
+    * rows (empty = published).
+    *
+    * The audit contract: a function from the STAGED DataFrame to a
+    * DataFrame with an `n_violations` column (e.g. built from
+    * `Relational.contractChecks`) — auditing the staged copy catches
+    * writer-side corruption that auditing the in-memory frame would
+    * miss.
+    */
+  def writeAuditPublish(spark: SparkSession, df: DataFrame, path: String,
+                        audit: DataFrame => DataFrame): Seq[(String, String, Long)] = {
+    val staging = path + ".staging"
+    df.write.mode(SaveMode.Overwrite).parquet(staging)
+    val violations = audit(spark.read.parquet(staging))
+      .filter(col("n_violations") > 0)
+      .select(col("table_name"), col("check_name"), col("n_violations"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    if (violations.isEmpty) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      if (!new java.io.File(staging).renameTo(new java.io.File(path)))
+        throw new IllegalStateException(s"publish swap failed for $path")
+    }
+    violations
+  }
+
   /** Next missing month in a range (fetch_clean.py:35-53's low-watermark
     * scan): first (year, month) with no partition directory.
     */

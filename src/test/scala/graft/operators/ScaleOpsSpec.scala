@@ -353,6 +353,31 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("token budget planner matches the exact q91 sample and ceil-division epochs") {
+    def bucket(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      Integer.parseInt("%02x".format(d(0)).take(1), 16)
+    }
+    val rates = Map("src0" -> 16, "src1" -> 12, "src2" -> 8, "src3" -> 4)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        Option(r.getAs[String]("text")).getOrElse("").trim.split("\\s+").length.toLong))
+    val expected = docs.groupBy(_._2).toSeq.map { case (src, rows) =>
+      val rate = rates.getOrElse(src, 2)
+      val epoch = rows.filter(r => bucket(r._1) < rate).map(_._3).sum
+      (src, rows.length.toLong, rows.map(_._3).sum, epoch,
+        if (epoch == 0) None else Some(math.ceil(1000000.0 / epoch).toLong))
+    }.sortBy(_._1)
+    val got = ScaleOps.q133TokenBudget(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("corpus_tokens"), r.getAs[Long]("epoch_tokens"),
+        Option(r.getAs[java.lang.Long]("epochs_for_1m")).map(_.toLong))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._5.isDefined), "at least one source must be reachable")
+  }
+
   test("stratified sample: exact top-k per source by the seeded md5 order") {
     def coin(id: Long): String =
       java.security.MessageDigest.getInstance("MD5")

@@ -218,4 +218,32 @@ class PipelineSpec extends SparkSpec {
       Continuous.run(spark, sfDir, gate = 1.01)
     }
   }
+
+  test("write-audit-publish promotes clean data atomically and quarantines violations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = graft.TempDirs.scratch("wap_test").toString
+    val live = s"$root/table"
+    def audit(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Relational.contractChecks("t", df,
+        "unique_id" -> (count(lit(1)) - countDistinct(col("id"))),
+        "nonnull_v" -> sum(when(col("v").isNull, 1L).otherwise(0L)))
+    // 1: clean batch publishes
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Ingest.writeAuditPublish(spark, clean, live, audit).isEmpty)
+    assert(spark.read.parquet(live).count() == 2)
+    // 2: corrupt batch is rejected; live data untouched, staging kept
+    val corrupt = Seq((3L, "c"), (3L, null.asInstanceOf[String])).toDF("id", "v")
+    val violations = Ingest.writeAuditPublish(spark, corrupt, live, audit)
+    assert(violations.map(v => v._2 -> v._3).toMap ==
+      Map("unique_id" -> 1L, "nonnull_v" -> 1L))
+    assert(spark.read.parquet(live).orderBy("id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L), "a failed audit must leave the live table untouched")
+    assert(new java.io.File(s"$live.staging").exists,
+      "failed staging must be kept for inspection")
+    // 3: a fixed batch publishes over the old live atomically
+    val fixed = Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("id", "v")
+    assert(Ingest.writeAuditPublish(spark, fixed, live, audit).isEmpty)
+    assert(spark.read.parquet(live).count() == 3)
+  }
 }
