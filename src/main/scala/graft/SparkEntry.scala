@@ -170,6 +170,7 @@ object SparkEntry {
     "q131_event_paths"     -> Events.q131EventPaths _,
     "q132_iqr_outliers"    -> Events.q132IqrOutliers _,
     "q133_token_budget"    -> ScaleOps.q133TokenBudget _,
+    "q134_lineage"         -> graft.plans.Lineage.q134Lineage _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2020,5 +2021,15 @@ object SparkEntry {
            CASE WHEN sum(CASE WHEN bucket < rate THEN n_tokens ELSE 0 END) = 0 THEN NULL
                 ELSE CAST(ceil(1000000.0::DOUBLE / sum(CASE WHEN bucket < rate THEN n_tokens ELSE 0 END)) AS BIGINT) END AS epochs_for_1m
          FROM d GROUP BY source ORDER BY source""",
+    // the lineage walk's expected report for q3 — pinned literally so a
+    // regression in the Catalyst walk turns the row red
+    "q134_lineage" ->
+      """SELECT * FROM (VALUES
+           ('n_items', ''),
+           ('n_name', 'nation.n_name'),
+           ('revenue', 'lineitem.l_discount'),
+           ('revenue', 'lineitem.l_extendedprice'))
+         AS t(out_col, src_col)
+         ORDER BY out_col, src_col""",
   )
 }
