@@ -171,6 +171,7 @@ object SparkEntry {
     "q132_iqr_outliers"    -> Events.q132IqrOutliers _,
     "q133_token_budget"    -> ScaleOps.q133TokenBudget _,
     "q134_lineage"         -> graft.plans.Lineage.q134Lineage _,
+    "q135_scd2_asof"       -> Events.q135Scd2Asof _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2031,5 +2032,24 @@ object SparkEntry {
            ('revenue', 'lineitem.l_extendedprice'))
          AS t(out_col, src_col)
          ORDER BY out_col, src_col""",
+    // q123's history + integer-rank median t + the AS-OF range predicate
+    "q135_scd2_asof" ->
+      """WITH p AS (SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tss, round(value, 2) AS value
+           FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY tss, event_id) AS INT) AS version,
+             value, tss AS valid_from,
+             lead(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS valid_to
+           FROM p),
+         n AS (SELECT count(*) AS n FROM v),
+         t AS (SELECT valid_from AS t FROM (
+                 SELECT valid_from, row_number() OVER (ORDER BY valid_from, user_id, version) AS rn
+                 FROM v) x, n
+               WHERE rn = CAST(ceil(n * 0.5::DOUBLE) AS BIGINT))
+         SELECT v.user_id, v.version, v.value, v.valid_from, t.t AS as_of
+         FROM v, t
+         WHERE v.valid_from <= t.t AND (v.valid_to IS NULL OR v.valid_to > t.t)
+         ORDER BY user_id""",
   )
 }

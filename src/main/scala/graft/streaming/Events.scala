@@ -846,6 +846,33 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** AS-OF snapshot over the SCD2 history — the time-travel read q123's
+    * build exists for: each user's value as it stood at the corpus's
+    * median purchase second. One predicate over the versioned ranges
+    * (valid_from <= t < valid_to, open row = infinity), so at 100 TB
+    * it is a partition-prunable filter on the history table, not a
+    * sort; the t scalar is an integer-rank median (rank ceil(n/2) —
+    * q132's no-interpolation rule). In production `t` is a caller
+    * PARAMETER; the median derivation (one global window over the
+    * small history table) exists only to keep the fixture query
+    * self-contained.
+    */
+  def q135Scd2Asof(spark: SparkSession, dir: String): DataFrame = {
+    val hist = q123Scd2(spark, dir)
+    val w = Window.orderBy(col("valid_from").asc, col("user_id").asc, col("version").asc)
+    val t = hist
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(hist.agg(count(lit(1)).as("n"))))
+      .filter(col("rn") === ceil(col("n") * 0.5))
+      .select(col("valid_from").as("t"))
+    hist.crossJoin(broadcast(t))
+      .filter(col("valid_from") <= col("t") &&
+        (col("valid_to").isNull || col("valid_to") > col("t")))
+      .select(col("user_id"), col("version"), col("value"),
+        col("valid_from"), col("t").as("as_of"))
+      .orderBy("user_id")
+  }
+
   case class BucketSketch(bucket: Int, version: Long, words: Map[String, Long])
 
   /** Streaming heavy hitters: the incremental twin of q102 — Misra–Gries

@@ -444,6 +444,25 @@ class EventsSpec extends SparkSpec {
     assert(got.forall { case (_, n, q1, q3, out) => q1 <= q3 && out < n })
   }
 
+  test("scd2 as-of snapshot returns exactly each user's version valid at t") {
+    val hist = Events.q123Scd2(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version"),
+        r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong)))
+    val got = Events.q135Scd2Asof(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version"),
+        r.getAs[Long]("as_of")))
+    assert(got.nonEmpty)
+    val t = got.head._3
+    assert(got.forall(_._3 == t), "one snapshot instant for the whole report")
+    val expected = hist.filter { case (_, _, from, to) =>
+      from <= t && to.forall(_ > t)
+    }.map(h => (h._1, h._2)).sorted.toSeq
+    assert(got.map(g => (g._1, g._2)).sorted.toSeq == expected)
+    assert(got.map(_._1).distinct.length == got.length,
+      "at most one valid version per user at any instant")
+  }
+
   test("forward fill equals a per-user scan of the ordered history") {
     import org.apache.spark.sql.functions.{col, round}
     val rawValue = spark.read.parquet(s"$sfDir/events.parquet")
