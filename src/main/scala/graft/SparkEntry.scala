@@ -172,6 +172,7 @@ object SparkEntry {
     "q133_token_budget"    -> ScaleOps.q133TokenBudget _,
     "q134_lineage"         -> graft.plans.Lineage.q134Lineage _,
     "q135_scd2_asof"       -> Events.q135Scd2Asof _,
+    "q136_cube"            -> Events.q136Cube _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2051,5 +2052,13 @@ object SparkEntry {
          FROM v, t
          WHERE v.valid_from <= t.t AND (v.valid_to IS NULL OR v.valid_to > t.t)
          ORDER BY user_id""",
+    // all four grouping sets in one pass; null keys labeled ALL
+    "q136_cube" ->
+      """WITH e AS (SELECT event_type, strftime(ts, '%a') AS dow, value FROM events)
+         SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(dow, 'ALL') AS dow,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+         FROM e GROUP BY CUBE (event_type, dow)
+         ORDER BY event_type, dow""",
   )
 }

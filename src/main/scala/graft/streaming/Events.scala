@@ -506,7 +506,8 @@ object Events {
     * oracle for events straddling a second or the 7-day boundary at
     * sub-second offsets.
     */
-  private def rangeJoinedStream(spark: SparkSession, dir: String): DataFrame = {
+  private def rangeJoinedStream(spark: SparkSession, dir: String,
+                                joinType: String = "inner"): DataFrame = {
     Tables.requireNanosAsLong(spark)
     val schema = Tables.apply(spark, dir, "events").schema
     def src = spark.readStream.schema(schema)
@@ -523,7 +524,8 @@ object Events {
     purchases.join(signups,
         col("user_id") === col("s_user") &&
           col("s_ts") <= col("p_ts") &&
-          col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"),
+        joinType)
       .select(col("purchase_id"), col("user_id"), col("signup_id"),
         unix_timestamp(col("p_ts")).as("p_tss"),
         unix_timestamp(col("s_ts")).as("s_tss"))
@@ -532,6 +534,25 @@ object Events {
   def streamStreamRangeJoin(spark: SparkSession, dir: String,
                             queryName: String): StreamingQuery = {
     rangeJoinedStream(spark, dir)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** LEFT-OUTER stream-stream range join: matched pairs emit like the
+    * inner form; a purchase with NO signup in its 7-day window emits a
+    * null-signup row only once the signup watermark passes p_ts — the
+    * latest instant a match could still arrive under the s_ts <= p_ts
+    * bound. That deferred-null emission is the semantics a 24/7
+    * attribution pipeline needs (emit "unattributed" exactly when it
+    * becomes provably true, not when the batch happens to end);
+    * EventsSpec pins matched-set equality plus soundness and
+    * margin-completeness of the null rows against the batch join.
+    */
+  def streamStreamRangeJoinLeftOuter(spark: SparkSession, dir: String,
+                                     queryName: String): StreamingQuery = {
+    rangeJoinedStream(spark, dir, "left_outer")
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
@@ -872,6 +893,24 @@ object Events {
         col("valid_from"), col("t").as("as_of"))
       .orderBy("user_id")
   }
+
+  /** CUBE over (event_type, day-of-week): all four grouping sets in one
+    * pass — the dashboard backing query q78's ROLLUP only half covers
+    * (rollup nests, cube crosses). Spark expands grouping sets BEFORE
+    * the exchange, so the shuffle carries partially-aggregated rows for
+    * every set at once: one scan, one exchange, whatever the set count.
+    * Null grouping keys are labeled 'ALL' (coalesce) so the oracle
+    * compare is unambiguous about missing-vs-total rows.
+    */
+  def q136Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("dow", date_format(col("ts"), "E"))
+      .cube(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("dow"), lit("ALL")).as("dow"),
+        col("n"), col("total_value"))
+      .orderBy("event_type", "dow")
 
   case class BucketSketch(bucket: Int, version: Long, words: Map[String, Long])
 

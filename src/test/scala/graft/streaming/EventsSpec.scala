@@ -67,6 +67,44 @@ class EventsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("left-outer stream-stream range join: matches equal batch, nulls emit at watermark proof") {
+    import org.apache.spark.sql.functions._
+    val q = Events.streamStreamRangeJoinLeftOuter(spark, sfDir, "lo_range")
+    q.awaitTermination()
+    val rows = spark.table("lo_range").collect()
+      .map(r => (r.getAs[Long]("purchase_id"),
+        Option(r.getAs[java.lang.Long]("signup_id")).map(_.toLong)))
+    spark.catalog.dropTempView("lo_range")
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("tss", unix_timestamp(col("ts")))
+      .select("event_id", "user_id", "event_type", "tss").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("tss")))
+    val signups = ev.filter(_._3 == "signup")
+    val purchases = ev.filter(_._3 == "purchase")
+    val matchedBatch = (for {
+      p <- purchases
+      s <- signups
+      if s._2 == p._2 && s._4 <= p._4 && s._4 >= p._4 - 7L * 24 * 3600
+    } yield (p._1, s._1)).toSet
+    // matched rows equal the batch range join exactly
+    assert(rows.collect { case (p, Some(s)) => (p, s) }.toSet == matchedBatch)
+    // null rows: sound (truly unmatched in batch) ...
+    val unmatchedBatch = purchases.map(_._1).toSet -- matchedBatch.map(_._1)
+    val streamedNulls = rows.collect { case (p, None) => p }.toSet
+    assert(streamedNulls.subsetOf(unmatchedBatch),
+      "a null row for a purchase that HAS a signup in range would be wrong")
+    // ... and complete for purchases provably closed before stream end:
+    // the signup watermark ends at max(ts) - 1h; any unmatched purchase
+    // a safety margin older than that must have emitted its null row
+    val wm = ev.map(_._4).max - 3600
+    val mustEmit = purchases.filter(p =>
+      unmatchedBatch(p._1) && p._4 <= wm - 60).map(_._1).toSet
+    assert(mustEmit.subsetOf(streamedNulls),
+      s"${(mustEmit -- streamedNulls).size} provably-unmatched purchases never emitted")
+    assert(streamedNulls.nonEmpty, "the fixture must contain unattributed purchases")
+  }
+
   test("streaming as-of (q70) equals the custom batch as-of restricted to the 7-day window") {
     import org.apache.spark.sql.functions._
     val streamed = Events.q70StreamAsof(spark, sfDir)
