@@ -173,6 +173,8 @@ object SparkEntry {
     "q134_lineage"         -> graft.plans.Lineage.q134Lineage _,
     "q135_scd2_asof"       -> Events.q135Scd2Asof _,
     "q136_cube"            -> Events.q136Cube _,
+    "q137_survival"        -> Events.q137Survival _,
+    "q138_gap_histogram"   -> Events.q138GapHistogram _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2060,5 +2062,38 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
          FROM e GROUP BY CUBE (event_type, dow)
          ORDER BY event_type, dow""",
+    // survivors at day d = users with tenure >= d: reverse cumulative
+    // sum over the integer tenure histogram
+    "q137_survival" ->
+      """WITH t AS (SELECT user_id,
+             date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS tenure_days
+           FROM events GROUP BY user_id),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM t),
+         h AS (SELECT CAST(tenure_days AS INT) AS tenure_days,
+                 CAST(count(*) AS BIGINT) AS n_ending
+               FROM t GROUP BY tenure_days)
+         SELECT h.tenure_days,
+           n.n_users - coalesce(sum(h.n_ending) OVER (ORDER BY h.tenure_days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_surviving,
+           round((n.n_users - coalesce(sum(h.n_ending) OVER (ORDER BY h.tenure_days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::DOUBLE / n.n_users, 6)
+             AS survival
+         FROM h, n ORDER BY tenure_days""",
+    // integer minute gaps in power-of-two buckets (exact bit-length
+    // log2, q96's rule); bucket -1 = same-minute
+    "q138_gap_histogram" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events),
+         g AS (SELECT event_type,
+                 (tss - lag(tss) OVER (PARTITION BY user_id, event_type
+                    ORDER BY tss, event_id)) // 60 AS gap_min
+               FROM e),
+         b AS (SELECT event_type,
+                 CASE WHEN gap_min <= 0 THEN -1
+                      ELSE CAST(length(bin(gap_min)) - 1 AS INT) END AS bucket
+               FROM g WHERE gap_min IS NOT NULL)
+         SELECT event_type, CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps
+         FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket""",
   )
 }

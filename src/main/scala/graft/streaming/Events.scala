@@ -912,6 +912,57 @@ object Events {
         col("n"), col("total_value"))
       .orderBy("event_type", "dow")
 
+  /** Survival curve over user tenure — what fraction of users are still
+    * active d days after first being seen (Kaplan–Meier without
+    * censoring: the fixture's window closes for everyone at once, so
+    * plain at-risk counting is the estimator). Tenure is an integer day
+    * difference; the curve is one cumulative window over the tenure
+    * histogram — corpus touches one per-user aggregate, everything
+    * after is tenure-bounded. The only division is rounded at 6 dp.
+    */
+  def q137Survival(spark: SparkSession, dir: String): DataFrame = {
+    val tenures = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts")))).as("tenure_days"))
+    val n = tenures.agg(count(lit(1)).as("n_users"))
+    val byTenure = tenures.groupBy("tenure_days")
+      .agg(count(lit(1)).as("n_ending"))
+    // survivors at day d = users whose tenure is >= d: a reverse
+    // cumulative sum over the tenure histogram
+    val w = Window.orderBy(col("tenure_days").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byTenure.crossJoin(broadcast(n))
+      .withColumn("ended_before", coalesce(sum("n_ending").over(w), lit(0L)))
+      .select(col("tenure_days"),
+        (col("n_users") - col("ended_before")).as("n_surviving"),
+        round((col("n_users") - col("ended_before")).cast("double") / col("n_users"), 6)
+          .as("survival"))
+      .orderBy("tenure_days")
+  }
+
+  /** Inter-event gap histogram — per event type, the distribution of
+    * seconds between a user's consecutive events in power-of-two
+    * minute buckets (q96's exact bit-length log2, no floating log).
+    * The behavioral fingerprint that separates burst traffic from
+    * periodic traffic; one user-keyed window + one vocabulary-sized
+    * group-by.
+    */
+  def q138GapHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("tss").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("tss", unix_timestamp(col("ts")))
+      .withColumn("prev", lag("tss", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_min", expr("(tss - prev) div 60"))
+      .withColumn("bucket",
+        when(col("gap_min") <= 0L, -1)
+          .otherwise(length(bin(col("gap_min"))) - 1).cast("int"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_gaps"))
+      .orderBy("event_type", "bucket")
+  }
+
   case class BucketSketch(bucket: Int, version: Long, words: Map[String, Long])
 
   /** Streaming heavy hitters: the incremental twin of q102 — Misra–Gries

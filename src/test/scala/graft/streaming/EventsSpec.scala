@@ -501,6 +501,52 @@ class EventsSpec extends SparkSpec {
       "at most one valid version per user at any instant")
   }
 
+  test("survival curve: starts at 1.0, non-increasing, matches brute-force tenure counting") {
+    import org.apache.spark.sql.functions.{col, to_date, date_format}
+    val users = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("d")))
+      .groupBy(_._1).map { case (_, ds) =>
+        val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+        val days = ds.map(x => java.time.LocalDate.parse(x._2, fmt))
+        java.time.temporal.ChronoUnit.DAYS.between(days.min, days.max).toInt
+      }.toSeq
+    val rows = Events.q137Survival(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("tenure_days"), r.getAs[Long]("n_surviving"),
+        r.getAs[Double]("survival")))
+    assert(rows.head._3 == 1.0, "everyone survives to their first day")
+    assert(rows.sliding(2).forall { case Array(a, b) => b._2 <= a._2; case _ => true })
+    rows.foreach { case (d, surv, _) =>
+      assert(surv == users.count(_ >= d).toLong,
+        s"day $d: survivors must be users with tenure >= $d")
+    }
+  }
+
+  test("gap histogram: bucket counts match brute-force per-user gap binning") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("tss", unix_timestamp(col("ts")))
+      .select("user_id", "event_id", "event_type", "tss").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("tss")))
+    val binned: Seq[(String, Int)] =
+      ev.groupBy(e => (e._1, e._3)).toSeq.flatMap { case ((_, tpe), rows) =>
+        rows.sortBy(r => (r._4, r._2)).map(_._4).toList.sliding(2).collect {
+          case List(a, b) =>
+            val gapMin = (b - a) / 60
+            val bucket =
+              if (gapMin <= 0) -1 else 63 - java.lang.Long.numberOfLeadingZeros(gapMin)
+            (tpe, bucket)
+        }.toList
+      }
+    val expected = binned.groupBy(x => x)
+      .map { case ((tpe, b), v) => (tpe, b, v.size.toLong) }.toSeq.sorted
+    val got = Events.q138GapHistogram(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("bucket"),
+        r.getAs[Long]("n_gaps"))).toSeq.sorted
+    assert(got == expected)
+  }
+
   test("forward fill equals a per-user scan of the ordered history") {
     import org.apache.spark.sql.functions.{col, round}
     val rawValue = spark.read.parquet(s"$sfDir/events.parquet")
