@@ -175,6 +175,7 @@ object SparkEntry {
     "q136_cube"            -> Events.q136Cube _,
     "q137_survival"        -> Events.q137Survival _,
     "q138_gap_histogram"   -> Events.q138GapHistogram _,
+    "q139_regime_agreement" -> ScaleOps.q139RegimeAgreement _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2095,5 +2096,44 @@ object SparkEntry {
          SELECT event_type, CAST(bucket AS INT) AS bucket,
            CAST(count(*) AS BIGINT) AS n_gaps
          FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket""",
+    // exact-fingerprint pairs vs q111's sorted-neighborhood pairs:
+    // cardinalities, overlap, and integer basis-point pair-set Jaccard
+    "q139_regime_agreement" ->
+      """WITH f AS (SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
+           FROM documents),
+         ep AS (SELECT x.doc_id AS a, y.doc_id AS b
+                FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+         d AS (SELECT doc_id,
+             list_sort(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS ws
+           FROM documents),
+         k AS (SELECT doc_id, ws, array_to_string(ws, ' ') AS key FROM d
+               WHERE array_to_string(ws, ' ') <> ''),
+         r AS (SELECT doc_id, ws, key, split_part(key, ' ', 1) AS blk,
+                 row_number() OVER (PARTITION BY split_part(key, ' ', 1)
+                   ORDER BY key, doc_id) AS rk
+               FROM k),
+         sp AS (SELECT a, b FROM (
+                 SELECT r1.doc_id AS a, r2.doc_id AS b,
+                   floor(len(list_intersect(r1.ws, r2.ws)) * 1.0 /
+                     len(list_distinct(list_concat(r1.ws, r2.ws))) * 10000.0 + 0.5)
+                     / 10000.0 AS jaccard
+                 FROM r r1 JOIN r r2
+                   ON r1.blk = r2.blk AND r2.rk - r1.rk BETWEEN 1 AND 2) t
+                WHERE jaccard >= 0.8),
+         bth AS (SELECT ep.a, ep.b FROM ep JOIN sp ON ep.a = sp.a AND ep.b = sp.b),
+         c AS (SELECT (SELECT count(*) FROM ep) AS ne,
+                      (SELECT count(*) FROM sp) AS ns,
+                      (SELECT count(*) FROM bth) AS nb)
+         SELECT metric, CAST(n AS BIGINT) AS n FROM (
+           SELECT 'both' AS metric, nb AS n FROM c
+           UNION ALL SELECT 'exact_only', ne - nb FROM c
+           UNION ALL SELECT 'exact_pairs', ne FROM c
+           UNION ALL SELECT 'snm_only', ns - nb FROM c
+           UNION ALL SELECT 'snm_pairs', ns FROM c
+           UNION ALL SELECT 'agreement_bp',
+             CASE WHEN ne + ns - nb = 0 THEN 0
+                  ELSE nb * 10000 // (ne + ns - nb) END FROM c) u
+         ORDER BY metric""",
   )
 }

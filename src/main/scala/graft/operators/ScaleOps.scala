@@ -961,6 +961,37 @@ object ScaleOps {
       .orderBy("source")
   }
 
+  /** Dedup-regime agreement audit — do two independent dedup regimes
+    * find the same pairs? The measurement a curation team runs before
+    * trusting a cheaper regime: exact canonical-fingerprint pairs vs
+    * the sorted-neighborhood (q111) pairs, reported as set cardinalities
+    * plus overlap and an integer-basis-point agreement (Jaccard of the
+    * PAIR SETS — floor division, no float). Both pair sets are already
+    * bounded by their regimes' own discipline; the audit adds one tiny
+    * join over pair keys.
+    */
+  def q139RegimeAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.canonicalFingerprint(col("text")).as("fp"))
+    val exact = fp.as("x").join(fp.as("y"), col("x.fp") === col("y.fp") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val snm = q111SortedNeighborhood(spark, dir).select("a", "b")
+    val both = exact.join(snm, Seq("a", "b"), "inner")
+    val (nE, nS, nB) = (exact.count(), snm.count(), both.count())
+    val union = nE + nS - nB
+    Seq(
+      ("both", nB),
+      ("exact_only", nE - nB),
+      ("exact_pairs", nE),
+      ("snm_only", nS - nB),
+      ("snm_pairs", nS),
+      ("agreement_bp", if (union == 0) 0L else nB * 10000L / union))
+      .toDF("metric", "n")
+      .orderBy("metric")
+  }
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.

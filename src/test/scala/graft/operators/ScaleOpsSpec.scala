@@ -378,6 +378,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.exists(_._5.isDefined), "at least one source must be reachable")
   }
 
+  test("regime agreement: accounting identities hold and the regimes genuinely overlap") {
+    val m = ScaleOps.q139RegimeAgreement(spark, sfDir).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("n")).toMap
+    assert(m("exact_pairs") == m("both") + m("exact_only"))
+    assert(m("snm_pairs") == m("both") + m("snm_only"))
+    assert(m("both") > 0, "exact duplicates sort adjacently — the regimes must overlap")
+    val union = m("exact_pairs") + m("snm_pairs") - m("both")
+    assert(m("agreement_bp") == (if (union == 0) 0L else m("both") * 10000L / union))
+    assert(m("agreement_bp") >= 0L && m("agreement_bp") <= 10000L)
+  }
+
   test("stratified sample: exact top-k per source by the seeded md5 order") {
     def coin(id: Long): String =
       java.security.MessageDigest.getInstance("MD5")
