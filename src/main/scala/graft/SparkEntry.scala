@@ -176,6 +176,7 @@ object SparkEntry {
     "q137_survival"        -> Events.q137Survival _,
     "q138_gap_histogram"   -> Events.q138GapHistogram _,
     "q139_regime_agreement" -> ScaleOps.q139RegimeAgreement _,
+    "q140_lateness_audit"  -> Events.q140LatenessAudit _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2135,5 +2136,21 @@ object SparkEntry {
              CASE WHEN ne + ns - nb = 0 THEN 0
                   ELSE nb * 10000 // (ne + ns - nb) END FROM c) u
          ORDER BY metric""",
+    // lateness vs the running event-time frontier in ingest (event_id)
+    // order; integer minutes and basis points throughout
+    "q140_lateness_audit" ->
+      """WITH e AS (SELECT event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events),
+         f AS (SELECT event_type,
+                 (max(tss) OVER (ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tss) // 60
+                   AS late_min
+               FROM e)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_min > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(max(late_min) AS BIGINT) AS max_late_min,
+           CAST(sum(CASE WHEN late_min <= 60 THEN 1 ELSE 0 END) * 10000
+             // count(*) AS BIGINT) AS admitted_1h_bp
+         FROM f GROUP BY event_type ORDER BY event_type""",
   )
 }

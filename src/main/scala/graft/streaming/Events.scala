@@ -963,6 +963,35 @@ object Events {
       .orderBy("event_type", "bucket")
   }
 
+  /** Lateness audit — the measurement behind every watermark choice in
+    * this file: how far behind the event-time frontier does data
+    * actually arrive? Arrival order is event_id (the fixture's ingest
+    * sequence); lateness = running-max(event time so far) − event time.
+    * Reported per type as power-of-two minute buckets (q96's exact
+    * bit-length log2) plus the share a 1-hour watermark would admit —
+    * integer basis points, no float. One global arrival-ordered window
+    * (the audit is inherently sequential over ingest order; run it on
+    * a sampled or per-partition-frontier basis at 100 TB, where the
+    * frontier itself is per-source anyway).
+    */
+  def q140LatenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val arrival = Window.orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("tss", unix_timestamp(col("ts")))
+      .withColumn("frontier", max("tss").over(arrival))
+      .withColumn("late_min", expr("(frontier - tss) div 60"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_min") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max("late_min").as("max_late_min"),
+        sum(when(col("late_min") <= 60L, 1L).otherwise(0L)).as("n_admitted"))
+      .withColumn("admitted_1h_bp", expr("n_admitted * 10000 div n_events"))
+      .select("event_type", "n_events", "n_late", "max_late_min", "admitted_1h_bp")
+      .orderBy("event_type")
+  }
+
   case class BucketSketch(bucket: Int, version: Long, words: Map[String, Long])
 
   /** Streaming heavy hitters: the incremental twin of q102 — Misra–Gries

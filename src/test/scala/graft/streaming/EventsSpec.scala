@@ -547,6 +547,37 @@ class EventsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("lateness audit matches a brute-force frontier walk") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("tss", unix_timestamp(col("ts")))
+      .select("event_id", "event_type", "tss").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("tss"))).sortBy(_._1)
+    var frontier = Long.MinValue
+    val lates = ev.map { case (_, tpe, tss) =>
+      frontier = math.max(frontier, tss)
+      (tpe, (frontier - tss) / 60)
+    }
+    val expected = lates.groupBy(_._1).toSeq.map { case (tpe, ls) =>
+      val mins = ls.map(_._2)
+      (tpe, mins.length.toLong, mins.count(_ > 0).toLong, mins.max,
+        mins.count(_ <= 60).toLong * 10000L / mins.length)
+    }.sortBy(_._1)
+    val got = Events.q140LatenessAudit(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_late"), r.getAs[Long]("max_late_min"),
+        r.getAs[Long]("admitted_1h_bp"))).toSeq
+    assert(got == expected)
+    // sf0.001 arrives perfectly ordered — zero lateness must read as
+    // full admission, not vacuous success
+    got.foreach { case (tpe, _, nLate, maxLate, bp) =>
+      if (nLate == 0)
+        assert(maxLate == 0 && bp == 10000L,
+          s"$tpe: an in-order stream admits everything")
+    }
+  }
+
   test("forward fill equals a per-user scan of the ordered history") {
     import org.apache.spark.sql.functions.{col, round}
     val rawValue = spark.read.parquet(s"$sfDir/events.parquet")
