@@ -177,6 +177,7 @@ object SparkEntry {
     "q138_gap_histogram"   -> Events.q138GapHistogram _,
     "q139_regime_agreement" -> ScaleOps.q139RegimeAgreement _,
     "q140_lateness_audit"  -> Events.q140LatenessAudit _,
+    "q141_media_dedup"     -> graft.multimodal.Multimodal.q141MediaDedup _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2152,5 +2153,25 @@ object SparkEntry {
            CAST(sum(CASE WHEN late_min <= 60 THEN 1 ELSE 0 END) * 10000
              // count(*) AS BIGINT) AS admitted_1h_bp
          FROM f GROUP BY event_type ORDER BY event_type""",
+    // the stub decoder's content hash is a true md5 of the payload
+    // bytes, so the dedup THROUGH the decode path is SQL-mirrored
+    "q141_media_dedup" ->
+      """WITH m AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             md5(text) AS content_hash,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           FROM documents)
+         , g AS (SELECT media_type, content_hash,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(sum(n_bytes) AS BIGINT) AS bytes_total
+           FROM m GROUP BY media_type, content_hash)
+         SELECT media_type,
+           CAST(sum(n_copies) AS BIGINT) AS n_items,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(sum(bytes_total - bytes_total // n_copies) AS BIGINT) AS bytes_reclaimable
+         FROM g GROUP BY media_type ORDER BY media_type""",
   )
 }

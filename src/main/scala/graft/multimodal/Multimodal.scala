@@ -109,6 +109,30 @@ object Multimodal {
         sequence(lit(0), col("n_frames") - 1, lit(stride)))
         .otherwise(array().cast("array<int>")))
 
+  /** Media dedup THROUGH the decode path — binary-column exact dedup,
+    * the multimodal face of q23: payloads flow the real batched
+    * mapPartitions decode (bytes never shuffle), and only the extracted
+    * (type, content_hash, n_bytes) rows reach the duplicate group-by.
+    * Oracle-checkable because the stub's content hash is a true md5 of
+    * the payload bytes; a real decoder would swap in a perceptual hash
+    * and the plumbing would not change. Reports per duplicate group the
+    * keeper and the bytes a dedup pass would reclaim.
+    */
+  def q141MediaDedup(spark: SparkSession, dir: String): DataFrame =
+    decode(mediaTable(spark, dir))
+      .groupBy("media_type", "content_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        sum(col("n_bytes").cast("long")).as("bytes_total"))
+      // per-type SUMMARY (not the dup groups themselves): byte-exact
+      // duplicates are rare at small scale factors, and an honest audit
+      // reports zero reclaimable bytes rather than an empty table
+      .groupBy("media_type")
+      .agg(sum("n_copies").as("n_items"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(expr("bytes_total - bytes_total div n_copies")).as("bytes_reclaimable"))
+      .orderBy("media_type")
+
   /** Full multimodal pipeline query: synth table → batched stub decode →
     * resize + frame-sample plans → per-item metadata rows.
     */

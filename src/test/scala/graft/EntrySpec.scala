@@ -86,4 +86,21 @@ class EntrySpec extends SparkSpec {
     val r = Multimodal.withResizePlan(d1).filter(col("media_type") === "image").head()
     assert(r.getAs[Int]("out_w") <= 256 && r.getAs[Int]("out_h") <= 256)
   }
+
+  test("media dedup summary: accounting identities per type, zero-dup reads as zero reclaim") {
+    val rows = Multimodal.q141MediaDedup(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("media_type"), r.getAs[Long]("n_items"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("n_dup_groups"),
+        r.getAs[Long]("bytes_reclaimable")))
+    assert(rows.map(_._1).sorted.toSeq == Seq("audio", "image", "video"))
+    rows.foreach { case (tpe, items, distinct, dupGroups, reclaim) =>
+      assert(distinct <= items, s"$tpe: distinct cannot exceed items")
+      assert(dupGroups <= items - distinct || (dupGroups == 0 && items == distinct),
+        s"$tpe: each dup group hides at least one extra copy")
+      if (items == distinct)
+        assert(dupGroups == 0 && reclaim == 0, s"$tpe: no dups means nothing to reclaim")
+    }
+    assert(rows.map(_._2).sum ==
+      spark.read.parquet(s"$sfDir/documents.parquet").count())
+  }
 }
