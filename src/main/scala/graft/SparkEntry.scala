@@ -178,6 +178,7 @@ object SparkEntry {
     "q139_regime_agreement" -> ScaleOps.q139RegimeAgreement _,
     "q140_lateness_audit"  -> Events.q140LatenessAudit _,
     "q141_media_dedup"     -> graft.multimodal.Multimodal.q141MediaDedup _,
+    "q142_ann_tradeoff"    -> ScaleOps.q142AnnTradeoff _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2173,5 +2174,76 @@ object SparkEntry {
            CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
            CAST(sum(bytes_total - bytes_total // n_copies) AS BIGINT) AS bytes_reclaimable
          FROM g GROUP BY media_type ORDER BY media_type""",
+    // all four retrieval chains (q28 exact, q29 ivf, q129 int8, q130
+    // two-stage) spliced into one audit; recall in integer basis points
+    "q142_ann_tradeoff" ->
+      """WITH eq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+         ec AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id >= 10),
+         es AS (SELECT qid, nid,
+           round(list_dot_product(eq.qv, ec.cv)
+             / (sqrt(list_dot_product(eq.qv, eq.qv)) * sqrt(list_dot_product(ec.cv, ec.cv))), 4) AS score
+           FROM eq, ec),
+         er AS (SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+               FROM es),
+         ep AS (SELECT qid, nid FROM er WHERE rank <= 5),
+         ic AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv, label FROM embeddings WHERE vec_id >= 10),
+         ici AS (SELECT label, unnest(generate_series(1, 64)) AS i, cv FROM ic),
+         icent AS (SELECT label, i, avg(cv[i]) AS m FROM ici GROUP BY label, i),
+         icentv AS (SELECT label, list(m ORDER BY i) AS ce FROM icent GROUP BY label),
+         iprobe AS (SELECT qid, label, qv FROM (
+             SELECT eq.qid, icentv.label, eq.qv,
+               row_number() OVER (PARTITION BY eq.qid ORDER BY
+                 round(list_dot_product(eq.qv, icentv.ce) /
+                   (sqrt(list_dot_product(eq.qv, eq.qv)) * sqrt(list_dot_product(icentv.ce, icentv.ce))), 4) DESC,
+                 icentv.label ASC) AS pr
+             FROM eq, icentv) x WHERE pr <= 2),
+         isc AS (SELECT iprobe.qid, ic.nid,
+             round(list_dot_product(iprobe.qv, ic.cv) /
+               (sqrt(list_dot_product(iprobe.qv, iprobe.qv)) * sqrt(list_dot_product(ic.cv, ic.cv))), 4) AS score
+           FROM iprobe JOIN ic ON ic.label = iprobe.label),
+         ir AS (SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM isc),
+         ip AS (SELECT qid, nid FROM ir WHERE rank <= 5),
+         zraw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         zqz AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s, v FROM zraw),
+         zqq AS (SELECT vec_id, s, v,
+                 CASE WHEN s = 0 THEN list_transform(v, x -> 0.0::DOUBLE)
+                      ELSE list_transform(v, x -> floor(x / s + 0.5)) END AS qv
+                FROM zqz),
+         zq AS (SELECT vec_id AS qid, qv AS qa, s AS sa, v AS qvf FROM zqq WHERE vec_id < 10),
+         zc AS (SELECT vec_id AS nid, qv AS qb, s AS sb, v AS cvf FROM zqq WHERE vec_id >= 10),
+         zsc AS (SELECT qid, nid,
+                 round(list_dot_product(qa, qb) * sa * sb, 4) AS qscore FROM zq, zc),
+         zr AS (SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, nid ASC) AS rank
+               FROM zsc),
+         zp AS (SELECT qid, nid FROM zr WHERE rank <= 5),
+         tshort AS (SELECT qid, nid FROM zr WHERE rank <= 20),
+         tex AS (SELECT s.qid, s.nid,
+                 round(list_dot_product(q.qvf, c.cvf) /
+                   (sqrt(list_dot_product(q.qvf, q.qvf)) * sqrt(list_dot_product(c.cvf, c.cvf))), 4) AS score
+                FROM tshort s JOIN zq q ON q.qid = s.qid JOIN zc c ON c.nid = s.nid),
+         tr AS (SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM tex),
+         tp AS (SELECT qid, nid FROM tr WHERE rank <= 5),
+         metrics AS (
+           SELECT 'exact' AS method,
+             (SELECT count(*) FROM ep) AS n_pairs,
+             (SELECT count(*) FROM ep) AS n_hits
+           UNION ALL SELECT 'int8',
+             (SELECT count(*) FROM zp),
+             (SELECT count(*) FROM zp JOIN ep ON zp.qid = ep.qid AND zp.nid = ep.nid)
+           UNION ALL SELECT 'ivf',
+             (SELECT count(*) FROM ip),
+             (SELECT count(*) FROM ip JOIN ep ON ip.qid = ep.qid AND ip.nid = ep.nid)
+           UNION ALL SELECT 'two_stage',
+             (SELECT count(*) FROM tp),
+             (SELECT count(*) FROM tp JOIN ep ON tp.qid = ep.qid AND tp.nid = ep.nid))
+         SELECT method, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(CASE WHEN n_pairs = 0 THEN 0
+                     ELSE n_hits * 10000 // n_pairs END AS BIGINT) AS recall_bp
+         FROM metrics ORDER BY method""",
   )
 }

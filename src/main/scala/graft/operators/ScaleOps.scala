@@ -992,6 +992,31 @@ object ScaleOps {
       .orderBy("metric")
   }
 
+  /** ANN method-comparison audit — the capstone measurement over the
+    * retrieval family: recall of every approximate method against the
+    * exact scan, as one table (integer basis points, floor division).
+    * This is the table that justifies shipping an index: a method with
+    * no measured recall line is a rumor. Driver runs one tiny
+    * count-pair per method; every heavy computation is the methods
+    * themselves, each already scale-shaped and oracle-checked.
+    */
+  def q142AnnTradeoff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def pairs(df: DataFrame) = df.select(col("query_id"), col("neighbor_id"))
+    val exact = pairs(q28KnnBrute(spark, dir))
+    val methods = Seq(
+      ("exact", exact),
+      ("int8", pairs(q129Int8Ann(spark, dir))),
+      ("ivf", pairs(q29KnnIvf(spark, dir))),
+      ("two_stage", pairs(q130TwoStage(spark, dir))))
+    methods.map { case (name, p) =>
+      val total = p.count()
+      val hits = p.join(exact, Seq("query_id", "neighbor_id")).count()
+      (name, total, hits, if (total == 0) 0L else hits * 10000L / total)
+    }.toDF("method", "n_pairs", "n_hits", "recall_bp")
+      .orderBy("method")
+  }
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.

@@ -389,6 +389,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(m("agreement_bp") >= 0L && m("agreement_bp") <= 10000L)
   }
 
+  test("ann tradeoff: exact is its own ceiling, identities hold for every method") {
+    val rows = ScaleOps.q142AnnTradeoff(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("method"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("recall_bp")))
+    assert(rows.map(_._1).sorted.toSeq == Seq("exact", "int8", "ivf", "two_stage"))
+    rows.foreach { case (m, pairs, hits, bp) =>
+      assert(hits <= pairs, s"$m: hits cannot exceed pairs")
+      assert(bp == (if (pairs == 0) 0L else hits * 10000L / pairs), s"$m: bp identity")
+    }
+    val byName = rows.map(r => r._1 -> r._4).toMap
+    assert(byName("exact") == 10000L, "the exact scan recalls itself perfectly")
+    assert(byName.values.forall(bp => bp >= 0L && bp <= 10000L))
+  }
+
   test("stratified sample: exact top-k per source by the seeded md5 order") {
     def coin(id: Long): String =
       java.security.MessageDigest.getInstance("MD5")
