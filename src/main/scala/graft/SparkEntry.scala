@@ -179,6 +179,7 @@ object SparkEntry {
     "q140_lateness_audit"  -> Events.q140LatenessAudit _,
     "q141_media_dedup"     -> graft.multimodal.Multimodal.q141MediaDedup _,
     "q142_ann_tradeoff"    -> ScaleOps.q142AnnTradeoff _,
+    "q143_ab_funnel"       -> Events.q143AbFunnel _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2245,5 +2246,37 @@ object SparkEntry {
            CAST(CASE WHEN n_pairs = 0 THEN 0
                      ELSE n_hits * 10000 // n_pairs END AS BIGINT) AS recall_bp
          FROM metrics ORDER BY method""",
+    // q76's staged-min funnel per md5 arm; a dense step x arm grid so a
+    // zero-conversion cell reads as 0, not a missing row
+    "q143_ab_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tss,
+             CASE WHEN CAST(concat('0x', substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm
+           FROM events),
+         sz AS (SELECT arm, CAST(count(DISTINCT user_id) AS BIGINT) AS arm_size
+                FROM e GROUP BY arm),
+         s1 AS (SELECT arm, user_id, min(tss) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY arm, user_id),
+         s2 AS (SELECT e.arm, e.user_id, min(e.tss) AS t2 FROM e
+                JOIN s1 ON e.user_id = s1.user_id AND e.arm = s1.arm
+                WHERE e.event_type = 'click' AND e.tss >= s1.t1
+                GROUP BY e.arm, e.user_id),
+         s3 AS (SELECT e.arm, e.user_id, min(e.tss) AS t3 FROM e
+                JOIN s2 ON e.user_id = s2.user_id AND e.arm = s2.arm
+                WHERE e.event_type = 'purchase' AND e.tss >= s2.t2
+                GROUP BY e.arm, e.user_id),
+         c0 AS (SELECT 'view' AS step, arm, count(*) AS n FROM s1 GROUP BY arm
+                UNION ALL SELECT 'click', arm, count(*) FROM s2 GROUP BY arm
+                UNION ALL SELECT 'purchase', arm, count(*) FROM s3 GROUP BY arm),
+         grid AS (SELECT step, arm FROM (SELECT unnest(['view', 'click', 'purchase']) AS step) s, sz)
+         SELECT grid.step, grid.arm,
+           CAST(coalesce(c0.n, 0) AS BIGINT) AS n_users,
+           sz.arm_size,
+           CAST(coalesce(c0.n, 0) * 10000 // sz.arm_size AS BIGINT) AS cvr_bp
+         FROM grid
+         JOIN sz ON sz.arm = grid.arm
+         LEFT JOIN c0 ON c0.step = grid.step AND c0.arm = grid.arm
+         ORDER BY grid.step, grid.arm""",
   )
 }

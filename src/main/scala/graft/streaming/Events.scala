@@ -173,6 +173,36 @@ object Events {
     }.reduce(_ crossJoin _)
   }
 
+  /** A/B experiment readout — the funnel (q76) split by a deterministic
+    * md5 arm assignment, the analysis table an experimentation platform
+    * serves: per step and arm, users reaching it and the conversion
+    * rate in integer basis points. Hash-based assignment (never rand())
+    * is what makes the experiment re-runnable, auditable, and
+    * consistent across every query that touches it — same rule as the
+    * q91 mixture. The per-arm funnels are the q76 machinery on a
+    * filtered input; only step-count scalars reach the driver.
+    */
+  def q143AbFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val armCol = conv(substring(
+      md5(concat(lit("ab1:"), col("user_id").cast("string"))), 1, 1), 16, 10)
+      .cast("int") % 2
+    val ev = Tables.events(spark, dir)
+      .withColumn("arm", when(armCol === 0, "A").otherwise("B"))
+    val steps = Seq("view", "click", "purchase")
+    val rows = Seq("A", "B").flatMap { arm =>
+      val sub = ev.filter(col("arm") === arm)
+      val armSize = sub.select("user_id").distinct().count()
+      val counts = funnel(sub, steps).head()
+      steps.zipWithIndex.map { case (s, i) =>
+        val n = counts.getLong(i)
+        (s, arm, n, armSize, if (armSize == 0) 0L else n * 10000L / armSize)
+      }
+    }
+    rows.toDF("step", "arm", "n_users", "arm_size", "cvr_bp")
+      .orderBy("step", "arm")
+  }
+
   /** Pivot — day × event-type count matrix. The pivot values are passed
     * EXPLICITLY: without them Spark runs an extra distinct-scan job over
     * the whole input just to discover column names, which at 100 TB is a

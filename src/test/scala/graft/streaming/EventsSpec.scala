@@ -578,6 +578,28 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("ab funnel: arms partition users, steps monotone, arm sums equal the pooled funnel") {
+    val rows = Events.q143AbFunnel(spark, sfDir).collect()
+      .map(r => ((r.getAs[String]("step"), r.getAs[String]("arm")),
+        (r.getAs[Long]("n_users"), r.getAs[Long]("arm_size"), r.getAs[Long]("cvr_bp"))))
+      .toMap
+    val total = graft.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows(("view", "A"))._2 + rows(("view", "B"))._2 == total,
+      "the two arms must partition the user population")
+    for (arm <- Seq("A", "B")) {
+      val Seq(v, c, p) = Seq("view", "click", "purchase").map(s => rows((s, arm))._1)
+      assert(v >= c && c >= p, s"arm $arm: funnel must narrow monotonically")
+      rows.filterKeys(_._2 == arm).values.foreach { case (n, sz, bp) =>
+        assert(bp == n * 10000L / sz)
+      }
+    }
+    val pooled = Events.q76Funnel(spark, sfDir).head()
+    assert(rows(("view", "A"))._1 + rows(("view", "B"))._1 ==
+      pooled.getAs[Long]("n_view_users"),
+      "arm view counts must sum to the pooled funnel's")
+  }
+
   test("forward fill equals a per-user scan of the ordered history") {
     import org.apache.spark.sql.functions.{col, round}
     val rawValue = spark.read.parquet(s"$sfDir/events.parquet")
