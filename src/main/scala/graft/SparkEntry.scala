@@ -180,6 +180,7 @@ object SparkEntry {
     "q141_media_dedup"     -> graft.multimodal.Multimodal.q141MediaDedup _,
     "q142_ann_tradeoff"    -> ScaleOps.q142AnnTradeoff _,
     "q143_ab_funnel"       -> Events.q143AbFunnel _,
+    "q144_attribution"     -> Events.q144Attribution _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2278,5 +2279,23 @@ object SparkEntry {
          JOIN sz ON sz.arm = grid.arm
          LEFT JOIN c0 ON c0.step = grid.step AND c0.arm = grid.arm
          ORDER BY grid.step, grid.arm""",
+    // dyadic decay credits: value / 2^(rank-1) is an exact power-of-two
+    // scaling of the rounded value — no weighted sum, no drift
+    "q144_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tss, value FROM events),
+         p AS (SELECT event_id AS purchase_id, user_id, tss AS p_tss,
+                 round(value, 2) AS value
+               FROM e WHERE event_type = 'purchase'),
+         v AS (SELECT event_id AS view_id, user_id AS v_user, tss AS v_tss
+               FROM e WHERE event_type = 'view'),
+         j AS (SELECT p.purchase_id, v.view_id, p.value,
+                 row_number() OVER (PARTITION BY p.purchase_id
+                   ORDER BY v.v_tss DESC, v.view_id ASC) AS touch_rank
+               FROM p JOIN v ON p.user_id = v.v_user
+                 AND v.v_tss < p.p_tss AND v.v_tss >= p.p_tss - 3600)
+         SELECT purchase_id, view_id, CAST(touch_rank AS INT) AS touch_rank,
+           round(value / pow(2.0::DOUBLE, touch_rank - 1), 4) AS credit
+         FROM j ORDER BY purchase_id, touch_rank""",
   )
 }

@@ -203,6 +203,38 @@ object Events {
       .orderBy("step", "arm")
   }
 
+  /** Multi-touch attribution with decay — each purchase credits the
+    * user's views in the prior hour, halving per step of recency
+    * (most recent view gets value/1, next value/2, then value/4 …).
+    * The halving weights are DYADIC, so every credit is an exact
+    * power-of-two scaling of the 2 dp value — no weighted SUM ever
+    * forms, hence no accumulation-order surface at all (the usual
+    * attribution-model parity trap). Keyed range join on user + one
+    * per-purchase recency window; same-second view/purchase ties break
+    * on event_id, the file's ordering convention.
+    */
+  def q144Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("tss", unix_timestamp(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tss").as("p_tss"), round(col("value"), 2).as("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("tss").as("v_tss"))
+    val w = Window.partitionBy("purchase_id")
+      .orderBy(col("v_tss").desc, col("view_id").asc)
+    purchases.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_tss") < col("p_tss") &&
+          col("v_tss") >= col("p_tss") - 3600L)
+      .withColumn("touch_rank", row_number().over(w))
+      .withColumn("credit",
+        round(col("value") / pow(lit(2.0), col("touch_rank") - 1), 4))
+      .select("purchase_id", "view_id", "touch_rank", "credit")
+      .orderBy("purchase_id", "touch_rank")
+  }
+
   /** Pivot — day × event-type count matrix. The pivot values are passed
     * EXPLICITLY: without them Spark runs an extra distinct-scan job over
     * the whole input just to discover column names, which at 100 TB is a

@@ -600,6 +600,38 @@ class EventsSpec extends SparkSpec {
       "arm view counts must sum to the pooled funnel's")
   }
 
+  test("attribution credits halve by recency and match a brute-force touch walk") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp, round}
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("tss", unix_timestamp(col("ts")))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("tss"),
+        round(col("value"), 2).as("v")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("tss"), r.getAs[Double]("v")))
+    def rnd4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val views = ev.filter(_._3 == "view")
+    val expected = ev.filter(_._3 == "purchase").flatMap { p =>
+      views.filter(v => v._2 == p._2 && v._4 < p._4 && v._4 >= p._4 - 3600)
+        .sortBy(v => (-v._4, v._1)).zipWithIndex
+        .map { case (v, i) => (p._1, v._1, i + 1, rnd4(p._5 / math.pow(2.0, i))) }
+    }.sortBy(t => (t._1, t._3)).toSeq
+    val got = Events.q144Attribution(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"),
+        r.getAs[Int]("touch_rank"), r.getAs[Double]("credit"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // within a purchase, each credit is exactly half the previous one
+    got.groupBy(_._1).values.filter(_.length > 1).foreach { touches =>
+      touches.sortBy(_._3).sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(math.abs(b._4 * 2 - a._4) <= 0.0002,
+            s"purchase ${a._1}: rank ${b._3} credit must be half of rank ${a._3}'s")
+        case _ =>
+      }
+    }
+  }
+
   test("forward fill equals a per-user scan of the ordered history") {
     import org.apache.spark.sql.functions.{col, round}
     val rawValue = spark.read.parquet(s"$sfDir/events.parquet")
