@@ -2069,7 +2069,8 @@ object SparkEntry {
          FROM e GROUP BY CUBE (event_type, dow)
          ORDER BY event_type, dow""",
     // survivors at day d = users with tenure >= d: reverse cumulative
-    // sum over the integer tenure histogram
+    // sum over the integer tenure histogram; curve in integer basis
+    // points (float-free output contract, q139/q143 discipline)
     "q137_survival" ->
       """WITH t AS (SELECT user_id,
              date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS tenure_days
@@ -2077,14 +2078,14 @@ object SparkEntry {
          n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM t),
          h AS (SELECT CAST(tenure_days AS INT) AS tenure_days,
                  CAST(count(*) AS BIGINT) AS n_ending
-               FROM t GROUP BY tenure_days)
-         SELECT h.tenure_days,
-           n.n_users - coalesce(sum(h.n_ending) OVER (ORDER BY h.tenure_days
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_surviving,
-           round((n.n_users - coalesce(sum(h.n_ending) OVER (ORDER BY h.tenure_days
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::DOUBLE / n.n_users, 6)
-             AS survival
-         FROM h, n ORDER BY tenure_days""",
+               FROM t GROUP BY tenure_days),
+         s AS (SELECT h.tenure_days,
+                 n.n_users - coalesce(sum(h.n_ending) OVER (ORDER BY h.tenure_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_surviving,
+                 n.n_users FROM h, n)
+         SELECT tenure_days, n_surviving,
+           CAST(n_surviving * 10000 // n_users AS BIGINT) AS survival_bp
+         FROM s ORDER BY tenure_days""",
     // integer minute gaps in power-of-two buckets (exact bit-length
     // log2, q96's rule); bucket -1 = same-minute
     "q138_gap_histogram" ->

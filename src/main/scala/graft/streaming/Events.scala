@@ -179,27 +179,43 @@ object Events {
     * rate in integer basis points. Hash-based assignment (never rand())
     * is what makes the experiment re-runnable, auditable, and
     * consistent across every query that touches it — same rule as the
-    * q91 mixture. The per-arm funnels are the q76 machinery on a
-    * filtered input; only step-count scalars reach the driver.
+    * q91 mixture. The whole readout is ONE lazy plan: the q76 staged
+    * min-aggs with `arm` carried as a grouping key, per-step reach
+    * counts union'd and left-joined onto the arm×step grid — a single
+    * action instead of ~8 serial driver jobs, so at 100× the events
+    * table is scanned once per funnel stage, never once per arm.
     */
   def q143AbFunnel(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val armCol = conv(substring(
       md5(concat(lit("ab1:"), col("user_id").cast("string"))), 1, 1), 16, 10)
       .cast("int") % 2
     val ev = Tables.events(spark, dir)
       .withColumn("arm", when(armCol === 0, "A").otherwise("B"))
     val steps = Seq("view", "click", "purchase")
-    val rows = Seq("A", "B").flatMap { arm =>
-      val sub = ev.filter(col("arm") === arm)
-      val armSize = sub.select("user_id").distinct().count()
-      val counts = funnel(sub, steps).head()
-      steps.zipWithIndex.map { case (s, i) =>
-        val n = counts.getLong(i)
-        (s, arm, n, armSize, if (armSize == 0) 0L else n * 10000L / armSize)
+    val e = ev.select(col("arm"), col("user_id"), col("event_type").as("et"),
+      unix_timestamp(col("ts")).as("tss"))
+    val reached = steps.scanLeft(Option.empty[DataFrame]) { (prev, step) =>
+      val candidates = prev match {
+        case None => e.filter(col("et") === step)
+        case Some(p) => e.filter(col("et") === step)
+          .join(p.select(col("arm"), col("user_id"), col("t")),
+            Seq("arm", "user_id"))
+          .filter(col("tss") >= col("t")).drop("t")
       }
-    }
-    rows.toDF("step", "arm", "n_users", "arm_size", "cvr_bp")
+      Some(candidates.groupBy("arm", "user_id").agg(min("tss").as("t")))
+    }.flatten
+    val counts = reached.zip(steps).map { case (df, step) =>
+      df.groupBy("arm").agg(count(lit(1)).as("n_users"))
+        .withColumn("step", lit(step))
+    }.reduce(_ unionByName _)
+    val sizes = ev.groupBy("arm").agg(countDistinct("user_id").as("arm_size"))
+    // arm×step grid so a step nobody reached still reports 0, exactly
+    // as the oracle's grid LEFT JOIN does
+    sizes.withColumn("step", explode(array(steps.map(lit): _*)))
+      .join(counts, Seq("arm", "step"), "left")
+      .withColumn("n_users", coalesce(col("n_users"), lit(0L)))
+      .withColumn("cvr_bp", expr("n_users * 10000L div arm_size"))
+      .select("step", "arm", "n_users", "arm_size", "cvr_bp")
       .orderBy("step", "arm")
   }
 
@@ -980,7 +996,9 @@ object Events {
     * plain at-risk counting is the estimator). Tenure is an integer day
     * difference; the curve is one cumulative window over the tenure
     * histogram — corpus touches one per-user aggregate, everything
-    * after is tenure-bounded. The only division is rounded at 6 dp.
+    * after is tenure-bounded. The curve is emitted as integer basis
+    * points (survivors*10000 div users) so the output contract is
+    * float-free — the same hashing-immune discipline as q139/q143.
     */
   def q137Survival(spark: SparkSession, dir: String): DataFrame = {
     val tenures = Tables.events(spark, dir)
@@ -995,10 +1013,9 @@ object Events {
       .rowsBetween(Window.unboundedPreceding, -1)
     byTenure.crossJoin(broadcast(n))
       .withColumn("ended_before", coalesce(sum("n_ending").over(w), lit(0L)))
-      .select(col("tenure_days"),
-        (col("n_users") - col("ended_before")).as("n_surviving"),
-        round((col("n_users") - col("ended_before")).cast("double") / col("n_users"), 6)
-          .as("survival"))
+      .withColumn("n_surviving", col("n_users") - col("ended_before"))
+      .select(col("tenure_days"), col("n_surviving"),
+        expr("n_surviving * 10000L div n_users").as("survival_bp"))
       .orderBy("tenure_days")
   }
 
@@ -1029,19 +1046,44 @@ object Events {
     * this file: how far behind the event-time frontier does data
     * actually arrive? Arrival order is event_id (the fixture's ingest
     * sequence); lateness = running-max(event time so far) − event time.
-    * Reported per type as power-of-two minute buckets (q96's exact
-    * bit-length log2) plus the share a 1-hour watermark would admit —
-    * integer basis points, no float. One global arrival-ordered window
-    * (the audit is inherently sequential over ingest order; run it on
-    * a sampled or per-partition-frontier basis at 100 TB, where the
-    * frontier itself is per-source anyway).
+    * Reported per type plus the share a 1-hour watermark would admit —
+    * integer basis points, no float.
+    *
+    * The frontier is a global prefix-max, but it is NOT computed with a
+    * global window over the events table (single-partition WindowExec —
+    * the one shape that cannot survive 100×). Instead the classic
+    * two-level scan: arrival order splits into contiguous 8192-event
+    * shards; per-shard maxima (a groupBy — N/8192 tiny rows) take a
+    * running max in shard order; each event's frontier is then
+    * greatest(its shard-local running max, the previous shards' max) —
+    * bit-identical to the global window, with the big table touched
+    * only by a PARTITIONED window. The shard-level prefix runs as a
+    * single-partition mapPartitions fold — deliberate and bounded
+    * (N/8192 16-byte rows; an explicit repartition(1), not an
+    * accidental unpartitioned WindowExec), and at extreme N the same
+    * two-level step recurses.
     */
   def q140LatenessAudit(spark: SparkSession, dir: String): DataFrame = {
-    val arrival = Window.orderBy(col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
       .withColumn("tss", unix_timestamp(col("ts")))
-      .withColumn("frontier", max("tss").over(arrival))
+      .withColumn("shard", expr("event_id div 8192"))
+    val prevFrontier = ev.groupBy("shard").agg(max("tss").as("shard_max"))
+      .as[(Long, Long)]
+      .repartition(1).sortWithinPartitions("shard")
+      .mapPartitions { it =>
+        var running = Long.MinValue // sentinel: shard 0 has no predecessor
+        it.map { case (shard, mx) =>
+          val prev = running
+          running = math.max(running, mx)
+          (shard, prev)
+        }
+      }.toDF("shard", "prev_frontier")
+    val wLocal = Window.partitionBy("shard").orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.join(broadcast(prevFrontier), "shard")
+      .withColumn("local_max", max("tss").over(wLocal))
+      .withColumn("frontier", greatest(col("local_max"), col("prev_frontier")))
       .withColumn("late_min", expr("(frontier - tss) div 60"))
       .groupBy("event_type")
       .agg(
@@ -1120,16 +1162,36 @@ object Events {
       .orderBy("rank")
   }
 
+  /** Stream-stream as-of through a durable sink: the two-sided-watermark
+    * range join lands append-mode in scratch parquet (bounded disk, not
+    * unbounded session memory — the round-5 leak fix), then a batch
+    * window picks the latest signup per purchase.
+    *
+    * Cost control: streaming state is partitioned by the SHUFFLE
+    * PARTITION count fixed at first run, and every micro-batch commits
+    * one state file per partition per store — for a join keyed on
+    * ~thousands of users, 32 partitions is pure commit overhead. The
+    * query runs at 8 (set-then-restored around start; a real deployment
+    * picks this before its first checkpoint, exactly as here), and the
+    * sink coalesces each micro-batch to one file — the join OUTPUT is
+    * orders smaller than the events input, so single-file batches are
+    * right-sized; the input-side parallelism is untouched.
+    */
   def q70StreamAsof(spark: SparkSession, dir: String): DataFrame = {
     val tmp = graft.TempDirs.scratch("q70_stream_asof")
     val out = tmp.resolve("out").toString
-    val sq = rangeJoinedStream(spark, dir)
-      .writeStream.outputMode(OutputMode.Append())
-      .format("parquet").option("path", out)
-      .option("checkpointLocation", tmp.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val sq = rangeJoinedStream(spark, dir)
+        .coalesce(1)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val w = Window.partitionBy("purchase_id")
       .orderBy(col("s_tss").desc, col("signup_id").desc)
     spark.read.parquet(out)

@@ -90,20 +90,22 @@ object VectorOps {
 
   /** Distributed k-means (Lloyd's) — the trainer behind the IVF index
     * (`knnIvf`/`ivfAssign` consume given cluster labels; this is where
-    * those labels come from when nobody hands them to you). The driver
-    * loop carries NOTHING but the iteration counter (q104/q112's
-    * control-loop discipline): centroids live in a k×dim DataFrame that
-    * rides a broadcast into the assignment join, assignment is an
-    * argmin window over |V|·k scored rows, and the update is one
-    * posexplode group-by — per round, one broadcast + two exchanges,
-    * independent of corpus size. Determinism across engines: distances
-    * are squared-L2 composed from three sequential-fold dot products
-    * rounded to 6 dp BEFORE the argmin (ties break on cluster id), and
-    * updated centroid components round to 9 dp — so Spark and the
-    * DuckDB oracle converge through identical assignments every round
-    * regardless of their aggregation orders. Seeds: the k lowest-id
-    * vectors (deterministic; smarter seeding composes in front).
-    * An emptied cluster drops out in both engines identically.
+    * those labels come from when nobody hands them to you). The k
+    * centroids (k×dim doubles — trivially driver-safe for any sane k)
+    * are collected into array LITERALS each round, so assignment is a
+    * single codegen'd projection: each row evaluates k rounded squared
+    * distances and takes `least` over (d2, cl) structs — no N×k row
+    * expansion, no per-id window, ZERO exchanges between the scan and
+    * the re-centering group-by. Per Lloyd round the only shuffle is the
+    * posexplode re-center itself, independent of corpus size.
+    * Determinism across engines: distances are squared-L2 composed from
+    * sequential-fold dot products rounded to 6 dp BEFORE the argmin
+    * (struct-least ties break on cluster id), and updated centroid
+    * components round to 9 dp — so Spark and the DuckDB oracle converge
+    * through identical assignments every round regardless of their
+    * aggregation orders. Seeds: the k lowest-id vectors (deterministic;
+    * smarter seeding composes in front). An emptied cluster drops out
+    * in both engines identically.
     *
     * Returns (id, cl, d2): each vector's final cluster and its rounded
     * squared distance under the final centroids.
@@ -112,18 +114,31 @@ object VectorOps {
                 k: Int, iters: Int): DataFrame = {
     val v = vecs.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    val d2 = (vec: Column, c: Column) =>
-      round(dot(vec, vec) - lit(2.0) * dot(vec, c) + dot(c, c), 6)
-    val argmin = Window.partitionBy("id").orderBy(col("d2").asc, col("cl").asc)
+      // dot(vec,vec) is shared by all k distances — compute it once
+      .withColumn("vv", dot(col("vec"), col("vec")))
+    // least() over k (d2, cl) structs = argmin with (d2 asc, cl asc)
+    // tie-break; ||c||² folds on the driver with the same sequential
+    // double accumulation as the codegen'd DotProduct, so scores are
+    // bit-identical to the former dot(c,c) expression form.
+    def best(cRows: Array[(Int, Vector[Double])]): Column =
+      least(cRows.map { case (cl, c) =>
+        var cc = 0.0
+        c.foreach(x => cc += x * x)
+        struct(
+          round(col("vv") - lit(2.0) * dot(col("vec"), typedLit(c)) + lit(cc), 6)
+            .as("d2"),
+          lit(cl).as("cl"))
+      }: _*)
+    def centroidRows(cent: DataFrame): Array[(Int, Vector[Double])] =
+      cent.collect()
+        .map(r => (r.getAs[Int]("cl"), r.getAs[Seq[Double]]("centroid").toVector))
+        .sortBy(_._1)
     var cent = v.orderBy("id").limit(k)
       .select((row_number().over(Window.orderBy("id")) - 1).as("cl"),
         col("vec").as("centroid"))
     for (_ <- 1 to iters) {
-      val assigned = v.crossJoin(broadcast(cent))
-        .withColumn("d2", d2(col("vec"), col("centroid")))
-        .withColumn("rk", row_number().over(argmin))
-        .filter(col("rk") === 1)
-        .select("id", "vec", "cl")
+      val assigned = v.withColumn("b", best(centroidRows(cent)))
+        .select(col("id"), col("vec"), col("b.cl").as("cl"))
       cent = assigned
         .select(col("cl"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy("cl", "pos").agg(round(avg("x"), 9).as("m"))
@@ -133,11 +148,8 @@ object VectorOps {
         // re-executes rounds 1..r-1 (q104's localCheckpoint rule)
         .localCheckpoint()
     }
-    v.crossJoin(broadcast(cent))
-      .withColumn("d2", d2(col("vec"), col("centroid")))
-      .withColumn("rk", row_number().over(argmin))
-      .filter(col("rk") === 1)
-      .select("id", "cl", "d2")
+    v.withColumn("b", best(centroidRows(cent)))
+      .select(col("id"), col("b.cl").as("cl"), col("b.d2").as("d2"))
   }
 
   /** Symmetric int8 quantization of a vector column: per-vector scale

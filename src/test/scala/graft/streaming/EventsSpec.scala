@@ -501,7 +501,7 @@ class EventsSpec extends SparkSpec {
       "at most one valid version per user at any instant")
   }
 
-  test("survival curve: starts at 1.0, non-increasing, matches brute-force tenure counting") {
+  test("survival curve: starts at 10000 bp, non-increasing, matches brute-force tenure counting") {
     import org.apache.spark.sql.functions.{col, to_date, date_format}
     val users = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"))
@@ -513,8 +513,8 @@ class EventsSpec extends SparkSpec {
       }.toSeq
     val rows = Events.q137Survival(spark, sfDir).collect()
       .map(r => (r.getAs[Int]("tenure_days"), r.getAs[Long]("n_surviving"),
-        r.getAs[Double]("survival")))
-    assert(rows.head._3 == 1.0, "everyone survives to their first day")
+        r.getAs[Long]("survival_bp")))
+    assert(rows.head._3 == 10000L, "everyone survives to their first day")
     assert(rows.sliding(2).forall { case Array(a, b) => b._2 <= a._2; case _ => true })
     rows.foreach { case (d, surv, _) =>
       assert(surv == users.count(_ >= d).toLong,
