@@ -681,9 +681,17 @@ object TextOps {
   }
 
   /** Sentence-aware greedy chunking (text_cleaner.py:136-160) as a
-    * generator query: UDF + posexplode. Lookbehind sentence splitting is
-    * not RE2-expressible, so this is test-verified rather than
-    * oracle-matched.
+    * generator query: UDF + posexplode. Greedy packing is a sequential
+    * fold, not SQL-expressible — correctness is pinned by TextOpsSpec's
+    * golden digest of the full output table instead of a DuckDB oracle.
+    *
+    * Tokenizer choice: the registered query keeps the regex splitter
+    * because the fixture corpus is all-lowercase, and the UAX #29
+    * `BreakIteratorSentenceTokenizer` (Chunker.scala) deliberately
+    * suppresses boundaries before lowercase words — on THIS corpus it
+    * would collapse every document to one sentence and the query would
+    * degenerate to word windows. On natural text the BreakIterator
+    * variant is the higher-fidelity choice; both are spec-tested.
     */
   def q43SentenceChunks(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -104,3 +104,37 @@ object RegexSentenceTokenizer extends SentenceTokenizer {
   def split(text: String): Seq[String] =
     text.split("(?<=[.!?])\\s+").toSeq.filter(_.nonEmpty)
 }
+
+/** UAX #29 sentence boundaries via the JDK's `java.text.BreakIterator`
+  * (public API, offline, deterministic for a fixed locale). Closes most
+  * of the regex stand-in's divergence from the reference's NLTK Punkt
+  * (text_cleaner.py:141): a period followed by lowercase ("e.g. apples")
+  * or by a digit ("Fig. 3"), and ellipses before lowercase
+  * ("Wait... really?"), no longer force a boundary. Remaining known
+  * divergence, pinned in ChunkerSpec: an abbreviation followed by a
+  * CAPITALIZED word ("Dr. Smith") still breaks — UAX #29 carries no
+  * abbreviation list, where Punkt learns one from its training corpus.
+  *
+  * `BreakIterator` is mutable and not thread-safe; each executor thread
+  * gets its own instance via a ThreadLocal, so the tokenizer object
+  * itself stays serializable and shareable across UDF calls.
+  */
+object BreakIteratorSentenceTokenizer extends SentenceTokenizer {
+  @transient private lazy val local: ThreadLocal[java.text.BreakIterator] =
+    ThreadLocal.withInitial(() =>
+      java.text.BreakIterator.getSentenceInstance(java.util.Locale.US))
+  def split(text: String): Seq[String] = {
+    val bi = local.get()
+    bi.setText(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = bi.first()
+    var end = bi.next()
+    while (end != java.text.BreakIterator.DONE) {
+      val s = text.substring(start, end).trim
+      if (s.nonEmpty) out += s
+      start = end
+      end = bi.next()
+    }
+    out.toSeq
+  }
+}

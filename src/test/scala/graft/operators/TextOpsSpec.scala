@@ -5,6 +5,21 @@ import org.apache.spark.sql.functions._
 
 class TextOpsSpec extends SparkSpec {
 
+  test("q43 sentence chunks: golden-pinned output (fixtures frozen at seed=42)") {
+    // q43 has no SQL oracle (greedy packing is a sequential fold); this
+    // digest IS its correctness gate — the exact output table at
+    // sf0.001, pinned. Any change to the tokenizer, the packing logic,
+    // or the fixture shows up as a digest change that must be re-pinned
+    // consciously.
+    val rows = TextOps.q43SentenceChunks(spark, sfDir).collect()
+      .map(r => s"${r.getAs[Long]("doc_id")}|${r.getAs[Int]("chunk_id")}|${r.getAs[String]("chunk")}")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows.length == 828, s"rows=${rows.length}")
+    assert(digest == "10576484dbebf7aeddba5dac5abcf688", s"digest=$digest")
+  }
+
   test("pmc body: body paragraphs joined with blank lines, back matter excluded") {
     val rows = TextOps.q57PmcBody(spark, sfDir).collect()
     assert(rows.length == 500)

@@ -81,6 +81,46 @@ class ChunkerSpec extends SparkSpec {
     assert(chunks == Seq("Dr. Smith arrived. He left."))
   }
 
+  test("BreakIterator tokenizer: UAX #29 suppressions the regex stand-in lacks") {
+    // period + lowercase: no boundary (regex breaks here)
+    assert(BreakIteratorSentenceTokenizer.split("e.g. apples are red. Oranges too.") ==
+      Seq("e.g. apples are red.", "Oranges too."))
+    assert(RegexSentenceTokenizer.split("e.g. apples are red. Oranges too.") ==
+      Seq("e.g.", "apples are red.", "Oranges too."))
+    // period + digit: no boundary (regex breaks here)
+    assert(BreakIteratorSentenceTokenizer.split("See Fig. 3 for details. The end.") ==
+      Seq("See Fig. 3 for details.", "The end."))
+    assert(RegexSentenceTokenizer.split("See Fig. 3 for details. The end.") ==
+      Seq("See Fig.", "3 for details.", "The end."))
+    // ellipsis + lowercase question: one sentence (regex splits the ellipsis)
+    assert(BreakIteratorSentenceTokenizer.split("Wait... really? Yes! Done.") ==
+      Seq("Wait... really?", "Yes!", "Done."))
+    assert(RegexSentenceTokenizer.split("Wait... really? Yes! Done.") ==
+      Seq("Wait...", "really?", "Yes!", "Done."))
+    // decimals never break in either tokenizer (no whitespace after '.')
+    assert(BreakIteratorSentenceTokenizer.split("Pi is 3.14 exactly. Next sentence.") ==
+      Seq("Pi is 3.14 exactly.", "Next sentence."))
+  }
+
+  test("BreakIterator tokenizer: documented REMAINING divergence from Punkt on Dr. Smith") {
+    // UAX #29 has no abbreviation list: ATerm followed by a capitalized
+    // word still breaks, exactly like the regex stand-in. Punkt (the
+    // reference) suppresses this. Pinned so a future ICU/abbrev-list
+    // upgrade is a conscious change.
+    assert(BreakIteratorSentenceTokenizer.split("Dr. Smith arrived. He left.") ==
+      Seq("Dr.", "Smith arrived.", "He left."))
+  }
+
+  test("sentence chunking packs identically through the BreakIterator tokenizer") {
+    val text = "One two three. Four five. Six seven eight nine. Ten."
+    assert(Chunker.sentenceChunks(5, BreakIteratorSentenceTokenizer)(text) ==
+      Seq("One two three. Four five.", "Six seven eight nine. Ten."))
+    // boundary suppression changes the packing where the regex over-splits
+    val abbr = "See Fig. 3 now. Then stop."
+    assert(Chunker.sentenceChunks(4, BreakIteratorSentenceTokenizer)(abbr) ==
+      Seq("See Fig. 3 now.", "Then stop."))
+  }
+
   test("empty and null inputs yield no chunks") {
     assert(Chunker.sentenceChunks(5)("") == Seq.empty)
     assert(Chunker.sentenceChunks(5)(null) == Seq.empty)
