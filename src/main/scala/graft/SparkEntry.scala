@@ -1685,41 +1685,41 @@ object SparkEntry {
          seeds AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cl, vec AS centroid
                    FROM (SELECT id, vec FROM v ORDER BY id LIMIT 8) s),
          d1 AS (SELECT v.id, v.vec, c.cl,
-                 round(list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
-                       + list_dot_product(c.centroid, c.centroid), 6) AS d2
+                 floor((list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
                 FROM v, seeds c),
          a1 AS (SELECT id, vec, cl FROM (
                   SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d1) t
                 WHERE rk = 1),
          c1 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
-                  SELECT cl, pos, round(avg(x), 9) AS m FROM (
+                  SELECT cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
                     SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a1) u
                   GROUP BY cl, pos) g GROUP BY cl),
          d2_ AS (SELECT v.id, v.vec, c.cl,
-                 round(list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
-                       + list_dot_product(c.centroid, c.centroid), 6) AS d2
+                 floor((list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
                 FROM v, c1 c),
          a2 AS (SELECT id, vec, cl FROM (
                   SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d2_) t
                 WHERE rk = 1),
          c2 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
-                  SELECT cl, pos, round(avg(x), 9) AS m FROM (
+                  SELECT cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
                     SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a2) u
                   GROUP BY cl, pos) g GROUP BY cl),
          d3 AS (SELECT v.id, v.vec, c.cl,
-                 round(list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
-                       + list_dot_product(c.centroid, c.centroid), 6) AS d2
+                 floor((list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
                 FROM v, c2 c),
          a3 AS (SELECT id, vec, cl FROM (
                   SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d3) t
                 WHERE rk = 1),
          c3 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
-                  SELECT cl, pos, round(avg(x), 9) AS m FROM (
+                  SELECT cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
                     SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a3) u
                   GROUP BY cl, pos) g GROUP BY cl),
          df_ AS (SELECT v.id, c.cl,
-                 round(list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
-                       + list_dot_product(c.centroid, c.centroid), 6) AS d2
+                 floor((list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
                 FROM v, c3 c),
          af AS (SELECT id, cl, d2 FROM (
                   SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM df_) t
@@ -1770,41 +1770,41 @@ object SparkEntry {
          seeds AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cl, vec AS centroid
                    FROM (SELECT id, vec FROM v ORDER BY id LIMIT 8) s),
          d1 AS (SELECT v.id, v.vec, c.cl,
-                 round(list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
-                       + list_dot_product(c.centroid, c.centroid), 6) AS d2
+                 floor((list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
                 FROM v, seeds c),
          a1 AS (SELECT id, vec, cl FROM (
                   SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d1) t
                 WHERE rk = 1),
          c1 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
-                  SELECT cl, pos, round(avg(x), 9) AS m FROM (
+                  SELECT cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
                     SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a1) u
                   GROUP BY cl, pos) g GROUP BY cl),
          d2_ AS (SELECT v.id, v.vec, c.cl,
-                 round(list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
-                       + list_dot_product(c.centroid, c.centroid), 6) AS d2
+                 floor((list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
                 FROM v, c1 c),
          a2 AS (SELECT id, vec, cl FROM (
                   SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d2_) t
                 WHERE rk = 1),
          c2 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
-                  SELECT cl, pos, round(avg(x), 9) AS m FROM (
+                  SELECT cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
                     SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a2) u
                   GROUP BY cl, pos) g GROUP BY cl),
          d3 AS (SELECT v.id, v.vec, c.cl,
-                 round(list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
-                       + list_dot_product(c.centroid, c.centroid), 6) AS d2
+                 floor((list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
                 FROM v, c2 c),
          a3 AS (SELECT id, vec, cl FROM (
                   SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d3) t
                 WHERE rk = 1),
          c3 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
-                  SELECT cl, pos, round(avg(x), 9) AS m FROM (
+                  SELECT cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
                     SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a3) u
                   GROUP BY cl, pos) g GROUP BY cl),
          df_ AS (SELECT v.id, v.vec, c.cl,
-                 round(list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
-                       + list_dot_product(c.centroid, c.centroid), 6) AS d2
+                 floor((list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
                 FROM v, c3 c),
          af AS (SELECT id, vec, cl FROM (
                   SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM df_) t
@@ -1848,20 +1848,20 @@ object SparkEntry {
          deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY a),
          nv AS (SELECT count(*) AS n FROM deg),
          r0 AS (SELECT v, 1.0::DOUBLE / (SELECT n FROM nv) AS pr FROM deg),
-         r1 AS (SELECT d.v, round((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nv)
-                  + 0.85::DOUBLE * coalesce(i.inflow, 0.0::DOUBLE), 9) AS pr
+         r1 AS (SELECT d.v, floor(((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nv)
+                  + 0.85::DOUBLE * coalesce(i.inflow, 0.0::DOUBLE)) * 1000000000.0 + 0.5) / 1000000000.0 AS pr
                 FROM deg d LEFT JOIN (
                   SELECT e.b AS v, sum(r.pr / dd.deg) AS inflow
                   FROM e JOIN r0 r ON r.v = e.a JOIN deg dd ON dd.v = e.a
                   GROUP BY e.b) i ON i.v = d.v),
-         r2 AS (SELECT d.v, round((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nv)
-                  + 0.85::DOUBLE * coalesce(i.inflow, 0.0::DOUBLE), 9) AS pr
+         r2 AS (SELECT d.v, floor(((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nv)
+                  + 0.85::DOUBLE * coalesce(i.inflow, 0.0::DOUBLE)) * 1000000000.0 + 0.5) / 1000000000.0 AS pr
                 FROM deg d LEFT JOIN (
                   SELECT e.b AS v, sum(r.pr / dd.deg) AS inflow
                   FROM e JOIN r1 r ON r.v = e.a JOIN deg dd ON dd.v = e.a
                   GROUP BY e.b) i ON i.v = d.v),
-         r3 AS (SELECT d.v, round((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nv)
-                  + 0.85::DOUBLE * coalesce(i.inflow, 0.0::DOUBLE), 9) AS pr
+         r3 AS (SELECT d.v, floor(((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nv)
+                  + 0.85::DOUBLE * coalesce(i.inflow, 0.0::DOUBLE)) * 1000000000.0 + 0.5) / 1000000000.0 AS pr
                 FROM deg d LEFT JOIN (
                   SELECT e.b AS v, sum(r.pr / dd.deg) AS inflow
                   FROM e JOIN r2 r ON r.v = e.a JOIN deg dd ON dd.v = e.a
@@ -1950,7 +1950,7 @@ object SparkEntry {
          q AS (SELECT vec_id AS qid, qv AS qa, s AS sa FROM qq WHERE vec_id < 10),
          c AS (SELECT vec_id AS nid, qv AS qb, s AS sb FROM qq WHERE vec_id >= 10),
          sc AS (SELECT qid, nid,
-                 round(list_dot_product(qa, qb) * sa * sb, 4) AS qscore FROM q, c),
+                 floor(list_dot_product(qa, qb) * sa * sb * 10000.0 + 0.5) / 10000.0 AS qscore FROM q, c),
          r AS (SELECT qid, nid, qscore,
                  row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, nid ASC) AS rank
                FROM sc)
@@ -1968,7 +1968,7 @@ object SparkEntry {
          q AS (SELECT vec_id AS qid, qv AS qa, s AS sa, v AS qvf FROM qq WHERE vec_id < 10),
          c AS (SELECT vec_id AS nid, qv AS qb, s AS sb, v AS cvf FROM qq WHERE vec_id >= 10),
          sc AS (SELECT qid, nid,
-                 round(list_dot_product(qa, qb) * sa * sb, 4) AS qscore FROM q, c),
+                 floor(list_dot_product(qa, qb) * sa * sb * 10000.0 + 0.5) / 10000.0 AS qscore FROM q, c),
          shortlist AS (SELECT qid, nid FROM (
                  SELECT qid, nid, row_number() OVER (PARTITION BY qid
                    ORDER BY qscore DESC, nid ASC) AS rank FROM sc) t
@@ -2217,7 +2217,7 @@ object SparkEntry {
          zq AS (SELECT vec_id AS qid, qv AS qa, s AS sa, v AS qvf FROM zqq WHERE vec_id < 10),
          zc AS (SELECT vec_id AS nid, qv AS qb, s AS sb, v AS cvf FROM zqq WHERE vec_id >= 10),
          zsc AS (SELECT qid, nid,
-                 round(list_dot_product(qa, qb) * sa * sb, 4) AS qscore FROM zq, zc),
+                 floor(list_dot_product(qa, qb) * sa * sb * 10000.0 + 0.5) / 10000.0 AS qscore FROM zq, zc),
          zr AS (SELECT qid, nid,
                  row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, nid ASC) AS rank
                FROM zsc),

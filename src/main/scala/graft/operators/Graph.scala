@@ -48,6 +48,12 @@ object Graph {
       i += 1
     }
     e.unpersist()
+    // a deep-chain graph (diameter > maxIter) must fail LOUDLY here —
+    // returning unconverged labels would surface downstream as a
+    // baffling oracle mismatch against the exact transitive closure
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing); raise maxIter for deep graphs")
     labels
   }
 
@@ -119,7 +125,7 @@ object Graph {
       ranks = deg.select(col("v"))
         .join(inflow, Seq("v"), "left_outer")
         .select(col("v"),
-          round(lit((1.0 - damping) / n) +
+          graft.functions.Rounding.halfUp(lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("inflow"), lit(0.0)), 9).as("pr"))
         .localCheckpoint()
     }

@@ -238,12 +238,12 @@ object Ingest {
     * ceil(bytes / targetFileBytes) files. Both via `repartition` (an
     * exchange — upstream stays parallel, unlike `coalesce(1)` which
     * would collapse the read). Returns (filesBefore, filesAfter).
-    * Writes to a temp sibling first, so no crash can leave PARTIAL data
-    * in place — the worst case (dying between delete and rename) leaves
-    * the complete compacted copy in the `.compact_tmp` sibling for
-    * manual recovery. A true atomic swap needs a transactional table
-    * layer (the manifest-pointer flip that Iceberg/Delta provide);
-    * plain parquet directories cannot do better.
+    * Writes to a temp sibling first, then promotes via the rename-aside
+    * `swapInto` — a crash at ANY step leaves a complete copy on disk
+    * (live, `.old`, or `.compact_tmp`), never a window with no data. A
+    * true atomic swap needs a transactional table layer (the
+    * manifest-pointer flip that Iceberg/Delta provide); plain parquet
+    * directories cannot do better than recoverable-by-construction.
     */
   def compactLake(spark: SparkSession, path: String,
                   targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
@@ -265,24 +265,45 @@ object Ingest {
     val writer = compacted.write.mode(SaveMode.Overwrite)
     (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
       .parquet(tmp)
-    // swap: remove live, move tmp into place
+    swapInto(path, tmp)
+    (before.size, parquets(dir).size)
+  }
+
+  /** Promote `stagedPath` into `livePath` by rename-aside: live moves to
+    * `live.old`, staging renames into place, the aside copy is deleted
+    * last. A crash between any two steps leaves a COMPLETE copy on disk
+    * (live, or live.old + staging) — unlike delete-then-rename, which
+    * has a window where the only data is the staging dir. Renames are
+    * same-filesystem by construction (siblings); a failed promote
+    * restores the aside copy before throwing, so live keeps serving.
+    */
+  private def swapInto(livePath: String, stagedPath: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
     }
-    rm(dir)
-    if (!new java.io.File(tmp).renameTo(dir))
-      throw new IllegalStateException(s"compaction swap failed for $path")
-    (before.size, parquets(dir).size)
+    val live = new java.io.File(livePath)
+    val staged = new java.io.File(stagedPath)
+    val aside = new java.io.File(livePath + ".old")
+    rm(aside) // leftover aside from a previously crashed swap
+    if (live.exists() && !live.renameTo(aside))
+      throw new IllegalStateException(s"swap: cannot move $livePath aside")
+    if (!staged.renameTo(live)) {
+      aside.renameTo(live) // restore: live data keeps serving
+      throw new IllegalStateException(s"swap: cannot promote $stagedPath into $livePath")
+    }
+    rm(aside)
   }
 
   /** Write–Audit–Publish: the lakehouse promotion gate. The dataset is
     * written to a STAGING path, the caller's audit runs against the
     * staged (post-write, post-encoding) data, and only a fully passing
-    * audit promotes staging into the live path with the same atomic
-    * swap `compactLake` uses. On ANY violation the live data is
-    * untouched and staging is kept for inspection — failed audits must
-    * be debuggable, not vanish. Returns the violating (table, check)
-    * rows (empty = published).
+    * audit promotes staging into the live path via the rename-aside
+    * `swapInto` (a crash mid-publish leaves a complete recoverable
+    * copy — see its doc; true atomicity needs a transactional table
+    * layer). On ANY violation the live data is untouched and staging is
+    * kept for inspection — failed audits must be debuggable, not
+    * vanish. Returns the violating (table, check) rows (empty =
+    * published).
     *
     * The audit contract: a function from the STAGED DataFrame to a
     * DataFrame with an `n_violations` column (e.g. built from
@@ -299,14 +320,7 @@ object Ingest {
       .select(col("table_name"), col("check_name"), col("n_violations"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
-    if (violations.isEmpty) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(path))
-      if (!new java.io.File(staging).renameTo(new java.io.File(path)))
-        throw new IllegalStateException(s"publish swap failed for $path")
-    }
+    if (violations.isEmpty) swapInto(path, staging)
     violations
   }
 

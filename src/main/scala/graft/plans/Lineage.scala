@@ -81,14 +81,19 @@ object Lineage {
       val t = tableName(l)
       l.output.map(a => a.exprId -> Set(s"$t.${a.name}")).toMap
     case u: Union =>
-      // positional: output column i derives from column i of every child
+      // positional: output column i derives from column i of every child.
+      // Union.output REUSES the first child's exprIds, so the merged
+      // positional entries must be added LAST — the other way round the
+      // first child's own (single-branch) lineage clobbers them and
+      // union columns report only branch-1 sources
       val childMaps = u.children.map(walk)
       val perChild = u.children.zip(childMaps)
-      u.output.zipWithIndex.map { case (a, i) =>
-        a.exprId -> perChild.flatMap { case (c, m) =>
-          m.getOrElse(c.output(i).exprId, Set.empty[String])
-        }.toSet
-      }.toMap ++ childMaps.fold(Map.empty)(_ ++ _)
+      childMaps.fold(Map.empty[ExprId, Set[String]])(_ ++ _) ++
+        u.output.zipWithIndex.map { case (a, i) =>
+          a.exprId -> perChild.flatMap { case (c, m) =>
+            m.getOrElse(c.output(i).exprId, Set.empty[String])
+          }.toSet
+        }.toMap
     case other =>
       val base = other.children.map(walk).fold(Map.empty[ExprId, Set[String]])(_ ++ _)
       other match {

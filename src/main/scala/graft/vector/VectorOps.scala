@@ -105,7 +105,10 @@ object VectorOps {
     * through identical assignments every round regardless of their
     * aggregation orders. Seeds: the k lowest-id vectors (deterministic;
     * smarter seeding composes in front). An emptied cluster drops out
-    * in both engines identically.
+    * in both engines identically. Roundings use `Rounding.halfUp`, the
+    * floor spelling — round() itself is a cross-engine flake surface
+    * on boundary values, fatal in a loop where one flipped assignment
+    * cascades through every later round.
     *
     * Returns (id, cl, d2): each vector's final cluster and its rounded
     * squared distance under the final centroids.
@@ -125,7 +128,8 @@ object VectorOps {
         var cc = 0.0
         c.foreach(x => cc += x * x)
         struct(
-          round(col("vv") - lit(2.0) * dot(col("vec"), typedLit(c)) + lit(cc), 6)
+          graft.functions.Rounding.halfUp(
+            col("vv") - lit(2.0) * dot(col("vec"), typedLit(c)) + lit(cc), 6)
             .as("d2"),
           lit(cl).as("cl"))
       }: _*)
@@ -141,7 +145,8 @@ object VectorOps {
         .select(col("id"), col("vec"), col("b.cl").as("cl"))
       cent = assigned
         .select(col("cl"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy("cl", "pos").agg(round(avg("x"), 9).as("m"))
+        .groupBy("cl", "pos")
+        .agg(graft.functions.Rounding.halfUp(avg("x"), 9).as("m"))
         .groupBy("cl").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cl"), transform(col("pm"), p => p.getField("m")).as("centroid"))
         // cut the per-round lineage — without this, round r's plan
@@ -186,7 +191,8 @@ object VectorOps {
     val w = Window.partitionBy("query_id")
       .orderBy(col("qscore").desc, col("neighbor_id").asc)
     broadcast(q).crossJoin(c)
-      .withColumn("qscore", round(dot(col("qa"), col("qb")) * col("sa") * col("sb"), 4))
+      .withColumn("qscore", graft.functions.Rounding.halfUp(
+        dot(col("qa"), col("qb")) * col("sa") * col("sb"), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "qscore")

@@ -43,6 +43,18 @@ class GraphSpec extends SparkSpec {
     assert(got.size == 20 && got.values.forall(_ == 0L))
   }
 
+  test("non-convergence fails loudly, not with silently wrong labels") {
+    // diameter-9 chain with maxIter=3: min-label propagation cannot
+    // finish — the require must throw, because unconverged labels would
+    // otherwise surface as a baffling oracle mismatch downstream
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val sym = chain.flatMap(p => Seq(p, p.swap))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.connectedComponents(sym.toDF("src", "dst"), maxIter = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("q105: keeper is the argmax-token member of its q104 cluster, token accounting conserves") {
     val tokens = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n"))

@@ -31,9 +31,16 @@ class LineageSpec extends SparkSpec {
       s"got ${lin("last_purchase_value")}")
   }
 
-  test("union: merged corpus text traces to both branches' sources") {
+  test("union: merged corpus text traces to EVERY branch's sources (set equality)") {
+    // branch 1's to_text is text alone; branch 2's is a concat over
+    // doc_id AND text — the union column must carry the union of both,
+    // not just branch 1's (Union.output reuses branch 1's exprIds, the
+    // clobber the merge order must survive)
     val lin = Lineage.of(graft.operators.Relational.q66CorpusMerge(spark, sfDir))
-    assert(lin("to_text").contains("documents.text"))
-    assert(lin("doc_id").contains("documents.doc_id"))
+    assert(lin("to_text") == Set("documents.text", "documents.doc_id"),
+      s"got ${lin("to_text")}")
+    assert(lin("doc_id") == Set("documents.doc_id"))
+    assert(lin("record_type") == Set.empty,
+      "both branches are literals — no source columns")
   }
 }
