@@ -1017,6 +1017,40 @@ object ScaleOps {
       .orderBy("method")
   }
 
+  /** SimHash self-audit — q142's discipline applied to the one index
+    * family that had no recall line: the banded+probed candidate
+    * generator (q26) measured against the brute-force hamming scan over
+    * the same 64-bit signatures. The pigeonhole construction (4×16-bit
+    * chunks + single-bit probes) guarantees recall 10000 bp at
+    * maxDist 7 — this query EXECUTES that claim instead of asserting it
+    * in prose. Brute force touches 8-byte signatures only (never text):
+    * an O(n²) signature scan is the right audit anchor while the banded
+    * path stays the production path. No SQL oracle (the FNV-1a
+    * signature UDF is not SQL-expressible); ScaleOpsSpec pins the
+    * exact metric values including recall_bp == 10000.
+    */
+  def q145SimhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val sig = Dedup.simhashSignatures(docs, "doc_id", "text")
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+    val a = sig.select(col("id").as("doc_a"), col("simhash").as("sa"))
+    val b = sig.select(col("id").as("doc_b"), col("simhash").as("sb"))
+    val exact = a.join(b, col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 7)
+      .select("doc_a", "doc_b")
+    val nExact = exact.count()
+    val nBanded = banded.count()
+    val hits = banded.join(exact, Seq("doc_a", "doc_b")).count()
+    Seq(
+      ("banded_pairs", nBanded),
+      ("exact_pairs", nExact),
+      ("hits", hits),
+      ("recall_bp", if (nExact == 0) 0L else hits * 10000L / nExact))
+      .toDF("metric", "n").orderBy("metric")
+  }
+
   /** Greedy token-budget context packing (reference main.py:355-363):
     * per lang, best-first by (n_chars desc, doc_id), keep the prefix whose
     * running token count stays ≤ 800.

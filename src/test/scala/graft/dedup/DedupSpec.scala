@@ -26,6 +26,20 @@ class DedupSpec extends SparkSpec {
       s"simhash covered ${covered.size}/${exact.size}")
   }
 
+  test("q145: simhash banded recall audit reports exactly 10000 bp (pigeonhole guarantee)") {
+    // the banded+probed generator must find EVERY pair at hamming <= 7 —
+    // the pigeonhole construction guarantees it, and the registered
+    // audit query executes the claim: banded pairs == exact pairs,
+    // recall_bp exactly 10000
+    val rows = graft.operators.ScaleOps.q145SimhashRecall(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows("exact_pairs") > 0, "fixture must contain simhash near-dups")
+    assert(rows("banded_pairs") == rows("exact_pairs"),
+      "banded output must equal the brute-force pair set")
+    assert(rows("hits") == rows("exact_pairs"))
+    assert(rows("recall_bp") == 10000L)
+  }
+
   test("canonical fingerprint groups word-order permutations together") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
