@@ -19,11 +19,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-loop subset: SPARK_GRAFT_ONLY=q125_pagerank,... times just
+    // those (mirrors Verify; the driver never sets it, so the official
+    // bench is always the full catalog)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // JVM + Janino-codegen warmup: run every query once on the smallest
     // fixture so measured times reflect steady-state execution (generated
     // class compilation dominates first runs — 19 s vs 2.7 s observed on
     // the shingle-join query), not class loading
-    SparkEntry.queries.values.foreach { fn =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
       spark.catalog.clearCache() // operator-internal caches must not pile up
@@ -38,7 +44,7 @@ object Bench {
     // the JSON so variance is visible, not discarded.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {

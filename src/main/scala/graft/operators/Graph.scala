@@ -108,18 +108,25 @@ object Graph {
     * localCheckpoint'ed. Symmetric edges mean no dangling vertices, so
     * no lost-mass correction is needed. Cross-engine exactness: ranks
     * round to 9 dp after every update, so accumulation-order drift
-    * (≤ ulps) never survives a round.
+    * (≤ ulps) never survives a round. The out-degree is STATIC, so it
+    * joins the edge list once up front (not once per round), and the
+    * degree-carrying edges co-partition on src — each round then
+    * exchanges only the per-vertex rank side, the same static/dynamic
+    * split `connectedComponents` uses. (At bench scale this is
+    * wall-clock-neutral — the vertex side broadcasts either way; the
+    * split is for the billion-vertex regime where it cannot.)
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist()
-    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
       .persist()
     val n = deg.count()
+    val eDeg = edges.select(col("src"), col("dst"))
+      .join(deg.withColumnRenamed("v", "src"), "src")
+      .repartition(col("src")).persist()
     var ranks = deg.select(col("v"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to iters) {
-      val inflow = e
+      val inflow = eDeg
         .join(ranks.withColumnRenamed("v", "src"), "src")
-        .join(deg.withColumnRenamed("v", "src"), "src")
         .select(col("dst").as("v"), (col("pr") / col("deg")).as("c"))
         .groupBy("v").agg(sum("c").as("inflow"))
       ranks = deg.select(col("v"))
@@ -130,7 +137,7 @@ object Graph {
         .localCheckpoint()
     }
     val out = ranks.join(deg, "v")
-    e.unpersist(); deg.unpersist()
+    eDeg.unpersist(); deg.unpersist()
     out
   }
 
