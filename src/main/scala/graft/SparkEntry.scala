@@ -182,7 +182,7 @@ object SparkEntry {
     "q143_ab_funnel"       -> Events.q143AbFunnel _,
     "q144_attribution"     -> Events.q144Attribution _,
     // no oracle: the FNV-1a simhash signature UDF is not SQL-expressible;
-    // ScaleOpsSpec pins the exact metric rows (recall_bp == 10000)
+    // DedupSpec pins the exact metric rows (recall_bp == 10000)
     "q145_simhash_recall"  -> ScaleOps.q145SimhashRecall _,
   )
 

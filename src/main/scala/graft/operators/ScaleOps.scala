@@ -967,28 +967,36 @@ object ScaleOps {
     * the sorted-neighborhood (q111) pairs, reported as set cardinalities
     * plus overlap and an integer-basis-point agreement (Jaccard of the
     * PAIR SETS — floor division, no float). Both pair sets are already
-    * bounded by their regimes' own discipline; the audit adds one tiny
-    * join over pair keys.
+    * bounded by their regimes' own discipline; the audit is ONE lazy
+    * plan — a full-outer join of the flagged pair sets, a single
+    * aggregation, metrics unpivoted from the one agg row (q143's
+    * no-serial-driver-actions lesson applied to its audit neighbors).
     */
   def q139RegimeAgreement(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val fp = Tables.documents(spark, dir)
       .select(col("doc_id"), Dedup.canonicalFingerprint(col("text")).as("fp"))
     val exact = fp.as("x").join(fp.as("y"), col("x.fp") === col("y.fp") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
     val snm = q111SortedNeighborhood(spark, dir).select("a", "b")
-    val both = exact.join(snm, Seq("a", "b"), "inner")
-    val (nE, nS, nB) = (exact.count(), snm.count(), both.count())
-    val union = nE + nS - nB
-    Seq(
-      ("both", nB),
-      ("exact_only", nE - nB),
-      ("exact_pairs", nE),
-      ("snm_only", nS - nB),
-      ("snm_pairs", nS),
-      ("agreement_bp", if (union == 0) 0L else nB * 10000L / union))
-      .toDF("metric", "n")
+    // coalesce around the sums: an agg over ZERO joined rows yields null
+    // sums, and the honest report for empty regimes is all-zero metrics
+    exact.withColumn("in_e", lit(1L))
+      .join(snm.withColumn("in_s", lit(1L)), Seq("a", "b"), "full_outer")
+      .agg(
+        coalesce(sum(coalesce(col("in_e"), lit(0L))), lit(0L)).as("ne"),
+        coalesce(sum(coalesce(col("in_s"), lit(0L))), lit(0L)).as("ns"),
+        coalesce(sum(col("in_e") * col("in_s")), lit(0L)).as("nb"))
+      .select(explode(array(
+        struct(lit("agreement_bp").as("metric"),
+          when(col("ne") + col("ns") - col("nb") === 0L, lit(0L))
+            .otherwise(expr("nb * 10000 div (ne + ns - nb)")).as("n")),
+        struct(lit("both").as("metric"), col("nb").as("n")),
+        struct(lit("exact_only").as("metric"), (col("ne") - col("nb")).as("n")),
+        struct(lit("exact_pairs").as("metric"), col("ne").as("n")),
+        struct(lit("snm_only").as("metric"), (col("ns") - col("nb")).as("n")),
+        struct(lit("snm_pairs").as("metric"), col("ns").as("n")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.n").as("n"))
       .orderBy("metric")
   }
 
@@ -996,9 +1004,13 @@ object ScaleOps {
     * retrieval family: recall of every approximate method against the
     * exact scan, as one table (integer basis points, floor division).
     * This is the table that justifies shipping an index: a method with
-    * no measured recall line is a rumor. Driver runs one tiny
-    * count-pair per method; every heavy computation is the methods
-    * themselves, each already scale-shaped and oracle-checked.
+    * no measured recall line is a rumor. The four chains union under a
+    * method label and left-join the exact truth set ONCE — the whole
+    * audit is a single lazy plan (no per-method serial driver actions);
+    * every heavy computation is the methods themselves, each already
+    * scale-shaped and oracle-checked. A literal method grid re-joins
+    * the aggregate so a method that returned zero pairs still reports
+    * an (honest, all-zero) row instead of vanishing.
     */
   def q142AnnTradeoff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1009,11 +1021,23 @@ object ScaleOps {
       ("int8", pairs(q129Int8Ann(spark, dir))),
       ("ivf", pairs(q29KnnIvf(spark, dir))),
       ("two_stage", pairs(q130TwoStage(spark, dir))))
-    methods.map { case (name, p) =>
-      val total = p.count()
-      val hits = p.join(exact, Seq("query_id", "neighbor_id")).count()
-      (name, total, hits, if (total == 0) 0L else hits * 10000L / total)
-    }.toDF("method", "n_pairs", "n_hits", "recall_bp")
+    val labeled = methods
+      .map { case (name, p) => p.withColumn("method", lit(name)) }
+      .reduce(_.unionByName(_))
+    val agg = labeled
+      .join(exact.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+    methods.map(_._1).toDF("method")
+      .join(agg, Seq("method"), "left_outer")
+      .select(col("method"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_bp",
+        when(col("n_pairs") === 0L, lit(0L))
+          .otherwise(expr("n_hits * 10000 div n_pairs")))
       .orderBy("method")
   }
 
@@ -1025,12 +1049,13 @@ object ScaleOps {
     * maxDist 7 — this query EXECUTES that claim instead of asserting it
     * in prose. Brute force touches 8-byte signatures only (never text):
     * an O(n²) signature scan is the right audit anchor while the banded
-    * path stays the production path. No SQL oracle (the FNV-1a
-    * signature UDF is not SQL-expressible); ScaleOpsSpec pins the
-    * exact metric values including recall_bp == 10000.
+    * path stays the production path. ONE lazy plan (full-outer join of
+    * the flagged pair sets → single aggregation → unpivot), not serial
+    * per-metric counts. No SQL oracle (the FNV-1a signature UDF is not
+    * SQL-expressible); DedupSpec pins the exact metric values including
+    * recall_bp == 10000.
     */
   def q145SimhashRecall(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val sig = Dedup.simhashSignatures(docs, "doc_id", "text")
     val banded = Dedup.simhashPairs(docs, "doc_id", "text")
@@ -1040,15 +1065,21 @@ object ScaleOps {
     val exact = a.join(b, col("doc_a") < col("doc_b"))
       .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 7)
       .select("doc_a", "doc_b")
-    val nExact = exact.count()
-    val nBanded = banded.count()
-    val hits = banded.join(exact, Seq("doc_a", "doc_b")).count()
-    Seq(
-      ("banded_pairs", nBanded),
-      ("exact_pairs", nExact),
-      ("hits", hits),
-      ("recall_bp", if (nExact == 0) 0L else hits * 10000L / nExact))
-      .toDF("metric", "n").orderBy("metric")
+    banded.withColumn("in_b", lit(1L))
+      .join(exact.withColumn("in_e", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum(coalesce(col("in_b"), lit(0L))), lit(0L)).as("nb"),
+        coalesce(sum(coalesce(col("in_e"), lit(0L))), lit(0L)).as("ne"),
+        coalesce(sum(col("in_b") * col("in_e")), lit(0L)).as("nh"))
+      .select(explode(array(
+        struct(lit("banded_pairs").as("metric"), col("nb").as("n")),
+        struct(lit("exact_pairs").as("metric"), col("ne").as("n")),
+        struct(lit("hits").as("metric"), col("nh").as("n")),
+        struct(lit("recall_bp").as("metric"),
+          when(col("ne") === 0L, lit(0L))
+            .otherwise(expr("nh * 10000 div ne")).as("n")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.n").as("n"))
+      .orderBy("metric")
   }
 
   /** Greedy token-budget context packing (reference main.py:355-363):
