@@ -31,8 +31,11 @@ object Graph {
     // round and shuffling per-vertex labels per round
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("dst")).persist()
+    // lazy checkpoints throughout the loop: the per-round convergence
+    // count is the materializing action, so each round is ONE job, not
+    // a materialization pass plus the count
     var labels = e.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v")).localCheckpoint()
+      .withColumn("label", col("v")).localCheckpoint(false)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -42,7 +45,7 @@ object Graph {
       val next = labels.join(nbrMin, Seq("v"))
         .select(col("v"), col("label"),
           least(col("label"), col("nbr")).as("next_label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("next_label") =!= col("label")).count()
       labels = next.select(col("v"), col("next_label").as("label"))
       i += 1

@@ -338,7 +338,10 @@ object TextOps {
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(splitChars(col("w")).as("syms"), col("n"))
-      .localCheckpoint()
+      // lazy: each round's argmax job materializes the pending
+      // checkpoint — one job per round instead of two (eager would pay
+      // a separate materialization pass before every argmax)
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 0
     var done = false
@@ -365,7 +368,7 @@ object TextOps {
           out.toArray
         }
         words = words.select(applyMerge(col("syms")).as("syms"), col("n"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         step += 1
       }
     }

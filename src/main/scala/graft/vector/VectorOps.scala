@@ -150,8 +150,10 @@ object VectorOps {
         .groupBy("cl").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cl"), transform(col("pm"), p => p.getField("m")).as("centroid"))
         // cut the per-round lineage — without this, round r's plan
-        // re-executes rounds 1..r-1 (q104's localCheckpoint rule)
-        .localCheckpoint()
+        // re-executes rounds 1..r-1 (q104's localCheckpoint rule).
+        // Lazy: the next centroid collect materializes it, so each
+        // Lloyd round is one job
+        .localCheckpoint(false)
     }
     v.withColumn("b", best(centroidRows(cent)))
       .select(col("id"), col("b.cl").as("cl"), col("b.d2").as("d2"))
