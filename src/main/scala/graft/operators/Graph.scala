@@ -120,10 +120,15 @@ object Graph {
     * split is for the billion-vertex regime where it cannot.)
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    // the edge list is often itself an expensive derived plan (q125
+    // feeds the df-capped inverted-index graph) — cache it ONCE so deg,
+    // eDeg, and the final join all read the cache instead of each
+    // re-deriving the graph from scratch
+    val e0 = edges.select(col("src"), col("dst")).persist()
+    val deg = e0.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
       .persist()
     val n = deg.count()
-    val eDeg = edges.select(col("src"), col("dst"))
+    val eDeg = e0
       .join(deg.withColumnRenamed("v", "src"), "src")
       .repartition(col("src")).persist()
     var ranks = deg.select(col("v"), lit(1.0 / n).as("pr"))
@@ -139,8 +144,11 @@ object Graph {
             lit(damping) * coalesce(col("inflow"), lit(0.0)), 9).as("pr"))
         .localCheckpoint()
     }
-    val out = ranks.join(deg, "v")
-    eDeg.unpersist(); deg.unpersist()
+    // materialize the (one row per ranked vertex) result BEFORE
+    // dropping the caches — a lazy return would silently re-derive the
+    // whole edge plan when the caller finally acts on it
+    val out = ranks.join(deg, "v").localCheckpoint()
+    eDeg.unpersist(); deg.unpersist(); e0.unpersist()
     out
   }
 

@@ -133,15 +133,16 @@ object VectorOps {
             .as("d2"),
           lit(cl).as("cl"))
       }: _*)
-    def centroidRows(cent: DataFrame): Array[(Int, Vector[Double])] =
-      cent.collect()
-        .map(r => (r.getAs[Int]("cl"), r.getAs[Seq[Double]]("centroid").toVector))
-        .sortBy(_._1)
-    var cent = v.orderBy("id").limit(k)
-      .select((row_number().over(Window.orderBy("id")) - 1).as("cl"),
-        col("vec").as("centroid"))
+    // Centroids live on the driver between rounds (k≤8 × dim doubles —
+    // trivially driver-safe) and re-enter each round's plan as literals
+    // inside `best`, so a Lloyd round is ONE job whose plan references
+    // only `v`: no per-round lineage growth, no checkpoint, no window.
+    var cent: Array[(Int, Vector[Double])] =
+      v.orderBy("id").limit(k).select(col("vec")).collect()
+        .map(_.getAs[Seq[Double]]("vec").toVector).zipWithIndex
+        .map { case (c, i) => (i, c) }
     for (_ <- 1 to iters) {
-      val assigned = v.withColumn("b", best(centroidRows(cent)))
+      val assigned = v.withColumn("b", best(cent))
         .select(col("id"), col("vec"), col("b.cl").as("cl"))
       cent = assigned
         .select(col("cl"), posexplode(col("vec")).as(Seq("pos", "x")))
@@ -149,13 +150,11 @@ object VectorOps {
         .agg(graft.functions.Rounding.halfUp(avg("x"), 9).as("m"))
         .groupBy("cl").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cl"), transform(col("pm"), p => p.getField("m")).as("centroid"))
-        // cut the per-round lineage — without this, round r's plan
-        // re-executes rounds 1..r-1 (q104's localCheckpoint rule).
-        // Lazy: the next centroid collect materializes it, so each
-        // Lloyd round is one job
-        .localCheckpoint(false)
+        .collect()
+        .map(r => (r.getAs[Int]("cl"), r.getAs[Seq[Double]]("centroid").toVector))
+        .sortBy(_._1)
     }
-    v.withColumn("b", best(centroidRows(cent)))
+    v.withColumn("b", best(cent))
       .select(col("id"), col("b.cl").as("cl"), col("b.d2").as("d2"))
   }
 
