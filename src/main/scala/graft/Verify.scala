@@ -36,6 +36,11 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage}")
         Some(name)
+      } finally {
+        // same hygiene as Bench: operator-internal caches are a
+        // within-query optimization; 145 queries' dead entries must not
+        // pile up across the dump
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
