@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   * the standard trade at billion-vector scale; LSH bucketing (see
   * Dedup.scala) is the alternative when no cluster structure exists.
   */
+/** kmeansFit's per-vector assignment: nearest cluster id + rounded
+  * squared distance (top-level so the UDF return-type encoder derives).
+  */
+case class BestAssign(cl: Int, d2: Double)
+
 object VectorOps {
 
   /** dot(a, b) in double precision, sequential order (IEEE-reproducible). */
@@ -119,24 +124,54 @@ object VectorOps {
       col(vecCol).cast("array<double>").as("vec"))
       // dot(vec,vec) is shared by all k distances — compute it once
       .withColumn("vv", dot(col("vec"), col("vec")))
-    // least() over k (d2, cl) structs = argmin with (d2 asc, cl asc)
-    // tie-break; ||c||² folds on the driver with the same sequential
-    // double accumulation as the codegen'd DotProduct, so scores are
-    // bit-identical to the former dot(c,c) expression form.
-    def best(cRows: Array[(Int, Vector[Double])]): Column =
-      least(cRows.map { case (cl, c) =>
-        var cc = 0.0
-        c.foreach(x => cc += x * x)
-        struct(
-          graft.functions.Rounding.halfUp(
-            col("vv") - lit(2.0) * dot(col("vec"), typedLit(c)) + lit(cc), 6)
-            .as("d2"),
-          lit(cl).as("cl"))
-      }: _*)
+    // Argmin as ONE closure-capturing UDF, not a least() tree over k
+    // typedLit centroid arrays: the literal form re-analyzes and
+    // re-Janino-compiles a ~k×dim-literal expression EVERY round
+    // (fresh literals defeat the codegen cache), which at k=8, dim=384
+    // made the whole query fixed-overhead-bound — 2.5 s at sf0.001 and
+    // sf0.1 alike. The UDF's generated wrapper is identical across
+    // rounds (cache hit); its math is bit-identical to the expression
+    // form: dot products fold sequentially ascending exactly like the
+    // codegen'd DotProduct, d2 = vv - 2.0·dot + ||c||² in that
+    // association, halfUp's floor(x·10⁶+0.5)/10⁶ spelling, and the
+    // (d2 asc, cl asc) tie-break of the former least() over structs.
+    // Array[Double] params deserialize to primitive arrays — no boxing.
+    def best(cRows: Array[(Int, Vector[Double])]): Column = {
+      val cls = cRows.map(_._1)
+      val cs = cRows.map(_._2.toArray)
+      val ccs = cs.map { c =>
+        var cc = 0.0; var i = 0
+        while (i < c.length) { cc += c(i) * c(i); i += 1 }
+        cc
+      }
+      val f = udf { (vec: Array[Double], vv: Double) =>
+        var bd = Double.PositiveInfinity
+        var bc = Int.MaxValue
+        var j = 0
+        while (j < cs.length) {
+          val c = cs(j)
+          var d = 0.0; var i = 0
+          while (i < c.length) { d += vec(i) * c(i); i += 1 }
+          val d2 = math.floor((vv - 2.0 * d + ccs(j)) * 1e6 + 0.5) / 1e6
+          if (d2 < bd || (d2 == bd && cls(j) < bc)) { bd = d2; bc = cls(j) }
+          j += 1
+        }
+        BestAssign(bc, bd)
+      }
+      f(col("vec"), col("vv"))
+    }
     // Centroids live on the driver between rounds (k≤8 × dim doubles —
-    // trivially driver-safe) and re-enter each round's plan as literals
-    // inside `best`, so a Lloyd round is ONE job whose plan references
+    // trivially driver-safe) and re-enter each round's plan through the
+    // `best` closure, so a Lloyd round is ONE job whose plan references
     // only `v`: no per-round lineage growth, no checkpoint, no window.
+    val spark = vecs.sparkSession
+    // the recenter aggregation's output is bounded by k×dim rows
+    // (≤3072 here) — 32 shuffle partitions on a bounded agg is pure
+    // task overhead per round (q70's state-partition rule, batch form);
+    // set-then-restore, as a real deployment would configure the job
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
     var cent: Array[(Int, Vector[Double])] =
       v.orderBy("id").limit(k).select(col("vec")).collect()
         .map(_.getAs[Seq[Double]]("vec").toVector).zipWithIndex
@@ -156,6 +191,7 @@ object VectorOps {
     }
     v.withColumn("b", best(cent))
       .select(col("id"), col("b.cl").as("cl"), col("b.d2").as("d2"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Symmetric int8 quantization of a vector column: per-vector scale

@@ -106,6 +106,23 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.map(_._2).sum - 1.0) < 1e-6)
   }
 
+  test("pageRank evaluates its input edge plan exactly once") {
+    // q125 feeds pageRank an expensive derived plan (the df-capped
+    // inverted-index graph); before the r6 fix it was re-derived three
+    // times — for deg, for the join input, and again on the caller's
+    // action after the unpersists. Pin compute-once with a row-visit
+    // accumulator on the edge plan (nondeterministic so codegen cannot
+    // duplicate or elide the call).
+    val acc = spark.sparkContext.longAccumulator("edge-row-visits")
+    val touch = udf { (s: Long) => acc.add(1L); s }.asNondeterministic()
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (4L, 1L), (1L, 4L))
+      .toDF("src", "dst")
+      .withColumn("src", touch(col("src")))
+    Graph.pageRank(edges, 3).count()
+    assert(acc.value == 6L,
+      s"edge plan saw ${acc.value} row-visits for 6 edges — must be derived once (cached), not per consumer")
+  }
+
   test("q104: rows are exactly the docs with an edge, roots are cluster minima, sizes consistent") {
     val rows = Graph.q104DedupClusters(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("root"), r.getAs[Long]("cluster_size")))
