@@ -1133,13 +1133,21 @@ object Events {
         BucketSketch(bucket, ver + 1, next)
       }
     val qn = s"q106_hh_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val sq = stream.groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
-      .writeStream.outputMode(OutputMode.Update())
-      .format("memory").queryName(qn)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
+    // 16 bucket keys need nowhere near 32 state partitions — every
+    // micro-batch commits one state file per partition, so oversizing
+    // is pure commit overhead (q70's state-partition rule); the memory
+    // sink has no durable checkpoint, so the setting is per-run
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val sq = stream.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val finalSketches = spark.table(qn).as[BucketSketch].collect()
       .groupBy(_.bucket).map(_._2.maxBy(_.version).words)
     spark.catalog.dropTempView(qn)
