@@ -94,11 +94,21 @@ object Graph {
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
   }
 
+  /** (doc_id, root) component assignment of the shared-line graph —
+    * the common core of q104 (which decorates it with cluster sizes)
+    * and q105 (which needs only the raw assignment; routing it through
+    * q104 would pay a sizes join + presentation sort just to discard
+    * them).
+    */
+  private def clusterAssignments(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(lineGraphEdges(spark, dir))
+      .select(col("v").as("doc_id"), col("label").as("root"))
+
   def q104DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val cc = connectedComponents(lineGraphEdges(spark, dir))
-    val sizes = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    cc.join(broadcast(sizes), Seq("label"))
-      .select(col("v").as("doc_id"), col("label").as("root"), col("cluster_size"))
+    val cc = clusterAssignments(spark, dir)
+    val sizes = cc.groupBy("root").agg(count(lit(1)).as("cluster_size"))
+    cc.join(broadcast(sizes), Seq("root"))
+      .select(col("doc_id"), col("root"), col("cluster_size"))
       .orderBy("doc_id")
   }
 
@@ -171,8 +181,7 @@ object Graph {
     * partial-aggregable max_by over at most cluster_size rows per key.
     */
   def q105ClusterKeepers(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = q104DedupClusters(spark, dir)
-      .select(col("doc_id"), col("root"))
+    val clusters = clusterAssignments(spark, dir)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
