@@ -184,6 +184,8 @@ object SparkEntry {
     // no oracle: the FNV-1a simhash signature UDF is not SQL-expressible;
     // DedupSpec pins the exact metric rows (recall_bp == 10000)
     "q145_simhash_recall"  -> ScaleOps.q145SimhashRecall _,
+    "q146_semantic_dedup"  -> ScaleOps.q146SemanticDedup _,
+    "q147_dsir_weights"    -> ScaleOps.q147DsirWeights _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2301,5 +2303,99 @@ object SparkEntry {
          SELECT purchase_id, view_id, CAST(touch_rank AS INT) AS touch_rank,
            round(value / pow(2.0::DOUBLE, touch_rank - 1), 4) AS credit
          FROM j ORDER BY purchase_id, touch_rank""",
+    // q121's 3-round kmeans CTE chain (identical rounding discipline),
+    // final assignment KEEPS vec; then within-cluster pairwise cosine
+    // >= 0.45 and the SemDeDup duel: the member closer to its centroid
+    // (smaller 6-dp d2, ties -> larger id) loses. Integer counts only.
+    "q146_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         seeds AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cl, vec AS centroid
+                   FROM (SELECT id, vec FROM v ORDER BY id LIMIT 8) s),
+         d1 AS (SELECT v.id, v.vec, c.cl,
+                 floor((list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM v, seeds c),
+         a1 AS (SELECT id, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d1) t
+                WHERE rk = 1),
+         c1 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
+                    SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a1) u
+                  GROUP BY cl, pos) g GROUP BY cl),
+         d2_ AS (SELECT v.id, v.vec, c.cl,
+                 floor((list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM v, c1 c),
+         a2 AS (SELECT id, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d2_) t
+                WHERE rk = 1),
+         c2 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
+                    SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a2) u
+                  GROUP BY cl, pos) g GROUP BY cl),
+         d3 AS (SELECT v.id, v.vec, c.cl,
+                 floor((list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM v, c2 c),
+         a3 AS (SELECT id, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d3) t
+                WHERE rk = 1),
+         c3 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
+                    SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a3) u
+                  GROUP BY cl, pos) g GROUP BY cl),
+         df_ AS (SELECT v.id, v.vec, c.cl,
+                 floor((list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM v, c3 c),
+         af AS (SELECT id, vec, cl, d2 FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM df_) t
+                WHERE rk = 1),
+         m AS (SELECT id, vec, cl, d2,
+                 sqrt(list_dot_product(vec, vec)) AS nv FROM af),
+         p AS (SELECT a.cl AS cl, a.id AS id_a, b.id AS id_b,
+                 a.d2 AS d2_a, b.d2 AS d2_b,
+                 CASE WHEN a.nv * b.nv = 0 THEN 0.0
+                      ELSE round(list_dot_product(a.vec, b.vec) / (a.nv * b.nv), 4) END AS cos
+               FROM m a JOIN m b ON a.cl = b.cl AND a.id < b.id),
+         d AS (SELECT * FROM p WHERE cos >= 0.45),
+         l AS (SELECT DISTINCT cl,
+                 CASE WHEN d2_a > d2_b OR (d2_a = d2_b AND id_a < id_b)
+                      THEN id_b ELSE id_a END AS id FROM d),
+         mem AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_members FROM m GROUP BY cl),
+         dp AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_dup_pairs FROM d GROUP BY cl),
+         dr AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_dropped FROM l GROUP BY cl)
+         SELECT mem.cl, mem.n_members,
+           COALESCE(dp.n_dup_pairs, CAST(0 AS BIGINT)) AS n_dup_pairs,
+           COALESCE(dr.n_dropped, CAST(0 AS BIGINT)) AS n_dropped
+         FROM mem LEFT JOIN dp ON mem.cl = dp.cl LEFT JOIN dr ON mem.cl = dr.cl
+         ORDER BY mem.cl""",
+    // hashed-unigram target-vs-raw frequency ratio, cross-multiplied in
+    // exact integer arithmetic (HUGEINT here, DECIMAL(38,0) in Spark) --
+    // no logs, no float division anywhere near the hash
+    "q147_dsir_weights" ->
+      """WITH w AS (SELECT doc_id, source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         wb AS (SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(w), 1, 4)) AS BIGINT) % 64 AS b
+           FROM w),
+         model AS (SELECT b,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS nq
+           FROM wb GROUP BY b),
+         t AS (SELECT CAST(sum(nt) + 64 AS HUGEINT) AS st,
+                      CAST(sum(nq) + 64 AS HUGEINT) AS sq FROM model),
+         pd AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
+                FROM wb GROUP BY doc_id, source, b),
+         agg AS (SELECT doc_id, source,
+             CAST(sum(CAST(c AS HUGEINT) * (nt + 1)) AS HUGEINT) AS num0,
+             CAST(sum(CAST(c AS HUGEINT) * (nq + 1)) AS HUGEINT) AS den0,
+             CAST(sum(c) AS BIGINT) AS n_words
+           FROM pd JOIN model USING (b) GROUP BY doc_id, source)
+         SELECT doc_id, source, n_words,
+           CAST((10000 * num0 * sq) // (den0 * st) AS BIGINT) AS score_bp
+         FROM agg, t
+         ORDER BY score_bp DESC, doc_id ASC LIMIT 20""",
   )
 }

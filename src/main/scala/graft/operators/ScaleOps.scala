@@ -1097,4 +1097,122 @@ object ScaleOps {
       .select("lang", "doc_id", "n_tokens", "run_tokens")
       .orderBy("lang", "doc_id")
   }
+
+  /** Semantic dedup, SemDeDup-shaped (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the LEARNED
+    * k-means fit (q121's trainer — no given labels), score cosine
+    * similarity only WITHIN clusters, and prune each semantic-duplicate
+    * pair keeping the member FARTHEST from its centroid (the paper's
+    * keep-low-centroid-similarity rule: the far member is the less
+    * redundant representative). A member is dropped iff some same-
+    * cluster duplicate beats it on (d2 desc, id asc) — so at least one
+    * side of every pair survives and the argmax of every transitive
+    * duplicate group always survives. Reported per cluster: members,
+    * duplicate pairs, drops — integers only.
+    *
+    * 100 TB shape — this is exactly why SemDeDup clusters first: the
+    * O(n²) cosine matrix becomes Σ(cluster²), and k grows with the
+    * corpus (the paper uses 50k clusters for LAION) so per-cluster
+    * candidate sets stay bounded; the pairwise join shuffles on the
+    * cluster id, the same key the assignment already partitioned by.
+    * Distances d2 arrive 6-dp-rounded from kmeansFit and cosines are
+    * 4-dp-rounded (cosinePre), so the duel outcomes — and therefore the
+    * drop set — are decided identically by Spark and the DuckDB oracle
+    * (which replays the identical 3-round fit as q121's CTE chain).
+    */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, threshold: Double): DataFrame = {
+    val fitted = VectorOps.kmeansFit(vecs, idCol, vecCol, k, iters)
+    // the assignment join feeds THREE consumers (both pairwise sides +
+    // the membership counts); checkpoint it once so the scan + argmin
+    // UDF run once, not three times — the same materialize-the-
+    // assignments step SemDeDup itself performs before its pairwise
+    // pass. Bounded: one (vec, cl, d2) row per corpus vector.
+    val m = vecs
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("nv", VectorOps.l2Norm(col("vec")))
+      .join(fitted, "id")
+      .localCheckpoint()
+    val pairs = m.as("a")
+      .join(m.as("b"),
+        col("a.cl") === col("b.cl") && col("a.id") < col("b.id"))
+      .select(col("a.cl").as("cl"),
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.d2").as("d2_a"), col("b.d2").as("d2_b"),
+        VectorOps.cosinePre(col("a.vec"), col("b.vec"),
+          col("a.nv"), col("b.nv")).as("cos"))
+      .filter(col("cos") >= threshold)
+    val losers = pairs
+      .select(col("cl"),
+        when(col("d2_a") > col("d2_b") ||
+            (col("d2_a") === col("d2_b") && col("id_a") < col("id_b")),
+          col("id_b")).otherwise(col("id_a")).as("id"))
+      .distinct()
+    m.groupBy("cl").agg(count(lit(1)).as("n_members"))
+      .join(pairs.groupBy("cl").agg(count(lit(1)).as("n_dup_pairs")),
+        Seq("cl"), "left_outer")
+      .join(losers.groupBy("cl").agg(count(lit(1)).as("n_dropped")),
+        Seq("cl"), "left_outer")
+      .select(col("cl"), col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy("cl")
+  }
+
+  def q146SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.widen(Tables.embeddings(spark, dir)),
+      "vec_id", "embedding", 8, 3, 0.45)
+
+  /** DSIR-shaped importance weights (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * hashed-unigram bag-of-words models for a target domain (src0) vs
+    * the rest of the pool, and per document an importance score = ratio
+    * of its add-1-smoothed target likelihood to its raw likelihood —
+    * the signal DSIR resamples by to tilt a raw corpus toward a target
+    * distribution. The float-free spelling: instead of Σc·(log p−log q)
+    * (cross-engine libm exposure), the ratio of the two per-document
+    * expected frequencies is cross-multiplied in DECIMAL(38,0) and
+    * emitted as integer basis points — identical in both engines.
+    *
+    * 100 TB shape: the "language models" are a 64-row bucket table (2¹⁶
+    * buckets in a real run — still broadcastable by construction; that
+    * boundedness is DSIR's own design point), so scoring is one narrow
+    * word-explode → per-(doc,bucket) map-side-combinable count → a
+    * broadcast join against the model → one per-doc aggregation. No
+    * shuffle ever carries more than (doc, bucket, count) rows.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  sourceCol: String, target: String,
+                  buckets: Int): DataFrame = {
+    val words = docs
+      .select(col(idCol), col(sourceCol).as("source"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .withColumn("b",
+        conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long") % buckets)
+    val model = words.groupBy("b").agg(
+      sum(when(col("source") === target, 1L).otherwise(0L)).as("nt"),
+      sum(when(col("source") =!= target, 1L).otherwise(0L)).as("nq"))
+    val smoothTotals = model.agg(
+      (sum("nt") + lit(buckets.toLong)).cast("decimal(38,0)").as("st"),
+      (sum("nq") + lit(buckets.toLong)).cast("decimal(38,0)").as("sq"))
+    words.groupBy(col(idCol), col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(model), "b")
+      .groupBy(col(idCol), col("source"))
+      .agg(
+        sum((col("c") * (col("nt") + lit(1L))).cast("decimal(38,0)")).as("num0"),
+        sum((col("c") * (col("nq") + lit(1L))).cast("decimal(38,0)")).as("den0"),
+        sum("c").as("n_words"))
+      .crossJoin(broadcast(smoothTotals))
+      .withColumn("score_bp",
+        expr("CAST((CAST(10000 AS DECIMAL(38,0)) * num0 * sq) DIV (den0 * st) AS BIGINT)"))
+      .select(col(idCol), col("source"), col("n_words"), col("score_bp"))
+  }
+
+  def q147DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.documents(spark, dir),
+      "doc_id", "text", "source", "src0", 64)
+      .orderBy(col("score_bp").desc, col("doc_id").asc)
+      .limit(20)
 }

@@ -426,4 +426,81 @@ class ScaleOpsSpec extends SparkSpec {
         s"stratum $src ranks must be dense from 1")
     }
   }
+
+  test("semanticDedup matches a driver-side brute-force replay of the SemDeDup duel") {
+    import graft.vector.VectorOps
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val fit = VectorOps.kmeansFit(e, "vec_id", "embedding", 8, 3)
+      .collect().map(r => (r.getAs[Long]("id"),
+        (r.getAs[Int]("cl"), r.getAs[Double]("d2")))).toMap
+    val vecs = e.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)).toMap
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // cosinePre's exact spelling: round(dot/(na*nb), 4) is Spark's
+    // BigDecimal HALF_UP on the double's shortest-decimal repr
+    def cos4(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a), vecs(b))
+      val nn = math.sqrt(dotSeq(va, va)) * math.sqrt(dotSeq(vb, vb))
+      if (nn == 0.0) 0.0
+      else java.math.BigDecimal.valueOf(dotSeq(va, vb) / nn)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val byCl = fit.toSeq.groupBy(_._2._1)
+    val expected = byCl.map { case (cl, members) =>
+      val ids = members.map(_._1).sorted
+      val pairs = for {
+        i <- ids; j <- ids if i < j && cos4(i, j) >= 0.45
+      } yield (i, j)
+      val dropped = pairs.map { case (a, b) =>
+        val (d2a, d2b) = (fit(a)._2, fit(b)._2)
+        if (d2a > d2b || (d2a == d2b && a < b)) b else a
+      }.distinct
+      (cl, (ids.size.toLong, pairs.size.toLong, dropped.size.toLong))
+    }
+    val got = ScaleOps.semanticDedup(e, "vec_id", "embedding", 8, 3, 0.45)
+      .collect().map(r => (r.getAs[Int]("cl"),
+        (r.getAs[Long]("n_members"), r.getAs[Long]("n_dup_pairs"),
+          r.getAs[Long]("n_dropped")))).toMap
+    assert(got == expected)
+    // the prune never annihilates: every cluster with pairs keeps >= 1
+    assert(got.values.forall { case (m, p, d) => d <= m && (p == 0L || d < m) })
+  }
+
+  test("dsirWeights: integer-exact scores match the hand formula and rank target vocab first") {
+    import spark.implicits._
+    // distinctive vocabularies: doc 1 repeats the TARGET's words, doc 2
+    // uses disjoint raw-only words -> doc 1 must outscore doc 2
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha", "tgt"),
+      (1L, "alpha beta gamma", "raw"),
+      (2L, "delta epsilon zeta", "raw")
+    ).toDF("doc_id", "text", "source")
+    val got = ScaleOps.dsirWeights(docs, "doc_id", "text", "source", "tgt", 16)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("score_bp"))).toMap
+    // independent replay: same md5 bucketing, add-1 smoothing, exact
+    // cross-multiplied integer division
+    def bucket(w: String): Int =
+      Integer.parseInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString, 16) % 16
+    val corpus = Seq(
+      (0L, "tgt", Seq("alpha", "beta", "gamma", "alpha")),
+      (1L, "raw", Seq("alpha", "beta", "gamma")),
+      (2L, "raw", Seq("delta", "epsilon", "zeta")))
+    val nt = corpus.filter(_._2 == "tgt").flatMap(_._3).groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val nq = corpus.filter(_._2 != "tgt").flatMap(_._3).groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val st = BigInt(nt.values.sum + 16); val sq = BigInt(nq.values.sum + 16)
+    val expected = corpus.map { case (id, _, ws) =>
+      val cs = ws.groupBy(bucket).view.mapValues(_.size.toLong)
+      val num0 = cs.map { case (b, c) => BigInt(c) * (nt.getOrElse(b, 0L) + 1) }.sum
+      val den0 = cs.map { case (b, c) => BigInt(c) * (nq.getOrElse(b, 0L) + 1) }.sum
+      id -> (ws.size.toLong, ((BigInt(10000) * num0 * sq) / (den0 * st)).toLong)
+    }.toMap
+    assert(got == expected)
+    assert(got(1L)._2 > got(2L)._2,
+      "a doc sharing the target's vocabulary must outscore a disjoint one")
+  }
 }
