@@ -20,32 +20,50 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses to read
-    * natively; read it as a long (legacy conf) and convert to a µs
-    * timestamp with integer division (ns epochs overflow double precision).
-    *
-    * The legacy conf must be set at SESSION BUILD time by the entrypoint
-    * (Bench / Verify / PlanAudit / test sessions all do) — a library
-    * reader must not silently flip a session-global flag under a
-    * co-resident workload that reads nanos timestamps natively, so this
-    * reader fails fast with the fix instead of applying it.
+  /** The events `ts` column has shipped in two physical layouts across
+    * testdata generations: parquet TIMESTAMP(NANOS), which Spark reads only
+    * as a nanos LONG under `spark.sql.legacy.parquet.nanosAsLong`, and plain
+    * TIMESTAMP(MICROS), which reads natively as TIMESTAMP_NTZ. All event
+    * readers branch on the READ schema so the library works against either
+    * lake layout with no session-flag dance (the legacy conf stays harmless
+    * when set — it only affects NANOS columns). Under the UTC session
+    * timezone every entrypoint sets, the NTZ→TZ cast is value-preserving.
+    * Integer `div` throughout: ns epochs overflow double precision.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    requireNanosAsLong(spark)
-    apply(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame =
+    tsToMicros(apply(spark, dir, "events"))
+
+  /** Normalize `ts` to a µs-precision TIMESTAMP, whatever the physical
+    * layout (nanos-as-long legacy read, TIMESTAMP_NTZ native read, or
+    * already a TIMESTAMP).
+    */
+  def tsToMicros(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
-  /** Fail fast (with the fix) when the session can't read TIMESTAMP(NANOS)
-    * parquet as long — deliberately NOT set on the caller's behalf.
+  /** Epoch seconds of `ts` as a LONG column (floor — the whole-second
+    * semantics the q50/q63 twins and their DuckDB oracles use), layout-
+    * adaptive like [[tsToMicros]].
     */
-  def requireNanosAsLong(spark: SparkSession): Unit =
-    require(
-      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "reading the events table needs " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (parquet TIMESTAMP(NANOS) " +
-        "column); set it on the SparkSession builder")
+  def tsEpochSeconds(df: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.expr
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    }
+  }
+
+  /** Normalize `ts` to a whole-second TIMESTAMP (see [[tsEpochSeconds]]). */
+  def tsToSeconds(df: DataFrame): DataFrame =
+    df.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_seconds(tsEpochSeconds(df)))
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 

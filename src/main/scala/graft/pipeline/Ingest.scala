@@ -189,11 +189,9 @@ object Ingest {
     */
   def incrementalLakeIngest(spark: SparkSession, srcDir: String,
                             lake: String, ckpt: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    graft.Tables.requireNanosAsLong(spark)
     val schema = spark.read.parquet(srcDir).schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "*.parquet").parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.tsToMicros(spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(srcDir))
       .withColumn("year", date_format(col("ts"), "yyyy").cast("int"))
       .withColumn("month", date_format(col("ts"), "MM").cast("int"))
       .withColumn("day", date_format(col("ts"), "dd").cast("int"))

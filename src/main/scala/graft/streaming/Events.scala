@@ -421,12 +421,10 @@ object Events {
     */
   def streamingTumbling(spark: SparkSession, dir: String,
                         queryName: String): StreamingQuery = {
-    Tables.requireNanosAsLong(spark)
     val schema = Tables.apply(spark, dir, "events").schema
     // file-source basePath must be a directory; select the table via glob
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = Tables.tsToMicros(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     src.withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
@@ -446,11 +444,9 @@ object Events {
     */
   def streamingSliding(spark: SparkSession, dir: String,
                        queryName: String): StreamingQuery = {
-    Tables.requireNanosAsLong(spark)
     val schema = Tables.apply(spark, dir, "events").schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = Tables.tsToMicros(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     src.withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
@@ -473,11 +469,9 @@ object Events {
     */
   def streamingSketchProfile(spark: SparkSession, dir: String,
                              queryName: String): StreamingQuery = {
-    Tables.requireNanosAsLong(spark)
     val schema = Tables.apply(spark, dir, "events").schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = Tables.tsToMicros(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     src.withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n"),
@@ -505,11 +499,11 @@ object Events {
   def streamingSessions(spark: SparkSession, dir: String,
                         queryName: String): StreamingQuery = {
     import spark.implicits._
-    Tables.requireNanosAsLong(spark)
     val schema = Tables.apply(spark, dir, "events").schema
-    val src = spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select((col("ts") / lit(1000000000L)).cast("long").as("tsSec"),
+    val src = raw
+      .select(Tables.tsEpochSeconds(raw).cast("long").as("tsSec"),
         col("user_id"), col("value"))
       .as[(Long, Long, Double)]
       .map { case (t, u, v) => Ev(u, t, v) }
@@ -561,11 +555,9 @@ object Events {
     */
   def streamingDedup(spark: SparkSession, dir: String,
                      queryName: String): StreamingQuery = {
-    Tables.requireNanosAsLong(spark)
     val schema = Tables.apply(spark, dir, "events").schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+    val src = Tables.tsToSeconds(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     src.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
       .select("event_id", "user_id", "event_type", "value")
@@ -586,11 +578,9 @@ object Events {
     */
   private def rangeJoinedStream(spark: SparkSession, dir: String,
                                 joinType: String = "inner"): DataFrame = {
-    Tables.requireNanosAsLong(spark)
     val schema = Tables.apply(spark, dir, "events").schema
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+    def src = Tables.tsToSeconds(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("p_ts"))
