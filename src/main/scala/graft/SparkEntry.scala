@@ -186,6 +186,8 @@ object SparkEntry {
     "q145_simhash_recall"  -> ScaleOps.q145SimhashRecall _,
     "q146_semantic_dedup"  -> ScaleOps.q146SemanticDedup _,
     "q147_dsir_weights"    -> ScaleOps.q147DsirWeights _,
+    "q148_ccnet_buckets"   -> TextOps.q148CcnetBuckets _,
+    "q149_contamination_matrix" -> ScaleOps.q149ContaminationMatrix _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2397,5 +2399,55 @@ object SparkEntry {
            CAST((10000 * num0 * sq) // (den0 * st) AS BIGINT) AS score_bp
          FROM agg, t
          ORDER BY score_bp DESC, doc_id ASC LIMIT 20""",
+    // q103's bigram-LM ppl (identical CTE + 4-dp floor rounding, here
+    // kept as the e4 integer), then per-source thirds by (ppl, doc_id)
+    // rank — integer boundary math, CCNet's head/middle/tail
+    "q148_ccnet_buckets" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+               FROM documents),
+         b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+               FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+                     FROM w WHERE len(ws) > 1)),
+         lm AS (SELECT bg, -ln(count(*) * 1.0 /
+                  (sum(count(*)) OVER (PARTITION BY split_part(bg, ' ', 1)))) AS nll
+                FROM b GROUP BY bg),
+         d AS (SELECT b.doc_id,
+                 floor(avg(lm.nll) * 10000.0 + 0.5) / 10000.0 AS avg_nll
+               FROM b JOIN lm USING (bg) GROUP BY b.doc_id),
+         ppl AS (SELECT doc_id,
+                 CAST(floor(floor(exp(avg_nll) * 10000.0 + 0.5) / 10000.0
+                            * 10000.0 + 0.5) AS BIGINT) AS ppl_e4
+               FROM d),
+         docs AS (SELECT doc_id, source,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+               FROM documents),
+         r AS (SELECT docs.doc_id, docs.source, docs.n_tokens, ppl.ppl_e4,
+                 row_number() OVER (PARTITION BY docs.source
+                   ORDER BY ppl.ppl_e4 ASC, docs.doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY docs.source) AS n_src
+               FROM docs JOIN ppl USING (doc_id))
+         SELECT source,
+           CASE WHEN rn * 3 <= n_src THEN 'head'
+                WHEN rn * 3 <= n_src * 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           min(ppl_e4) AS min_ppl_e4, max(ppl_e4) AS max_ppl_e4
+         FROM r GROUP BY source, bucket ORDER BY source, bucket""",
+    // per-doc DISTINCT 4-gram shingles joined to the DISTINCT
+    // (shingle, source) set: docs of src_a sharing any shingle with
+    // src_b, counted per ordered pair
+    "q149_contamination_matrix" ->
+      """WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents),
+         sh AS (SELECT DISTINCT doc_id, source, array_to_string(ws[i:i+3], ' ') AS s
+                FROM (SELECT doc_id, source, ws,
+                        unnest(generate_series(1, len(ws)-3)) AS i
+                      FROM w WHERE len(ws) >= 4)),
+         ss AS (SELECT DISTINCT s, source AS src_b FROM sh),
+         m AS (SELECT DISTINCT sh.doc_id, sh.source AS src_a, ss.src_b
+               FROM sh JOIN ss ON sh.s = ss.s AND sh.source <> ss.src_b)
+         SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_docs
+         FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""",
   )
 }

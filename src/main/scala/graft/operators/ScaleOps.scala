@@ -1215,4 +1215,45 @@ object ScaleOps {
       "doc_id", "text", "source", "src0", 64)
       .orderBy(col("score_bp").desc, col("doc_id").asc)
       .limit(20)
+
+  /** Cross-source contamination matrix — the corpus-wide generalization
+    * of q87's one-eval-set decontamination, the audit table the C4
+    * analysis (Dodge et al. 2021, arXiv:2104.08758 §5) and the GPT-3
+    * appendix-C methodology report: for every ordered source pair
+    * (a, b), how many of a's documents share at least one word n-gram
+    * with ANY document of b. Reading a row: "n_docs of src_a would be
+    * flagged if src_b were the eval set".
+    *
+    * 100 TB shape: the corpus-sized side is the per-doc DISTINCT
+    * shingle list; the right side collapses to DISTINCT (shingle,
+    * source) — so the shingle-keyed join's fan-out per row is bounded
+    * by the SOURCE count (dozens), not by shingle document frequency.
+    * No df-cap needed: a hub shingle appearing in a million docs still
+    * contributes at most |sources| rows to the probe side. Two
+    * shuffles total (the source-set distinct, the doc-pair distinct);
+    * the final matrix is |sources|² — driver-trivial forever. Exact
+    * integer counts, no sampling, no floats.
+    */
+  def contaminationMatrix(docs: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, n: Int): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    val sh = docs
+      .select(col(idCol).as("id"), col(sourceCol).as("source"), ws.as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("id"), col("source"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => array_join(slice(col("ws"), i, lit(n)), " ")))).as("s"))
+    val srcOfShingle = sh.select(col("s"), col("source").as("src_b")).distinct()
+    sh.join(srcOfShingle, "s")
+      .filter(col("source") =!= col("src_b"))
+      .select(col("id"), col("source").as("src_a"), col("src_b"))
+      .distinct()
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  def q149ContaminationMatrix(spark: SparkSession, dir: String): DataFrame =
+    contaminationMatrix(Tables.documents(spark, dir),
+      "doc_id", "text", "source", 4)
 }

@@ -229,6 +229,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", §4.3): within each source, documents split into
+    * head/middle/tail thirds by LM perplexity — the partition CCNet
+    * publishes and downstream pipelines sample from (head = most
+    * fluent). Reuses q103's corpus bigram LM verbatim; the bucket
+    * boundary is pure integer math over a per-source rank (3·rank vs
+    * per-source count — never a float percentile), with doc_id as the
+    * deterministic tie-break on equal rounded ppl, so both engines cut
+    * identical thirds. Scale shape: ppl is q103's broadcast-model join;
+    * the ranking is ONE window keyed by source (the natural shard key —
+    * no global sort), the source sizes a broadcast scalar table.
+    * Output is float-free: ppl bounds re-emitted as the e4 integers
+    * underlying q103's 4-dp rounding.
+    */
+  def q148CcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val pplE4 = (floor(col("ppl") * 10000.0 + 0.5)).cast("long")
+    val ppl = lmPerplexity(Tables.documents(spark, dir))
+      .select(col("doc_id"), pplE4.as("ppl_e4"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("ppl_e4").asc, col("doc_id").asc)
+    // n_src counts the RANKED population (docs with >= 1 bigram — the
+    // inner ppl join's survivors), on the same source exchange the
+    // ranking window already pays
+    docs.join(ppl, "doc_id")
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("n_src"), "head")
+          .when(col("rn") * 3 <= col("n_src") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("ppl_e4").as("min_ppl_e4"), max("ppl_e4").as("max_ppl_e4"))
+      .orderBy("source", "bucket")
+  }
+
   /** The Gopher quality-rule suite as one composite filter — the named
     * ruleset (Rae et al. 2021, §A1.1) modern pipelines apply before any
     * model-based scoring, completing the q16/q73/q97/q103 signal family

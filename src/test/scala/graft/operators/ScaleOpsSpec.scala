@@ -503,4 +503,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2,
       "a doc sharing the target's vocabulary must outscore a disjoint one")
   }
+
+  test("contaminationMatrix counts per ordered pair the docs sharing any n-gram, asymmetrically") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "p q r s x", "A"), // shares "p q r s" with B's doc 2
+      (1L, "p q r s t", "A"), // also shares it -> A->B counts 2 docs
+      (2L, "z p q r s", "B"), // B's single sharing doc -> B->A counts 1
+      (3L, "u v w x y", "A"), // disjoint from everything
+      (4L, "m n o m n", "C")  // disjoint source: no rows at all
+    ).toDF("doc_id", "text", "source")
+    val got = ScaleOps.contaminationMatrix(docs, "doc_id", "text", "source", 4)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(got == Map(("A", "B") -> 2L, ("B", "A") -> 1L),
+      "directional counts: 2 of A's docs touch B, only 1 of B's touches A")
+  }
 }

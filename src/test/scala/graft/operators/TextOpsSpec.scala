@@ -242,6 +242,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1.9999, 2L -> 1.9999))
   }
 
+  test("q148 ccnet buckets: thirds partition each source and ppl bounds are ordered") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val nRanked = TextOps.lmPerplexity(docs).count()
+    val rows = TextOps.q148CcnetBuckets(spark, sfDir).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    assert(bySrc.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nRanked,
+      "buckets must partition exactly the ranked (>=1-bigram) population")
+    bySrc.foreach { case (src, rs) =>
+      val m = rs.map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("min_ppl_e4"),
+          r.getAs[Long]("max_ppl_e4"))).toMap
+      assert(m.keySet == Set("head", "middle", "tail"), s"$src buckets")
+      val n = m.values.map(_._1).sum
+      // integer thirds: head = floor(n/3), head+middle = floor(2n/3)
+      assert(m("head")._1 == n / 3, s"$src head size")
+      assert(m("head")._1 + m("middle")._1 == 2 * n / 3, s"$src middle size")
+      // rank order by (ppl, doc_id) => bucket ppl ranges may touch but
+      // never invert
+      assert(m("head")._3 <= m("middle")._2 && m("middle")._3 <= m("tail")._2,
+        s"$src ppl bounds ordered")
+    }
+  }
+
   test("lm perplexity: corpus-divergent doc scores strictly higher") {
     import spark.implicits._
     // docs 1–3 all carry a 1:1 mix of (a b, b a); doc 4's 1:1 mix of
