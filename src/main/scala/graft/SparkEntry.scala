@@ -188,6 +188,8 @@ object SparkEntry {
     "q147_dsir_weights"    -> ScaleOps.q147DsirWeights _,
     "q148_ccnet_buckets"   -> TextOps.q148CcnetBuckets _,
     "q149_contamination_matrix" -> ScaleOps.q149ContaminationMatrix _,
+    "q150_l_diversity"     -> graft.operators.Privacy.q150LDiversity _,
+    "q151_unimax_mixture"  -> ScaleOps.q151UnimaxMixture _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2449,5 +2451,49 @@ object SparkEntry {
                FROM sh JOIN ss ON sh.s = ss.s AND sh.source <> ss.src_b)
          SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_docs
          FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""",
+    // q101's generalization grid with the sensitive nation column:
+    // per class, size k, distinct sensitive values l, majority share
+    // in integer bp; flag l < 3
+    "q150_l_diversity" ->
+      """WITH g AS (SELECT c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000.0) * 1000.0 AS BIGINT) AS balance_band,
+             c_nationkey
+           FROM customer),
+         pv AS (SELECT segment, balance_band, c_nationkey,
+             CAST(count(*) AS BIGINT) AS c
+           FROM g GROUP BY segment, balance_band, c_nationkey)
+         SELECT segment, balance_band,
+           CAST(sum(c) AS BIGINT) AS k_anon,
+           CAST(count(*) AS BIGINT) AS l_div,
+           CAST(max(c) * 10000 // sum(c) AS BIGINT) AS majority_bp,
+           count(*) < 3 AS flag
+         FROM pv GROUP BY segment, balance_band
+         ORDER BY segment, balance_band""",
+    // UniMax greedy as a recursive CTE: languages by ascending capped
+    // capacity; each takes min(cap, rem // langs_left). Pure integers.
+    "q151_unimax_mixture" ->
+      """WITH RECURSIVE
+         ls0 AS (SELECT lang,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY lang),
+         ls AS (SELECT lang, n_tokens, 1 * n_tokens AS cap,
+             CAST(row_number() OVER (ORDER BY 1 * n_tokens, lang) AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS nl
+           FROM ls0),
+         b AS (SELECT CAST(sum(n_tokens) * 8 // 10 AS BIGINT) AS budget FROM ls0),
+         alloc(i, rem, lang, n_tokens, cap, a) AS (
+           SELECT CAST(0 AS BIGINT), budget, CAST(NULL AS VARCHAR),
+                  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+           FROM b
+           UNION ALL
+           SELECT ls.i,
+             alloc.rem - least(ls.cap, alloc.rem // (ls.nl - ls.i + 1)),
+             ls.lang, ls.n_tokens, ls.cap,
+             least(ls.cap, alloc.rem // (ls.nl - ls.i + 1))
+           FROM alloc JOIN ls ON ls.i = alloc.i + 1)
+         SELECT lang, n_tokens, cap AS cap_tokens, a AS alloc_tokens,
+           CAST(a * 10000 // n_tokens AS BIGINT) AS epochs_bp,
+           a = cap AS capped
+         FROM alloc WHERE i > 0 ORDER BY lang""",
   )
 }

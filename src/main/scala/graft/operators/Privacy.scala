@@ -22,11 +22,15 @@ object Privacy {
     * 1000-unit band (floor handles negative balances identically in
     * IEEE on both engines).
     */
+  /** Quasi-identifier generalization shared by every audit here. */
+  private def balanceBand =
+    (floor(col("c_acctbal") / 1000.0) * 1000.0).cast("long")
+
   def pseudonymize(customers: DataFrame): DataFrame =
     customers.select(
       col("c_custkey"),
       md5(concat(lit("graft-pepper:"), col("c_name")).cast("binary")).as("name_token"),
-      (floor(col("c_acctbal") / 1000.0) * 1000.0).cast("long").as("balance_band"),
+      balanceBand.as("balance_band"),
       col("c_mktsegment").as("segment"))
 
   /** k-anonymity per record over the generalized quasi-identifier key
@@ -51,4 +55,40 @@ object Privacy {
       .select(col("c_custkey"), col("name_token"), col("segment"),
         col("balance_band"), col("k_anon"), col("suppress"))
       .orderBy("c_custkey")
+
+  /** l-diversity audit (Machanavajjhala et al. 2007, "l-Diversity:
+    * Privacy Beyond k-Anonymity") — the check k-anonymity alone misses:
+    * an equivalence class can be large yet expose its members because
+    * every record shares one sensitive value (the homogeneity attack).
+    * Per generalized quasi-identifier class (segment, balance_band):
+    * size k, distinct sensitive values l (nation here), and the
+    * majority sensitive share in basis points (the recoverable-
+    * attribute confidence an attacker gains). Flags classes with
+    * l < the threshold. Same 100 TB shape as the k-audit: everything
+    * aggregates to the generalization grid × sensitive domain —
+    * bounded — before any wide op; the fact table never shuffles
+    * full rows.
+    */
+  def lDiversity(pseudonymized: DataFrame, sensitiveCol: String,
+                 l: Int): DataFrame = {
+    val perValue = pseudonymized
+      .groupBy(col("segment"), col("balance_band"), col(sensitiveCol))
+      .agg(count(lit(1)).as("c"))
+    perValue.groupBy("segment", "balance_band")
+      .agg(sum("c").as("k_anon"), count(lit(1)).as("l_div"),
+        max("c").as("top_c"))
+      .select(col("segment"), col("balance_band"),
+        col("k_anon"), col("l_div"),
+        expr("top_c * 10000L div k_anon").as("majority_bp"),
+        (col("l_div") < l).as("flag"))
+      .orderBy("segment", "balance_band")
+  }
+
+  def q150LDiversity(spark: SparkSession, dir: String): DataFrame =
+    lDiversity(
+      Tables.customer(spark, dir).select(
+        col("c_mktsegment").as("segment"),
+        balanceBand.as("balance_band"),
+        col("c_nationkey")),
+      "c_nationkey", 3)
 }

@@ -1256,4 +1256,50 @@ object ScaleOps {
   def q149ContaminationMatrix(spark: SparkSession, dir: String): DataFrame =
     contaminationMatrix(Tables.documents(spark, dir),
       "doc_id", "text", "source", 4)
+
+  /** UniMax language-sampling allocation (Chung et al. 2023,
+    * arXiv:2304.09151): distribute a token budget across languages as
+    * uniformly as possible subject to a per-language epoch cap —
+    * fairer than temperature sampling and free of its pow() tuning.
+    * The paper's greedy, exactly: visit languages by ascending capped
+    * capacity (cap·n_l); each takes min(its cap, ⌊remaining budget /
+    * languages remaining⌋), so leftover from capped low-resource
+    * languages redistributes evenly among the rest. Every step is
+    * integer — no pow, no float anywhere, ties broken by language
+    * code — so both engines compute the identical allocation.
+    *
+    * 100 TB shape: the corpus contributes ONE map-side-combinable
+    * per-language token count; the greedy then runs driver-side over
+    * the LANGUAGE table — bounded by construction (the same accepted
+    * class as the BPE merge table and kmeans centroids: ~10²–10³ rows
+    * whatever the corpus size) — and its result IS the output.
+    * Emits per language: corpus tokens, cap, allocation, realized
+    * epochs in basis points, and whether the cap bound.
+    */
+  def unimaxAllocation(langTokens: Seq[(String, Long)], epochCap: Long,
+                       budget: Long): Seq[(String, Long, Long, Long, Long, Boolean)] = {
+    val byCap = langTokens.map { case (l, n) => (l, n, epochCap * n) }
+      .sortBy { case (l, _, cap) => (cap, l) }
+    var rem = budget
+    byCap.zipWithIndex.map { case ((lang, n, cap), i) =>
+      val share = rem / (byCap.length - i)
+      val alloc = math.min(cap, share)
+      rem -= alloc
+      (lang, n, cap, alloc, alloc * 10000L / n, alloc == cap)
+    }
+  }
+
+  def q151UnimaxMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val langTokens = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
+      .groupBy("lang").agg(sum("t").as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val budget = langTokens.map(_._2).sum * 8L / 10L
+    unimaxAllocation(langTokens, epochCap = 1L, budget = budget)
+      .toDF("lang", "n_tokens", "cap_tokens", "alloc_tokens",
+        "epochs_bp", "capped")
+      .orderBy("lang")
+  }
 }

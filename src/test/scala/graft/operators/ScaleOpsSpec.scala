@@ -504,6 +504,39 @@ class ScaleOpsSpec extends SparkSpec {
       "a doc sharing the target's vocabulary must outscore a disjoint one")
   }
 
+  test("lDiversity flags the homogeneous class a k-audit alone would pass") {
+    import spark.implicits._
+    // both classes have k=3 (pass any k<=3 test); A is homogeneous
+    val rows = Seq(
+      ("A", 0L, 1), ("A", 0L, 1), ("A", 0L, 1),
+      ("B", 0L, 1), ("B", 0L, 2), ("B", 0L, 3)
+    ).toDF("segment", "balance_band", "nation")
+    val got = Privacy.lDiversity(rows, "nation", 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("k_anon"), r.getAs[Long]("l_div"),
+          r.getAs[Long]("majority_bp"), r.getAs[Boolean]("flag"))).toMap
+    assert(got == Map(
+      "A" -> (3L, 1L, 10000L, true),
+      "B" -> (3L, 3L, 3333L, false)))
+  }
+
+  test("unimaxAllocation: capped languages' leftover redistributes; totals add up") {
+    // budget 100 over caps (1 epoch) 10/30/200: uniform share would be
+    // 33 — 'lo' caps at 10, its leftover lifts the rest: mid takes
+    // min(30, 45)=30 (capped), 'hi' takes the remaining 60
+    val got = ScaleOps.unimaxAllocation(
+      Seq(("hi", 200L), ("lo", 10L), ("mid", 30L)), epochCap = 1L, budget = 100L)
+    assert(got == Seq(
+      ("lo", 10L, 10L, 10L, 10000L, true),
+      ("mid", 30L, 30L, 30L, 10000L, true),
+      ("hi", 200L, 200L, 60L, 3000L, false)))
+    // degenerate: budget exceeds every cap -> everything capped, in
+    // (cap, lang) order
+    val all = ScaleOps.unimaxAllocation(
+      Seq(("a", 5L), ("b", 5L)), epochCap = 2L, budget = 1000L)
+    assert(all.forall(_._6) && all.map(_._4).sum == 20L)
+  }
+
   test("contaminationMatrix counts per ordered pair the docs sharing any n-gram, asymmetrically") {
     import spark.implicits._
     val docs = Seq(
