@@ -95,4 +95,32 @@ class ScaleOpsPropertySpec extends SparkSpec {
       assert(out.sortBy(_._1).toSeq == expected, s"seed=$seed: keeper must be argmax")
     }
   }
+
+  test("unimaxAllocation invariants: conservation, caps respected, water-filling fairness") {
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val langs = (0 until 2 + rnd.nextInt(8))
+        .map(i => (s"l$i", 1L + rnd.nextInt(1000).toLong))
+      val cap = 1L + rnd.nextInt(3)
+      val budget = rnd.nextInt(3000).toLong
+      val out = ScaleOps.unimaxAllocation(langs, cap, budget)
+      val totalCap = langs.map(cap * _._2).sum
+      // never over-cap, never negative
+      assert(out.forall { case (_, n, c, a, _, capped) =>
+        c == cap * n && a >= 0L && a <= c && capped == (a == c) })
+      // conservation: spend min(budget, total capacity); the only
+      // shortfall is integer-division remainder, bounded by langs-1
+      val spent = out.map(_._4).sum
+      val target = math.min(budget, totalCap)
+      assert(spent <= target && target - spent < langs.length,
+        s"seed=$seed: spent $spent of $target")
+      // water-filling monotonicity: caps ascend in processing order and
+      // the uniform share never shrinks, so allocations are
+      // non-decreasing — the greedy never gives a later (bigger)
+      // language less than an earlier (smaller) one
+      val allocs = out.map(_._4)
+      assert(allocs.zip(allocs.drop(1)).forall { case (x, y) => x <= y },
+        s"seed=$seed: allocations must be non-decreasing: $allocs")
+    }
+  }
 }
