@@ -31,7 +31,16 @@ object Tables {
     * Integer `div` throughout: ns epochs overflow double precision.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    tsToMicros(apply(spark, dir, "events"))
+    tsToMicros(try apply(spark, dir, "events") catch {
+      // Spark's raw schema-conversion error never names the fix; keep
+      // the actionable message the old fail-fast guard carried
+      case e: Throwable if String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS") =>
+        throw new IllegalStateException(
+          "events.ts is parquet TIMESTAMP(NANOS), which this session " +
+            "cannot read natively — set " +
+            "spark.sql.legacy.parquet.nanosAsLong=true on the " +
+            "SparkSession builder (the reader then adapts automatically)", e)
+    })
 
   /** Normalize `ts` to a µs-precision TIMESTAMP, whatever the physical
     * layout (nanos-as-long legacy read, TIMESTAMP_NTZ native read, or
@@ -50,13 +59,20 @@ object Tables {
 
   /** Epoch seconds of `ts` as a LONG column (floor — the whole-second
     * semantics the q50/q63 twins and their DuckDB oracles use), layout-
-    * adaptive like [[tsToMicros]].
+    * adaptive like [[tsToMicros]]. FLOOR division, not SQL `div`
+    * (which truncates toward zero): a pre-1970 instant like
+    * 1969-12-31T23:59:59.5Z must land in second -1, exactly as
+    * `unix_timestamp` (Math.floorDiv) and DuckDB's `epoch()` place it
+    * — truncation would silently disagree with the batch twins on any
+    * pre-epoch event.
     */
   def tsEpochSeconds(df: DataFrame): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.expr
+    def floorDiv(x: String, d: Long) =
+      expr(s"($x div $d) - (CASE WHEN $x % $d < 0 THEN 1 ELSE 0 END)")
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _ => expr("unix_micros(cast(ts as timestamp)) div 1000000")
+      case org.apache.spark.sql.types.LongType => floorDiv("ts", 1000000000L)
+      case _ => floorDiv("unix_micros(cast(ts as timestamp))", 1000000L)
     }
   }
 

@@ -17,15 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Privacy {
 
-  /** Direct identifiers → salted-hash tokens (stable across runs, so
-    * joins on the token still work); quasi-identifier `c_acctbal` →
-    * 1000-unit band (floor handles negative balances identically in
-    * IEEE on both engines).
+  /** Quasi-identifier generalization shared by every audit here:
+    * `c_acctbal` → 1000-unit band (floor handles negative balances
+    * identically in IEEE on both engines).
     */
-  /** Quasi-identifier generalization shared by every audit here. */
   private def balanceBand =
     (floor(col("c_acctbal") / 1000.0) * 1000.0).cast("long")
 
+  /** Direct identifiers → salted-hash tokens (stable across runs, so
+    * joins on the token still work); quasi-identifiers generalized via
+    * [[balanceBand]].
+    */
   def pseudonymize(customers: DataFrame): DataFrame =
     customers.select(
       col("c_custkey"),

@@ -1236,13 +1236,13 @@ object ScaleOps {
     */
   def contaminationMatrix(docs: DataFrame, idCol: String, textCol: String,
                           sourceCol: String, n: Int): DataFrame = {
-    val ws = split(trim(col(textCol)), "\\s+")
-    val sh = docs
-      .select(col(idCol).as("id"), col(sourceCol).as("source"), ws.as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(col("id"), col("source"), explode(array_distinct(transform(
-        sequence(lit(1), size(col("ws")) - (n - 1)),
-        i => array_join(slice(col("ws"), i, lit(n)), " ")))).as("s"))
+    // wordShingles (tight-loop UDF, per-doc distinct) — not the
+    // transform/slice HOF spelling, which is CodegenFallback (see the
+    // wordShingles doc); widen for the same single-split reason as
+    // decontaminate
+    val sh = Tables.widen(docs)
+      .select(col(idCol).as("id"), col(sourceCol).as("source"),
+        explode(wordShingles(n)(col(textCol))).as("s"))
     val srcOfShingle = sh.select(col("s"), col("source").as("src_b")).distinct()
     sh.join(srcOfShingle, "s")
       .filter(col("source") =!= col("src_b"))

@@ -568,13 +568,13 @@ object Events {
   }
 
   /** The joined streaming DataFrame behind both sinks below. Timestamps
-    * are floored to WHOLE SECONDS before the join (`ts div 1e9` on the
-    * nanos long = `floor(epoch(ts))`) so the join predicate, watermarks,
-    * and emitted p_tss/s_tss all operate on exactly the values the
-    * batch twins (q50/q63) and the DuckDB oracle use — joining at
-    * microsecond precision and flooring after would dis/agree with the
-    * oracle for events straddling a second or the 7-day boundary at
-    * sub-second offsets.
+    * are floored to WHOLE SECONDS before the join (layout-adaptive
+    * `Tables.tsToSeconds` — true floor semantics, = `floor(epoch(ts))`)
+    * so the join predicate, watermarks, and emitted p_tss/s_tss all
+    * operate on exactly the values the batch twins (q50/q63) and the
+    * DuckDB oracle use — joining at microsecond precision and flooring
+    * after would disagree with the oracle for events straddling a
+    * second or the 7-day boundary at sub-second offsets.
     */
   private def rangeJoinedStream(spark: SparkSession, dir: String,
                                 joinType: String = "inner"): DataFrame = {

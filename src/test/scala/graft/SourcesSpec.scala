@@ -29,6 +29,21 @@ class SourcesSpec extends SparkSpec {
     assert(widths(16) == 64 + 16) // "alpha beta gamma" = 16 bytes
   }
 
+  test("tsEpochSeconds floors pre-epoch timestamps in every layout") {
+    import spark.implicits._
+    // 1969-12-31T23:59:59.5Z must land in second -1 (floor), never 0
+    // (truncation) — the semantics of unix_timestamp and DuckDB epoch()
+    val asNanosLong = Seq(-500000000L, 1500000000L).toDF("ts")
+    val gotLong = asNanosLong.select(Tables.tsEpochSeconds(asNanosLong).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotLong == Seq(-1L, 1L))
+    val asTimestamp = Seq(-500000L, 1500000L).toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"))
+    val gotTs = asTimestamp.select(Tables.tsEpochSeconds(asTimestamp).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotTs == Seq(-1L, 1L))
+  }
+
   test("approx sketches land within tolerance of exact") {
     val li = Tables.lineitem(spark, sfDir)
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
