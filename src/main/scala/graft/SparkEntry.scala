@@ -190,6 +190,7 @@ object SparkEntry {
     "q149_contamination_matrix" -> ScaleOps.q149ContaminationMatrix _,
     "q150_l_diversity"     -> graft.operators.Privacy.q150LDiversity _,
     "q151_unimax_mixture"  -> ScaleOps.q151UnimaxMixture _,
+    "q152_corpus_datasheet" -> ScaleOps.q152CorpusDatasheet _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2495,5 +2496,52 @@ object SparkEntry {
            CAST(a * 10000 // n_tokens AS BIGINT) AS epochs_bp,
            a = cap AS capped
          FROM alloc WHERE i > 0 ORDER BY lang""",
+    // per-source datasheet: q23's corpus-wide fingerprint, q87's
+    // eval-shingle contamination, q16's rounded quality — shares as
+    // integer bp over the source's doc count
+    "q152_corpus_datasheet" ->
+      """WITH base0 AS (SELECT source, doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+             CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
+           FROM documents),
+         base AS (SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(t) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(CASE WHEN floor((
+               least(n_chars / 500.0, 1.0)
+               + (1.0 - least(n_punct / greatest(n_words, 1.0) * 2.0, 1.0))
+               + least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0)
+               + CASE WHEN n_chars / greatest(n_words, 1.0) >= 3.0
+                       AND n_chars / greatest(n_words, 1.0) <= 10.0 THEN 1.0 ELSE 0.5 END
+               ) / 4.0 * 10000.0 + 0.5) / 10000.0 >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+           FROM base0 GROUP BY source),
+         f AS (SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
+           FROM documents),
+         dupfp AS (SELECT fp FROM f GROUP BY fp HAVING count(*) >= 2),
+         nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup
+                FROM f JOIN dupfp USING (fp) GROUP BY source),
+         w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, source,
+                  unnest([array_to_string(ws[i:i+3], ' ') for i in generate_series(1, len(ws)-3)]) AS s
+                FROM w WHERE len(ws) >= 4),
+         ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         cont AS (SELECT DISTINCT sh.doc_id, sh.source
+                  FROM sh JOIN ev ON sh.s = ev.s WHERE sh.doc_id % 97 <> 0),
+         nc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_cont
+                FROM cont GROUP BY source)
+         SELECT base.source, n_docs, n_tokens,
+           CAST(n_tokens // n_docs AS BIGINT) AS mean_tokens, n_langs,
+           CAST(coalesce(n_dup, 0) * 10000 // n_docs AS BIGINT) AS dup_bp,
+           CAST(coalesce(n_cont, 0) * 10000 // n_docs AS BIGINT) AS contaminated_bp,
+           CAST(n_quality * 10000 // n_docs AS BIGINT) AS quality_pass_bp
+         FROM base
+         LEFT JOIN nd ON base.source = nd.source
+         LEFT JOIN nc ON base.source = nc.source
+         ORDER BY base.source""",
   )
 }

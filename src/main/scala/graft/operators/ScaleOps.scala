@@ -1289,6 +1289,58 @@ object ScaleOps {
     }
   }
 
+  /** Per-source corpus datasheet — the release-accompanying summary
+    * table of "Datasheets for Datasets" (Gebru et al. 2021) as WIMBD
+    * computes it at corpus scale (Elazar et al. 2024, "What's In My
+    * Big Data?"): for every source, size (docs/tokens/mean), language
+    * breadth, exact-duplicate share, eval-contamination share, and
+    * quality-pass share — each share in integer basis points. Nothing
+    * new is invented: the duplicate flag is q23's corpus-wide
+    * canonical fingerprint, contamination is q87's broadcast
+    * eval-shingle probe, quality is q16's rounded surface score —
+    * the datasheet's value is that the release ships ONE table built
+    * from the same signals the pipeline filters on.
+    *
+    * 100 TB shape: four independent per-source aggregates (each one
+    * partial-agg shuffle bounded by |sources| or |fingerprints|),
+    * joined on the tiny source key. The quality threshold compares the
+    * ROUNDED score (4-dp floor, identical in both engines), so the
+    * pass count is deterministic cross-engine.
+    */
+  def q152CorpusDatasheet(spark: SparkSession, dir: String): DataFrame =
+    corpusDatasheet(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, source, lang, text) frame — see q152. */
+  def corpusDatasheet(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("source"), col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("t"),
+        (TextAnalysis.qualityScore(col("text")) >= 0.5).as("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"))
+    val fps = docs.select(col("doc_id"), col("source"),
+      Dedup.canonicalFingerprint(col("text")).as("fp"))
+    val dupFps = fps.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("fp")
+    val dupPerSource = fps.join(dupFps, "fp")
+      .groupBy("source").agg(count(lit(1)).as("n_dup"))
+    val contPerSource = docs
+      .join(decontaminate(docs, "doc_id", "text",
+        col("doc_id") % 97 === 0, 4).select("doc_id"), "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_cont"))
+    base
+      .join(dupPerSource, Seq("source"), "left_outer")
+      .join(contPerSource, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens div n_docs").as("mean_tokens"), col("n_langs"),
+        expr("coalesce(n_dup, 0L) * 10000L div n_docs").as("dup_bp"),
+        expr("coalesce(n_cont, 0L) * 10000L div n_docs").as("contaminated_bp"),
+        expr("n_quality * 10000L div n_docs").as("quality_pass_bp"))
+      .orderBy("source")
+  }
+
   def q151UnimaxMixture(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val langTokens = Tables.documents(spark, dir)

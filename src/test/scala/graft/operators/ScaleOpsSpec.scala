@@ -504,6 +504,27 @@ class ScaleOpsSpec extends SparkSpec {
       "a doc sharing the target's vocabulary must outscore a disjoint one")
   }
 
+  test("corpusDatasheet composes dup/contamination/quality shares per source, by hand") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "A", "en", "e1 e2 e3 e4 e5"),        // eval (0 % 97 == 0)
+      (1L, "A", "en", "d1 d2 d3 d4 d5 d6"),     // exact-dup pair ...
+      (2L, "A", "en", "d1 d2 d3 d4 d5 d6"),     // ... with doc 1
+      (3L, "A", "en", "u1 u2 u3 u4"),
+      (5L, "B", "en", "x e2 e3 e4 e5 y"),       // shares "e2 e3 e4 e5" with eval
+      (6L, "B", "de", "v1 v2 v3")               // < 4 words: no shingles
+    ).toDF("doc_id", "source", "lang", "text")
+    val got = ScaleOps.corpusDatasheet(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // all texts are short token-salad: every quality score < 0.5
+    assert(got == Map(
+      // 4 docs, 21 tokens, mean 5, 1 lang, dup 2/4 = 5000 bp, no contamination
+      "A" -> (4L, 21L, 5L, 1L, 5000L, 0L, 0L),
+      // 2 docs, 9 tokens, mean 4, 2 langs, no dups, contaminated 1/2 = 5000 bp
+      "B" -> (2L, 9L, 4L, 2L, 0L, 5000L, 0L)))
+  }
+
   test("lDiversity flags the homogeneous class a k-audit alone would pass") {
     import spark.implicits._
     // both classes have k=3 (pass any k<=3 test); A is homogeneous
