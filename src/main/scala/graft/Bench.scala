@@ -67,10 +67,19 @@ object Bench {
         else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
       (name, median, runs)
     }
-    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + m }
+    // the round-6 artifact lost half the catalog: the single stdout JSON
+    // line (medians + raw runs for 152 queries) exceeded the driver's
+    // tail capture, so BENCH_r06.json recorded "parsed": null and only
+    // q70-q99 survived in the tail. Two changes keep every query:
+    //  - stdout gets ONE compact medians-only line (3-decimal seconds,
+    //    ~3.5 KB for the full catalog) so the tail capture holds it all;
+    //  - the full artifact (raw per-rep runs included) is written to
+    //    bench.json in the working directory for round-over-round diffs.
+    def fmt(d: Double): String = f"$d%.3f"
+    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, _, runs) =>
-      "\"" + k + "\":[" + runs.map(_._1).mkString(",") + "]"
+      "\"" + k + "\":[" + runs.map(r => fmt(r._1)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // a query that failed on ANY rep is reported failed
     val failedNames = results.collect { case (k, _, runs) if runs.exists(!_._2) => k }
@@ -79,7 +88,11 @@ object Bench {
     if (nFailed > 0)
       System.err.println(s"[bench] $nFailed quer${if (nFailed == 1) "y" else "ies"} FAILED")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"reps":$reps,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}""")
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$raw,"reps":$reps,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}"""
+    println(compact)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

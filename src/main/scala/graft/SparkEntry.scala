@@ -2090,8 +2090,8 @@ object SparkEntry {
                  CAST(count(*) AS BIGINT) AS n_ending
                FROM t GROUP BY tenure_days),
          s AS (SELECT h.tenure_days,
-                 n.n_users - coalesce(sum(h.n_ending) OVER (ORDER BY h.tenure_days
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_surviving,
+                 CAST(n.n_users - coalesce(sum(h.n_ending) OVER (ORDER BY h.tenure_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_surviving,
                  n.n_users FROM h, n)
          SELECT tenure_days, n_surviving,
            CAST(n_surviving * 10000 // n_users AS BIGINT) AS survival_bp

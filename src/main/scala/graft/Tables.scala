@@ -30,21 +30,91 @@ object Tables {
     * timezone every entrypoint sets, the NTZ→TZ cast is value-preserving.
     * Integer `div` throughout: ns epochs overflow double precision.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    tsToMicros(try apply(spark, dir, "events") catch {
-      // Spark's raw schema-conversion error never names the fix; keep
-      // the actionable message the old fail-fast guard carried
-      case e: Throwable if String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS") =>
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = eventsRaw(spark, dir)
+    // Loud-failure guard for the one layout the SCHEMA cannot distinguish:
+    // a nanos LONG (legacy read of TIMESTAMP(NANOS)) and a hypothetical
+    // micros-as-plain-INT64 generation both surface as LongType, and
+    // interpreting micros as nanos would silently produce epochs ~1000x
+    // off. The fixture contract (TESTDATA.md) is 2020s event data, so a
+    // genuine nanos value is ~1.7e18 while micros would be ~1.7e15; any
+    // nonzero |ts| below 1e16 (= 1970-04-26 as nanos) on this table is a
+    // layout violation, not data. One LIMIT-1 single-column probe job,
+    // and only on the legacy LongType layout — the native TIMESTAMP
+    // layouts skip it entirely.
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      import org.apache.spark.sql.functions.{abs, col}
+      raw.select(col("ts")).where(abs(col("ts")) < 1e16.toLong && col("ts") =!= 0L)
+        .limit(1).collect().headOption.foreach { r =>
+          throw new IllegalStateException(
+            s"events.ts is a LONG column holding value ${r.getLong(0)}, which is " +
+              "too small to be a nanosecond epoch for this table's 2020s data " +
+              "contract — the layout is likely micros-as-INT64, which the " +
+              "nanos-only LONG branch of Tables.tsToMicros would misread 1000x off")
+        }
+    }
+    tsToMicros(raw)
+  }
+
+  /** Un-normalized events read (ts left in its physical layout), with the
+    * actionable nanos-conf error. Streaming readers probe `.schema` from
+    * here so they inherit the same rewrap as the batch path.
+    */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    rewrapNanos(apply(spark, dir, "events"))
+
+  /** Schema of the events table for `readStream.schema(...)` probes. */
+  def eventsSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType =
+    eventsRaw(spark, dir).schema
+
+  /** Rewrap Spark's TIMESTAMP(NANOS) schema-conversion failure with the
+    * actionable fix (the raw error never names the conf). Every events
+    * schema read — batch, the streaming readers' `.schema` probes, and
+    * the lake-ingest source probe — goes through here so they all keep
+    * the actionable message. Matched on the stable error class first
+    * (PARQUET_TYPE_ILLEGAL, probed on this Spark: AnalysisException
+    * "[PARQUET_TYPE_ILLEGAL] Illegal Parquet type: INT64
+    * (TIMESTAMP(NANOS,false))"), with the message text as a fallback for
+    * Spark versions that rename the class.
+    */
+  def rewrapNanos[T](body: => T): T =
+    try body catch {
+      case e: Exception if isNanosTypeError(e) =>
         throw new IllegalStateException(
-          "events.ts is parquet TIMESTAMP(NANOS), which this session " +
+          "the ts column is parquet TIMESTAMP(NANOS), which this session " +
             "cannot read natively — set " +
             "spark.sql.legacy.parquet.nanosAsLong=true on the " +
             "SparkSession builder (the reader then adapts automatically)", e)
-    })
+    }
+
+  private def isNanosTypeError(e: Exception): Boolean = e match {
+    case st: org.apache.spark.SparkThrowable
+        if String.valueOf(st.getCondition).contains("PARQUET_TYPE_ILLEGAL") => true
+    case _ => String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS")
+  }
+
+  /** The NTZ→TZ casts below are value-preserving ONLY under a UTC session
+    * timezone; every entrypoint (Verify/Bench/specs) sets it, but a library
+    * caller might not — fail loudly instead of silently shifting instants.
+    */
+  private def requireUtcSession(df: DataFrame): Unit = {
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    require(tz == "UTC",
+      s"events ts normalization casts TIMESTAMP_NTZ via the session timezone, " +
+        s"which is value-preserving only under UTC; got '$tz' — set " +
+        "spark.sql.session.timeZone=UTC on the SparkSession builder")
+  }
 
   /** Normalize `ts` to a µs-precision TIMESTAMP, whatever the physical
     * layout (nanos-as-long legacy read, TIMESTAMP_NTZ native read, or
     * already a TIMESTAMP).
+    *
+    * LongType contract: a LONG `ts` is ALWAYS nanoseconds (the
+    * `nanosAsLong` legacy read of parquet TIMESTAMP(NANOS)). Nothing at
+    * the schema level distinguishes it from a hypothetical
+    * micros-as-plain-INT64 layout — [[events]] adds a data-level
+    * magnitude probe so that layout fails loudly instead of reading
+    * 1000x off.
     */
   def tsToMicros(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
@@ -52,6 +122,7 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        requireUtcSession(df)
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
@@ -71,7 +142,12 @@ object Tables {
     def floorDiv(x: String, d: Long) =
       expr(s"($x div $d) - (CASE WHEN $x % $d < 0 THEN 1 ELSE 0 END)")
     df.schema("ts").dataType match {
+      // LONG ts is nanoseconds by contract (see tsToMicros)
       case org.apache.spark.sql.types.LongType => floorDiv("ts", 1000000000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // the cast below interprets NTZ in the session timezone
+        requireUtcSession(df)
+        floorDiv("unix_micros(cast(ts as timestamp))", 1000000L)
       case _ => floorDiv("unix_micros(cast(ts as timestamp))", 1000000L)
     }
   }

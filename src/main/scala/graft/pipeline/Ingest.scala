@@ -189,7 +189,7 @@ object Ingest {
     */
   def incrementalLakeIngest(spark: SparkSession, srcDir: String,
                             lake: String, ckpt: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = spark.read.parquet(srcDir).schema
+    val schema = graft.Tables.rewrapNanos(spark.read.parquet(srcDir).schema)
     graft.Tables.tsToMicros(spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet").parquet(srcDir))
       .withColumn("year", date_format(col("ts"), "yyyy").cast("int"))

@@ -421,7 +421,7 @@ object Events {
     */
   def streamingTumbling(spark: SparkSession, dir: String,
                         queryName: String): StreamingQuery = {
-    val schema = Tables.apply(spark, dir, "events").schema
+    val schema = Tables.eventsSchema(spark, dir)
     // file-source basePath must be a directory; select the table via glob
     val src = Tables.tsToMicros(spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir))
@@ -444,7 +444,7 @@ object Events {
     */
   def streamingSliding(spark: SparkSession, dir: String,
                        queryName: String): StreamingQuery = {
-    val schema = Tables.apply(spark, dir, "events").schema
+    val schema = Tables.eventsSchema(spark, dir)
     val src = Tables.tsToMicros(spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir))
     src.withWatermark("ts", "1 hour")
@@ -469,7 +469,7 @@ object Events {
     */
   def streamingSketchProfile(spark: SparkSession, dir: String,
                              queryName: String): StreamingQuery = {
-    val schema = Tables.apply(spark, dir, "events").schema
+    val schema = Tables.eventsSchema(spark, dir)
     val src = Tables.tsToMicros(spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir))
     src.withWatermark("ts", "1 hour")
@@ -499,7 +499,7 @@ object Events {
   def streamingSessions(spark: SparkSession, dir: String,
                         queryName: String): StreamingQuery = {
     import spark.implicits._
-    val schema = Tables.apply(spark, dir, "events").schema
+    val schema = Tables.eventsSchema(spark, dir)
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val src = raw
@@ -555,7 +555,7 @@ object Events {
     */
   def streamingDedup(spark: SparkSession, dir: String,
                      queryName: String): StreamingQuery = {
-    val schema = Tables.apply(spark, dir, "events").schema
+    val schema = Tables.eventsSchema(spark, dir)
     val src = Tables.tsToSeconds(spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir))
     src.withWatermark("ts", "1 hour")
@@ -578,7 +578,7 @@ object Events {
     */
   private def rangeJoinedStream(spark: SparkSession, dir: String,
                                 joinType: String = "inner"): DataFrame = {
-    val schema = Tables.apply(spark, dir, "events").schema
+    val schema = Tables.eventsSchema(spark, dir)
     def src = Tables.tsToSeconds(spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir))
     val purchases = src.filter(col("event_type") === "purchase")

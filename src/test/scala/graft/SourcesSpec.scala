@@ -44,6 +44,41 @@ class SourcesSpec extends SparkSpec {
     assert(gotTs == Seq(-1L, 1L))
   }
 
+  test("events reader rejects micros-magnitude values on a LONG ts layout") {
+    import spark.implicits._
+    // a LONG ts column is nanos by contract; 2020s micros (~1.7e15) are
+    // below the 1e16 bound and must fail loudly, not read 1000x off
+    val dir = Files.createTempDirectory("evmicros").toString
+    Seq((1L, 1700000000000000L, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("micros-as-INT64"))
+    // genuine nanos magnitudes pass the guard untouched
+    val dir2 = Files.createTempDirectory("evnanos").toString
+    Seq((1L, 1700000000000000000L, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir2/events.parquet")
+    assert(Tables.events(spark, dir2).select("ts").head().getTimestamp(0).getTime
+      == 1700000000000L)
+  }
+
+  test("ts normalization requires a UTC session for NTZ layouts") {
+    import spark.implicits._
+    val ntz = Seq(1700000000000000L).toDF("us")
+      .select(expr("make_timestamp_ntz(2024, 1, 1, 0, 0, 0)").as("ts"))
+    val tzConf = "spark.sql.session.timeZone"
+    spark.conf.set(tzConf, "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException](Tables.tsToMicros(ntz))
+      assert(e.getMessage.contains("UTC"))
+      val e2 = intercept[IllegalArgumentException](Tables.tsEpochSeconds(ntz))
+      assert(e2.getMessage.contains("UTC"))
+    } finally spark.conf.set(tzConf, "UTC")
+    // back under UTC both paths work
+    assert(Tables.tsToMicros(ntz).select("ts").head().getTimestamp(0) != null)
+  }
+
   test("approx sketches land within tolerance of exact") {
     val li = Tables.lineitem(spark, sfDir)
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)

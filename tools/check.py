@@ -45,6 +45,17 @@ def main(sf_dir, out_dir, names=()):
         ok_vals = False
         if ok_schema and ok_rows:
             try:
+                # check_dtype=False matches the driver for width/unit-only
+                # diffs (int32 vs int64, datetime us vs ns hash the same
+                # values), but the driver's hasher DOES see float-vs-int
+                # (round-6 q137: DuckDB HUGEINT->float64 made 150.0 vs 150)
+                # -- flag that class explicitly.
+                for c in got.columns:
+                    gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+                    if {gk, ek} <= {"i", "u", "f"} and gk != ek and "f" in (gk, ek):
+                        raise AssertionError(
+                            f"column {c}: float-vs-int dtype (spark={got[c].dtype}, "
+                            f"oracle={exp[c].dtype}) — driver hash WILL differ")
                 pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                               check_exact=True)
                 ok_vals = True
