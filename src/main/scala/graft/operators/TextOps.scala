@@ -726,7 +726,8 @@ object TextOps {
   /** Sentence-aware greedy chunking (text_cleaner.py:136-160) as a
     * generator query: UDF + posexplode. Greedy packing is a sequential
     * fold, not SQL-expressible — correctness is pinned by TextOpsSpec's
-    * golden digest of the full output table instead of a DuckDB oracle.
+    * golden digest of the full output table plus the per-doc digest
+    * oracle of [[q43SentenceChunks]].
     *
     * Tokenizer choice: the registered query keeps the regex splitter
     * because the fixture corpus is all-lowercase, and the UAX #29
@@ -736,7 +737,7 @@ object TextOps {
     * degenerate to word windows. On natural text the BreakIterator
     * variant is the higher-fidelity choice; both are spec-tested.
     */
-  def q43SentenceChunks(spark: SparkSession, dir: String): DataFrame =
+  def q43SentenceChunkRows(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("sentenced",
         regexp_replace(col("text"), "\\b(slow|fast|big)\\b", "$1.")) // synth sentence ends
@@ -744,6 +745,24 @@ object TextOps {
         posexplode(Chunker.sentenceChunksUdf(50)(col("sentenced")))
           .as(Seq("chunk_id", "chunk")))
       .orderBy("doc_id", "chunk_id")
+
+  /** Registered form of q43: the full chunk table folded to a per-doc
+    * digest — `bit_xor(xxhash64(chunk_id, chunk))` + chunk/char counts —
+    * so the driver's DuckDB gate can hold a compact literal pin (the raw
+    * 813-chunk text table would be a 150 KB SQL literal). bit_xor of
+    * per-row hashes is order-independent, collision-checked by the
+    * counts, and a distributed partial aggregate — no global concat, so
+    * the digest itself survives 100x. Chunk CONTENT stays pinned
+    * verbatim by TextOpsSpec's golden digest of [[q43SentenceChunkRows]].
+    */
+  def q43SentenceChunks(spark: SparkSession, dir: String): DataFrame =
+    q43SentenceChunkRows(spark, dir)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(length(col("chunk"))).as("n_chars"),
+        expr("bit_xor(xxhash64(chunk_id, chunk))").as("chunk_xor"))
+      .orderBy("doc_id")
 
   /** Prompt assembly with input clamp (prompt_utils.py:69-111: keep the
     * LAST `MAX_INPUT_TOKENS` context tokens, then the system/context/user
@@ -791,11 +810,11 @@ object TextOps {
   }
 
   /** Composed PDF→passage pipeline (parse_pdfs.py:57-88): page-artifact
-    * strip (fixpoint hyphen joins — not SQL-expressible, hence no oracle;
-    * pinned by TextOpsSpec) → clean → overlapping passages →
+    * strip (fixpoint hyphen joins — not SQL-expressible; passage content
+    * pinned verbatim by TextOpsSpec) → clean → overlapping passages →
     * {file_path, passage_id, text}.
     */
-  def q58PdfPassages(spark: SparkSession, dir: String): DataFrame =
+  def q58PdfPassageRows(spark: SparkSession, dir: String): DataFrame =
     Tables.widen(Tables.documents(spark, dir))
       .withColumn("pdf_text", concat(
         lit("Clinical Review\n"), substring(col("text"), 1, 200),
@@ -807,6 +826,20 @@ object TextOps {
         concat(lit("/pdfs/doc_"), col("doc_id"), lit(".pdf")).as("file_path"),
         posexplode(Chunker.passages(col("cleaned"), 300, 50)).as(Seq("passage_id", "text")))
       .orderBy("file_path", "passage_id")
+
+  /** Registered form of q58: per-file digest of the passage table (same
+    * rationale and shape as [[q43SentenceChunks]] — the raw 842-passage
+    * text would be a 190 KB SQL literal; the bit_xor/xxhash64 fold is a
+    * distributed partial aggregate with counts guarding collisions).
+    */
+  def q58PdfPassages(spark: SparkSession, dir: String): DataFrame =
+    q58PdfPassageRows(spark, dir)
+      .groupBy("file_path")
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(length(col("text"))).as("n_chars"),
+        expr("bit_xor(xxhash64(passage_id, text))").as("passage_xor"))
+      .orderBy("file_path")
 
   /** Stratified deterministic 80/20 corpus split (pipeline_runner.py:48-59,
     * SURVEY §2.2 train-file merge): assignment = md5(doc_id) first hex

@@ -11,7 +11,7 @@ class TextOpsSpec extends SparkSpec {
     // sf0.001, pinned. Any change to the tokenizer, the packing logic,
     // or the fixture shows up as a digest change that must be re-pinned
     // consciously.
-    val rows = TextOps.q43SentenceChunks(spark, sfDir).collect()
+    val rows = TextOps.q43SentenceChunkRows(spark, sfDir).collect()
       .map(r => s"${r.getAs[Long]("doc_id")}|${r.getAs[Int]("chunk_id")}|${r.getAs[String]("chunk")}")
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(rows.mkString("\n").getBytes("UTF-8"))
@@ -31,7 +31,7 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("pdf passages: artifacts and page furniture removed, passages overlap") {
-    val out = TextOps.q58PdfPassages(spark, sfDir)
+    val out = TextOps.q58PdfPassageRows(spark, sfDir)
     val rows = out.collect()
     assert(rows.nonEmpty)
     val texts = rows.map(_.getAs[String]("text"))
