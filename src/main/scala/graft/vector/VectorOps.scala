@@ -70,6 +70,62 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact near-dup pairs WITHOUT the crossJoin: a triangle-inequality
+    * band join on normalized-coordinate projections.
+    *
+    * For unit-normalized â, b̂: ‖â−b̂‖² = 2−2·cos(a,b), so cos ≥ τ forces
+    * every coordinate gap |â_i−b̂_i| ≤ w = √(2−2τ). Bucketing coordinate 0
+    * by width w and probing each row into its own + two neighbor buckets
+    * meets EVERY qualifying pair exactly once (bucket ids differ by ≤ 1;
+    * probe buckets are distinct, so no pair dedup is needed) — zero
+    * false negatives, mathematically, at any τ and on any data. The
+    * remaining `nProj−1` coordinate gaps prefilter candidates with
+    * cheap scalar compares before the 64-term dot product.
+    *
+    * Scale shape: one shuffle equi-join on the bucket key — the plan the
+    * optimizer sees is a plain hash join, not a cartesian product. The
+    * in-bucket quadratic term is output-sensitive: it tracks how much of
+    * the corpus's cosine mass sits within w of each other, so pruning is
+    * strong exactly when near-dup mining is meaningful (concentrated
+    * similarity structure) and degrades toward all-pairs as τ approaches
+    * the isotropic noise floor — the regime where NO exact method can be
+    * sublinear (q27's τ=0.45 fixture measurement: see ScaleOps). Skewed
+    * buckets at real scale: salt the bucket key before the join; AQE
+    * skew-join covers the moderate cases.
+    *
+    * Requires τ > 0 (zero-norm vectors score cosine 0.0 and are pruned
+    * up front). The band is widened by the 4-dp rounding slack of
+    * [[cosinePre]], so a true cosine of τ−5e-5 that ROUNDS to τ is still
+    * inside the band.
+    */
+  def nearDupPairsBanded(vecs: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nProj: Int = 4): DataFrame = {
+    require(threshold > 0, "banded pruning needs a positive cosine threshold")
+    val w = math.sqrt(2.0 - 2.0 * (threshold - 1e-4))
+    val base = graft.Tables.widen(vecs.select(col(idCol), col(vecCol)))
+      .withColumn("nv", l2Norm(col(vecCol)))
+      .filter(col("nv") > 0)
+      .select(Seq(col(idCol).as("id"), col(vecCol).as("vec"), col("nv")) ++
+        (0 until nProj).map(i =>
+          (element_at(col(vecCol), i + 1) / col("nv")).as(s"p$i")): _*)
+    val a = base.select(col("id").as("id_a") +: col("vec").as("va") +:
+      col("nv").as("na") +: (0 until nProj).map(i => col(s"p$i").as(s"pa$i")): _*)
+      .withColumn("bucket", floor(col("pa0") / w))
+    val b = base.select(col("id").as("id_b") +: col("vec").as("vb") +:
+      col("nv").as("nb") +: (0 until nProj).map(i => col(s"p$i").as(s"pb$i")): _*)
+      .withColumn("b0", floor(col("pb0") / w))
+      .withColumn("bucket", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+      .drop("b0")
+    val gapFilters = (0 until nProj).map(i =>
+      abs(col(s"pa$i") - col(s"pb$i")) <= w).reduce(_ && _)
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b") && gapFilters)
+      .withColumn("cos", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
   /** IVF assignment: each vector joins its `nProbe` nearest cluster
     * centroids (centroid = per-label mean, as in `knnIvf`). Returns
     * (id, vec, nv, cl) with one row per (vector, probed cluster).
