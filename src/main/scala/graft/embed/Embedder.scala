@@ -57,6 +57,56 @@ final class HashingEmbedder(val dim: Int = 384, seed: Int = 42) extends Embedder
   }
 }
 
+/** Second Embedder implementation behind the same trait: a fixed-weight
+  * dense random projection (Johnson-Lindenstrauss style). Each token's
+  * hash seeds a deterministic ±1 row of the projection matrix, generated
+  * on the fly from a splitmix64 stream — fixed "weights" without storing
+  * a dim×vocab matrix, same text ⇒ same vector on any executor. Exists
+  * to prove the retrieval plumbing is embedder-agnostic (RetrievalSpec):
+  * swapping the model is a constructor argument, zero pipeline diffs —
+  * exactly the seam a real SentenceTransformer slots into.
+  */
+final class LinearProjectionEmbedder(val dim: Int = 384, seed: Long = 7L)
+    extends Embedder {
+  import scala.util.hashing.MurmurHash3
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def encode(texts: Seq[String]): Seq[Array[Float]] = texts.map(encodeOne)
+
+  def encodeOne(text: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    if (text != null) {
+      val tokens = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      var t = 0
+      while (t < tokens.length) {
+        val base = seed * 0x100000001b3L + MurmurHash3.stringHash(tokens(t), 17).toLong
+        var i = 0
+        while (i < dim) {
+          // one ±1 weight per (token, output dim) from the deterministic stream
+          v(i) += (if ((mix64(base + i * 0x9E3779B9L) & 1L) == 0L) 1f else -1f)
+          i += 1
+        }
+        t += 1
+      }
+    }
+    var norm = 0.0
+    var i = 0
+    while (i < dim) { norm += v(i).toDouble * v(i); i += 1 }
+    if (norm > 0) {
+      val inv = (1.0 / math.sqrt(norm)).toFloat
+      i = 0
+      while (i < dim) { v(i) *= inv; i += 1 }
+    }
+    v
+  }
+}
+
 object Embedder {
   val default: HashingEmbedder = new HashingEmbedder()
 

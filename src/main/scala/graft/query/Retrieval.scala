@@ -32,7 +32,8 @@ object Retrieval {
     * scale notes preach, not a per-row UDF stand-in for it.
     */
   def buildIndex(spark: SparkSession, dir: String,
-                 passageSize: Int = 300, overlap: Int = 50): DataFrame = {
+                 passageSize: Int = 300, overlap: Int = 50,
+                 embedder: Embedder = Embedder.default): DataFrame = {
     import spark.implicits._
     val passages = Tables.widen(Tables.documents(spark, dir))
       .select(col("doc_id"), CleanText.cleanText(col("text")).as("clean"))
@@ -44,7 +45,7 @@ object Retrieval {
       // DIVIDE_BY_ZERO at score time; drop it at the source
       .filter(trim(col("passage")) =!= "")
       .as[(Long, Int, String)]
-    Embedder.embedPartitions(passages.map(r => (r, r._3)))
+    Embedder.embedPartitions(passages.map(r => (r, r._3)), embedder = embedder)
       .map { case ((d, p, t), v) => (d, p, t, v) }
       .toDF("doc_id", "passage_id", "passage", "vec")
   }
@@ -55,9 +56,11 @@ object Retrieval {
     * (re_rank.py:28-51).
     */
   def retrieve(queries: DataFrame, index: DataFrame, k: Int = 12,
-               tHigh: Double = 0.30, tLow: Double = 0.15): DataFrame = {
+               tHigh: Double = 0.30, tLow: Double = 0.15,
+               embedder: Embedder = Embedder.default): DataFrame = {
     val q = Embedder.withEmbedding(
-      queries.select(col("query_id"), col("query_text")), "query_text", "qv")
+      queries.select(col("query_id"), col("query_text")), "query_text", "qv",
+      embedder = embedder)
     val scored = broadcast(q).crossJoin(
         index.select(col("doc_id"), col("passage_id"), col("passage"), col("vec")))
       .withColumn("score", VectorOps.cosine(col("qv"), col("vec")))
@@ -107,10 +110,11 @@ object Retrieval {
     * mirror of eval_snapshot.py:91-108 with the deterministic embedder.
     */
   def recallAtK(spark: SparkSession, dir: String, evalSet: DataFrame,
-                k: Int = 10): Double = {
-    val index = buildIndex(spark, dir)
+                k: Int = 10, embedder: Embedder = Embedder.default): Double = {
+    val index = buildIndex(spark, dir, embedder = embedder)
     val hits = retrieve(
-      evalSet.select(col("query_id"), col("query_text")), index, k)
+      evalSet.select(col("query_id"), col("query_text")), index, k,
+      embedder = embedder)
       .join(evalSet.select(col("query_id"), col("expected_doc")), "query_id")
       .groupBy("query_id")
       .agg(max(when(col("doc_id") === col("expected_doc"), 1).otherwise(0)).as("hit"))

@@ -22,6 +22,33 @@ class RetrievalSpec extends SparkSpec {
     assert(recall >= 0.80, s"recall@10 = $recall")
   }
 
+  test("pipeline is embedder-agnostic: swapping the model is a constructor arg, zero plumbing diffs") {
+    // the reference's real SentenceTransformer slots into the same trait
+    // seam — prove it by running the IDENTICAL recall pipeline with the
+    // second (fixed-weight linear projection) embedder and the default
+    // hashing embedder, changing nothing but the trait instance
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select(col("doc_a"), col("doc_b"))
+    val evalSet = pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("text")), "doc_a")
+      .select(col("doc_a").as("query_id"), col("text").as("query_text"),
+        col("doc_b").as("expected_doc"))
+    val linear = new graft.embed.LinearProjectionEmbedder()
+    val recallLinear = Retrieval.recallAtK(spark, sfDir, evalSet, 10, embedder = linear)
+    assert(recallLinear >= 0.80,
+      s"recall@10 with the linear-projection embedder = $recallLinear")
+    // both embedders produce the contract schema through the same plumbing
+    val q = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+    val outLinear = Retrieval.retrieve(q,
+      Retrieval.buildIndex(spark, sfDir, embedder = linear), k = 3, embedder = linear)
+    val outHash = Retrieval.retrieve(q,
+      Retrieval.buildIndex(spark, sfDir), k = 3)
+    assert(outLinear.schema == outHash.schema)
+    assert(outLinear.count() > 0 && outHash.count() > 0)
+  }
+
   test("flagship pipeline: every query packs within the token budget") {
     val out = Retrieval.flagship(spark, sfDir)
     val rows = out.collect()
