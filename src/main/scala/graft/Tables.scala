@@ -156,6 +156,28 @@ object Tables {
   def tsToSeconds(df: DataFrame): DataFrame =
     df.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_seconds(tsEpochSeconds(df)))
+
+  /** Streaming file-source read of `$dir/$name.parquet`, layout-adaptive.
+    *
+    * Two physical layouts exist for the same logical table: the fixture
+    * ships each table as ONE parquet FILE named `name.parquet`, while any
+    * Spark- (or Hive-/Iceberg-) written lake ships a DIRECTORY
+    * `name.parquet/` of part files. The file stream source's basePath must
+    * be a directory, so the single-file layout streams from `dir` with a
+    * glob selecting the file, and the directory layout streams from the
+    * table directory itself (part files match the source's default
+    * listing; `_SUCCESS` markers are filtered as hidden). Probed through
+    * the Hadoop FileSystem of the path's own scheme so an object-store
+    * `dir` resolves the same way a local one does.
+    */
+  def streamTable(spark: SparkSession, dir: String, name: String,
+                  schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val rs = spark.readStream.schema(schema)
+    if (fs.getFileStatus(path).isDirectory) rs.parquet(path.toString)
+    else rs.option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 

@@ -422,9 +422,8 @@ object Events {
   def streamingTumbling(spark: SparkSession, dir: String,
                         queryName: String): StreamingQuery = {
     val schema = Tables.eventsSchema(spark, dir)
-    // file-source basePath must be a directory; select the table via glob
-    val src = Tables.tsToMicros(spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    // layout-adaptive file/directory streaming source (Tables.streamTable)
+    val src = Tables.tsToMicros(Tables.streamTable(spark, dir, "events", schema))
     src.withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
@@ -445,8 +444,7 @@ object Events {
   def streamingSliding(spark: SparkSession, dir: String,
                        queryName: String): StreamingQuery = {
     val schema = Tables.eventsSchema(spark, dir)
-    val src = Tables.tsToMicros(spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val src = Tables.tsToMicros(Tables.streamTable(spark, dir, "events", schema))
     src.withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
@@ -470,8 +468,7 @@ object Events {
   def streamingSketchProfile(spark: SparkSession, dir: String,
                              queryName: String): StreamingQuery = {
     val schema = Tables.eventsSchema(spark, dir)
-    val src = Tables.tsToMicros(spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val src = Tables.tsToMicros(Tables.streamTable(spark, dir, "events", schema))
     src.withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n"),
@@ -500,8 +497,7 @@ object Events {
                         queryName: String): StreamingQuery = {
     import spark.implicits._
     val schema = Tables.eventsSchema(spark, dir)
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val raw = Tables.streamTable(spark, dir, "events", schema)
     val src = raw
       .select(Tables.tsEpochSeconds(raw).cast("long").as("tsSec"),
         col("user_id"), col("value"))
@@ -556,8 +552,7 @@ object Events {
   def streamingDedup(spark: SparkSession, dir: String,
                      queryName: String): StreamingQuery = {
     val schema = Tables.eventsSchema(spark, dir)
-    val src = Tables.tsToSeconds(spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val src = Tables.tsToSeconds(Tables.streamTable(spark, dir, "events", schema))
     src.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
       .select("event_id", "user_id", "event_type", "value")
@@ -579,8 +574,7 @@ object Events {
   private def rangeJoinedStream(spark: SparkSession, dir: String,
                                 joinType: String = "inner"): DataFrame = {
     val schema = Tables.eventsSchema(spark, dir)
-    def src = Tables.tsToSeconds(spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    def src = Tables.tsToSeconds(Tables.streamTable(spark, dir, "events", schema))
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("p_ts"))
@@ -679,8 +673,7 @@ object Events {
       .withColumn("in_lake", lit(true))
     val tmp = graft.TempDirs.scratch("q100_lake_filter")
     val out = tmp.resolve("out").toString
-    val stream = spark.readStream.schema(docs.schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val stream = Tables.streamTable(spark, dir, "documents", docs.schema)
       .filter(col("doc_id") > cut)
       .withColumn("fp", graft.dedup.Dedup.canonicalFingerprint(col("text")))
       .join(lakeFps, Seq("fp"), "left_outer")
@@ -1111,8 +1104,7 @@ object Events {
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .select(pmod(hash(col("w")), lit(buckets)).as("bucket"), col("w"))
-    val stream = toWords(spark.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+    val stream = toWords(Tables.streamTable(spark, dir, "documents", docs.schema))
       .as[(Int, String)]
     val fn: (Int, Iterator[(Int, String)], GroupState[(Long, Map[String, Long])]) => BucketSketch =
       (bucket, rows, state) => {

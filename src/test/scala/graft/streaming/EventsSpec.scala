@@ -15,6 +15,26 @@ class EventsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming readers adapt to a directory-layout (multi-file) table") {
+    // Two physical layouts exist for the same logical table: the fixture
+    // ships events.parquet as ONE file, while a Spark-written lake ships
+    // a DIRECTORY of part files. The round-7 sf1 rehearsal caught a
+    // file-only assumption here (the glob matched no files inside the
+    // directory, so the stream was silently empty); Tables.streamTable
+    // now probes the layout. Pin that a directory-layout copy streams to
+    // exactly the single-file batch result.
+    val tmp = graft.TempDirs.scratch("dir_layout").toString
+    graft.Tables.eventsRaw(spark, sfDir).repartition(3)
+      .write.parquet(s"$tmp/events.parquet")
+    val q = Events.streamingTumbling(spark, tmp, "dir_layout_tumbling")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dir_layout_tumbling")
+      .orderBy("wstart", "event_type").collect().toSeq
+    val batch = Events.q33Tumbling(spark, sfDir).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming sliding windows equal the batch q34 result") {
     val q = Events.streamingSliding(spark, sfDir, "stream_sliding")
     q.processAllAvailable(); q.stop()
