@@ -37,27 +37,28 @@ object ScaleOps {
 
   /** Embedding-cosine near-dup pairs ≥ 0.45 (threshold calibrated to the
     * fixture's cosine distribution; reference's 0.75/0.95 bands are empty
-    * on the synthetic vectors), via the triangle-inequality projection
-    * band join (`VectorOps.nearDupPairsBanded`) — EXACT at any τ, with a
-    * plain shuffle hash-join plan instead of the cartesian product the
-    * previous registration carried.
+    * on the synthetic vectors), via the BLOCKED exact all-pairs scan
+    * (`VectorOps.nearDupPairsBlocked`) — EXACT at any τ.
     *
     * Why not a recall-approximate candidate scheme: τ = 0.45 sits at the
     * noise floor of these near-isotropic vectors, where no sublinear
     * method keeps exact recall (measured: IVF probe-4 still misses
     * qualifying pairs at sf0.1 and prunes only 8%; sign-LSH needs ~300
     * 16-bit bands for 99% recall while 60%+ of random pairs collide
-    * anyway). The band join is the honest exact form: output-sensitive
-    * pruning that strengthens as the threshold moves into genuine
-    * similarity structure, and degrades toward all-pairs only in the
-    * noise-floor regime where that cost is intrinsic. Approximate scale
-    * paths for real thresholds remain `q62_lsh_neardup`
+    * anyway — and the 10x-rehearsal NearDupSweep showed the projection
+    * band join prunes almost nothing at ANY τ ≤ 0.95 in 384 dims, where
+    * the exact-recall bucket width exceeds the projected data spread).
+    * The quadratic is intrinsic; what the implementation controls is its
+    * DISTRIBUTION SHAPE, and the blocked form gets it right: B² bounded
+    * tasks, O(N·B) data movement, tight primitive scoring loops —
+    * 75 s → ~3 s at the 10x rehearsal for identical output. Approximate
+    * scale paths for real thresholds remain `q62_lsh_neardup`
     * (VectorOps.signLshNearDup) and `nearDupPairsBucketed` (cluster
-    * structure); `nearDupPairs` stays as the bounded verify-stage
-    * primitive and the spec's equality baseline.
+    * structure); `nearDupPairs` stays as the small-n reference and the
+    * spec's equality baseline.
     */
   def q27EmbedNeardup(spark: SparkSession, dir: String): DataFrame =
-    VectorOps.nearDupPairsBanded(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45)
+    VectorOps.nearDupPairsBlocked(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45)
 
   /** Sign-LSH near-dup over hash-embedded documents at τ = 0.95 — the
     * banded candidate generation + exact-verify shape that scales

@@ -126,6 +126,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(cands < 20L * 19 / 2, s"bucketing must prune cross-cluster pairs, got $cands")
   }
 
+  test("blocked near-dup equals the exact all-pairs scan with no cartesian plan") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    for (t <- Seq(0.45, 0.8)) {
+      val exact = VectorOps.nearDupPairs(emb, "vec_id", "embedding", t).collect().toSeq
+      // blockRows smaller than the fixture so same-block AND cross-block
+      // pair paths are both exercised
+      val blocked = VectorOps.nearDupPairsBlocked(emb, "vec_id", "embedding", t, blockRows = 7)
+      assert(blocked.collect().toSeq == exact,
+        s"blocked all-pairs scan must be exact at t=$t")
+      val plan = blocked.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"blocked plan must join the driver-built grid, not a product join:\n$plan")
+    }
+    // zero-norm vectors are pruned, not divide-by-zero'd
+    import spark.implicits._
+    val withZero = Seq((1L, Array(0f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(1f, 0.01f, 0f, 0f))).toDF("vec_id", "embedding")
+    val pairs = VectorOps.nearDupPairsBlocked(withZero, "vec_id", "embedding", 0.9)
+      .collect().toSeq
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))) == Seq((2L, 3L)))
+  }
+
   test("banded near-dup equals the exact all-pairs scan with no cartesian plan") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     for (t <- Seq(0.45, 0.8)) {
