@@ -251,6 +251,14 @@ object ScaleOps {
     * oracle mirrors the probe logic exactly, so recall restriction is
     * part of the contract, not a silent loss — cf. q27 (exact reference
     * scan) and q62 (sign-LSH for cluster-free corpora).
+    *
+    * Scale note (measured at the 10x rehearsal: 11.2× wall at 10× rows):
+    * with the FIXTURE's fixed label set, in-cluster pair count grows
+    * quadratically as rows grow — the fixture has no more clusters to
+    * give. In production the cluster count is a knob, and the standard
+    * discipline is k ∝ √N (kmeansFit/q124 learn k from data), which
+    * keeps expected in-cluster pairs ~N·√N-bounded per probe and the
+    * per-bucket task size constant.
     */
   def q69BucketedNeardup(spark: SparkSession, dir: String): DataFrame =
     VectorOps.nearDupPairsBucketed(
