@@ -191,6 +191,8 @@ object SparkEntry {
     "q150_l_diversity"     -> graft.operators.Privacy.q150LDiversity _,
     "q151_unimax_mixture"  -> ScaleOps.q151UnimaxMixture _,
     "q152_corpus_datasheet" -> ScaleOps.q152CorpusDatasheet _,
+    "q153_compaction_plan" -> graft.operators.LakeLayout.q153CompactionPlan _,
+    "q154_zorder_layout"   -> graft.operators.LakeLayout.q154ZorderLayout _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2558,5 +2560,53 @@ object SparkEntry {
          LEFT JOIN nd ON base.source = nd.source
          LEFT JOIN nc ON base.source = nc.source
          ORDER BY base.source""",
+    // lake compaction grouping: size-desc running-sum binning per source
+    // partition over the modulus-derived file manifest
+    "q153_compaction_plan" ->
+      """WITH manifest AS (
+           SELECT source, doc_id % 64 AS file_id, CAST(SUM(n_chars) AS BIGINT) AS bytes
+           FROM documents GROUP BY 1, 2),
+         cum AS (
+           SELECT source, bytes,
+             CAST(COALESCE(SUM(bytes) OVER (PARTITION BY source
+               ORDER BY bytes DESC, file_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           FROM manifest)
+         SELECT source, CAST(cum_before // 16384 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+         FROM cum GROUP BY 1, 2 ORDER BY source, bin""",
+    // z-order vs row-major layout quality: per-file min/max spans of the
+    // 256x256 (user bucket x epoch-hour bucket) grid; the Morton
+    // interleave is the same 16-term shift/mask arithmetic both engines
+    // evaluate exactly on BIGINTs
+    "q154_zorder_layout" ->
+      """WITH coords AS (
+           SELECT user_id % 256 AS x,
+             ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 256) AS y
+           FROM events),
+         z AS (
+           SELECT x, y,
+             (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1) +
+             (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3) +
+             (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5) +
+             (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) +
+             (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9) +
+             (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) +
+             (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13) +
+             (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15) AS zv
+           FROM coords),
+         files AS (
+           SELECT 'zorder' AS layout, zv // 1024 AS f, x, y FROM z
+           UNION ALL
+           SELECT 'rowmajor' AS layout, (x * 256 + y) // 1024 AS f, x, y FROM z),
+         pf AS (
+           SELECT layout, f, MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y
+           FROM files GROUP BY 1, 2)
+         SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(max_x - min_x + 1) AS BIGINT) AS sum_x_span,
+           CAST(SUM(max_y - min_y + 1) AS BIGINT) AS sum_y_span
+         FROM pf GROUP BY layout ORDER BY layout""",
   )
 }
