@@ -10,20 +10,29 @@ import org.apache.spark.sql.functions._
   * The point is to scale cardinalities without distorting the statistical
   * structure the operators key on:
   *
-  *  - documents: replica 0 is the original; replica i>0 shifts doc_id and
+  *  - documents: replica 0 is the original; replica i>0 shifts doc_id,
   *    deterministically shuffles the WORD ORDER with a seed derived from
-  *    the text itself (xxhash64(text) ^ salt). Identical texts get
-  *    identical shuffles, so the planted exact-duplicate rate survives in
-  *    every replica; across replicas the shingle sets are destroyed, so a
-  *    replica is NOT an artificial near-dup of its original (which would
-  *    inflate pair counts quadratically in the factor — a fixture
-  *    artifact, not a scaling signal). Word multisets are preserved, so
-  *    quality/LM/token statistics keep their distribution.
-  *  - embeddings: vec_id shifts; replica i>0 adds a deterministic
-  *    pseudo-random perturbation (scaled to ~5% of the vector norm) and
-  *    re-normalizes, keeping the space's cluster geometry while avoiding
-  *    10 exact copies of every vector (which would tie-break ANN top-k
-  *    pathologically).
+  *    the text itself (hash(text) ^ salt), then tags ~25% of word TYPES
+  *    (keyed by word+salt) with a replica suffix. Identical texts get
+  *    identical transforms, so the planted exact-duplicate rate survives
+  *    in every replica; across replicas the shuffle destroys shingle
+  *    sets AND the tagging destroys word-multiset equality — without the
+  *    tagging, every ORDER-INVARIANT signature (the bag-of-tokens hash
+  *    embedder, unigram simhash, the sorted-distinct-word canonical
+  *    fingerprint) sees all `factor` replicas of a text as exact
+  *    duplicates, growing near-dup pair mass QUADRATICALLY in the
+  *    factor — a fixture artifact no real corpus has (new data is new
+  *    text, not permutations of old text; measured: the v1 fixture sent
+  *    sign-LSH dedup from 14 s to a 350 s failure at factor 100).
+  *  - embeddings: vec_id shifts; replica i>0 applies a SIGNED COORDINATE
+  *    PERMUTATION (a deterministic salt-keyed permutation plus sign
+  *    flips). That is an exactly orthogonal transform: every
+  *    within-replica pairwise cosine — planted near-dup pairs included —
+  *    is preserved bit-for-bit, while cross-replica cosines drop to the
+  *    ~1/√dim isotropic noise floor, so qualifying-pair mass grows
+  *    linearly in the factor, the way a real corpus grows (the v1
+  *    additive 5% perturbation instead made every vector a member of a
+  *    factor-sized ~0.87-cosine clique).
   *  - events: event_id/user_id shift per replica, timestamps unchanged —
   *    10x the users with identical per-user history shapes, the way a
   *    bigger tenant population actually scales (the window/session/as-of
@@ -52,35 +61,47 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // deterministic text-keyed word shuffle: same text => same output, so
-    // exact-dup structure is replica-invariant
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    // deterministic text-keyed transform: same text => same output, so
+    // exact-dup structure is replica-invariant (see object doc for why
+    // both the shuffle AND the word tagging are needed)
     val shuffleWords = udf { (text: String, salt: Long) =>
       if (salt == 0L || text == null) text
       else {
         val words = text.split(" ", -1)
         val seed = scala.util.hashing.MurmurHash3.stringHash(text).toLong ^ (salt * 0x9e3779b97f4a7c15L)
         val rnd = new scala.util.Random(seed)
-        rnd.shuffle(words.toIndexedSeq).mkString(" ")
+        rnd.shuffle(words.toIndexedSeq)
+          .map { w =>
+            // tag ~25% of word TYPES per replica (word+salt keyed, so a
+            // word is tagged consistently within the replica and the
+            // within-replica repetition structure survives)
+            if ((mix64(scala.util.hashing.MurmurHash3.stringHash(w).toLong
+                ^ salt * 0x9e3779b97f4a7c15L) & 3L) == 0L) w + "~" + salt
+            else w
+          }.mkString(" ")
       }
     }
-    // deterministic vector perturbation: splitmix64 stream keyed by
-    // (vec_id, salt, component) -> uniform in [-eps, eps], re-normalized
-    val perturb = udf { (vec: Seq[Float], id: Long, salt: Long) =>
+    // signed coordinate permutation per replica: a deterministic
+    // orthogonal transform (permutation matrix with ±1 entries) — one
+    // Fisher-Yates permutation + sign vector per salt, shared by every
+    // vector of the replica
+    val perturb = udf { (vec: Seq[Float], salt: Long) =>
       if (salt == 0L || vec == null) vec
       else {
-        val eps = 0.05f
-        var x = id * 0x9e3779b97f4a7c15L + salt
-        val out = vec.map { v =>
-          x += 0x9e3779b97f4a7c15L
-          var z = x
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z = z ^ (z >>> 31)
-          val u = (z >>> 11).toDouble / (1L << 53).toDouble // [0,1)
-          v + eps * (2.0f * u.toFloat - 1.0f)
-        }
-        val n = math.sqrt(out.map(v => v.toDouble * v.toDouble).sum)
-        if (n == 0.0) out else out.map(v => (v / n).toFloat)
+        val d = vec.length
+        val rnd = new scala.util.Random(mix64(salt * 0x100000001b3L))
+        val perm = rnd.shuffle((0 until d).toIndexedSeq)
+        val signs = Array.fill(d)(if (rnd.nextBoolean()) 1f else -1f)
+        val out = new Array[Float](d)
+        var j = 0
+        while (j < d) { out(j) = signs(j) * vec(perm(j)); j += 1 }
+        out.toSeq
       }
     }
 
@@ -97,7 +118,7 @@ object ScaleUp {
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embUp = replicas(emb) { (d, i) =>
-      d.withColumn("embedding", perturb(col("embedding"), col("vec_id"), lit(i.toLong)))
+      d.withColumn("embedding", perturb(col("embedding"), lit(i.toLong)))
         .withColumn("vec_id", col("vec_id") + lit(i * IdShift))
     }
     embUp.repartition(8).write.mode("overwrite").parquet(s"$dest/embeddings.parquet")

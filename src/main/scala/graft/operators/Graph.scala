@@ -42,9 +42,24 @@ object Graph {
       // each vertex takes the min of its own label and its neighbors'
       val nbrMin = e.join(labels.withColumnRenamed("v", "dst"), "dst")
         .groupBy(col("src").as("v")).agg(min("label").as("nbr"))
-      val next = labels.join(nbrMin, Seq("v"))
+      val hopped = labels.join(nbrMin, Seq("v"))
         .select(col("v"), col("label"),
-          least(col("label"), col("nbr")).as("next_label"))
+          least(col("label"), col("nbr")).as("h"))
+      // pointer jump (shortcutting): label(v) ← label(label(v)). A label
+      // is always a vertex of v's own component (true at init, preserved
+      // by both steps), so the jump stays inside the component while
+      // roughly doubling how far the min has travelled — hop alone needs
+      // O(diameter) rounds, hop+jump O(log diameter). That is the
+      // difference between converging and the loud abort on deep graphs:
+      // the 10x-rehearsal's sf10 line graph has diameter > 20 (random
+      // shared-line edges chain), and a 100 TB web-scale dup graph does
+      // too. One extra self-join per round; the jump target always
+      // resolves (every label is a vertex and every vertex has a row),
+      // left+coalesce only guards the invariant.
+      val lookup = hopped.select(col("v").as("h"), col("h").as("jump"))
+      val next = hopped.join(lookup, Seq("h"), "left")
+        .select(col("v"), col("label"),
+          least(col("h"), coalesce(col("jump"), col("h"))).as("next_label"))
         .localCheckpoint(false)
       changed = next.filter(col("next_label") =!= col("label")).count()
       labels = next.select(col("v"), col("next_label").as("label"))

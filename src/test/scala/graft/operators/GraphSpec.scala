@@ -35,19 +35,22 @@ class GraphSpec extends SparkSpec {
   }
 
   test("long chain converges to a single min label within maxIter") {
-    // path graph 0-1-2-...-19: worst-case diameter for min propagation
-    val chain = (0L until 19L).map(i => (i, i + 1))
+    // path graph 0-1-...-299: diameter 299 >> maxIter 20 — pure hop
+    // propagation could never finish; the pointer jump makes the rounds
+    // logarithmic in depth, so this MUST converge well inside the clamp
+    val chain = (0L until 299L).map(i => (i, i + 1))
     val sym = chain.flatMap(p => Seq(p, p.swap))
     val got = Graph.connectedComponents(sym.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
-    assert(got.size == 20 && got.values.forall(_ == 0L))
+    assert(got.size == 300 && got.values.forall(_ == 0L))
   }
 
   test("non-convergence fails loudly, not with silently wrong labels") {
-    // diameter-9 chain with maxIter=3: min-label propagation cannot
-    // finish — the require must throw, because unconverged labels would
-    // otherwise surface as a baffling oracle mismatch downstream
-    val chain = (0L until 9L).map(i => (i, i + 1))
+    // diameter-999 chain with maxIter=3: even with pointer jumping the
+    // min reaches only ~2^3-scale depth in 3 rounds — the require must
+    // throw, because unconverged labels would otherwise surface as a
+    // baffling oracle mismatch downstream
+    val chain = (0L until 999L).map(i => (i, i + 1))
     val sym = chain.flatMap(p => Seq(p, p.swap))
     val ex = intercept[IllegalArgumentException] {
       Graph.connectedComponents(sym.toDF("src", "dst"), maxIter = 3)
