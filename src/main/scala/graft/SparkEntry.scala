@@ -193,6 +193,8 @@ object SparkEntry {
     "q152_corpus_datasheet" -> ScaleOps.q152CorpusDatasheet _,
     "q153_compaction_plan" -> graft.operators.LakeLayout.q153CompactionPlan _,
     "q154_zorder_layout"   -> graft.operators.LakeLayout.q154ZorderLayout _,
+    "q155_skew_report"     -> graft.operators.Planning.q155SkewReport _,
+    "q156_join_cardinality" -> graft.operators.Planning.q156JoinCardinality _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2608,5 +2610,50 @@ object SparkEntry {
            CAST(SUM(max_x - min_x + 1) AS BIGINT) AS sum_x_span,
            CAST(SUM(max_y - min_y + 1) AS BIGINT) AS sum_y_span
          FROM pf GROUP BY layout ORDER BY layout""",
+    // shuffle pre-flight: hot-key stats per candidate key, exact integer
+    // arithmetic, 4x-mean salting rule (the fix it triggers is q47)
+    "q155_skew_report" ->
+      """WITH ek AS (SELECT CAST(event_type AS VARCHAR) AS key, COUNT(*) AS cnt
+             FROM events GROUP BY 1),
+         uk AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt
+             FROM events GROUP BY 1),
+         stats AS (
+           SELECT 'event_type' AS key_col, COUNT(*) AS n_keys,
+             SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt FROM ek
+           UNION ALL
+           SELECT 'user_id', COUNT(*), SUM(cnt), MAX(cnt) FROM uk)
+         SELECT key_col, CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(max_cnt AS BIGINT) AS max_cnt,
+           CAST(max_cnt * 10000 // greatest(n_rows, 1) AS BIGINT) AS top_share_bp,
+           CAST(max_cnt * 100 // greatest(n_rows // greatest(n_keys, 1), 1) AS BIGINT) AS skew_x100,
+           (max_cnt * 100 // greatest(n_rows // greatest(n_keys, 1), 1)) >= 400 AS salt_recommended
+         FROM stats ORDER BY key_col""",
+    // pre-flight equi-join cardinality from per-key count tables:
+    // sum(na*nb) over matching keys, never the join itself
+    "q156_join_cardinality" ->
+      """WITH j1 AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+             CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS est_rows
+           FROM (SELECT o_orderkey AS k, COUNT(*) AS na FROM orders GROUP BY 1) a
+           JOIN (SELECT l_orderkey AS k, COUNT(*) AS nb FROM lineitem GROUP BY 1) b USING (k)),
+         j2 AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+             CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS est_rows
+           FROM (SELECT c_custkey AS k, COUNT(*) AS na FROM customer GROUP BY 1) a
+           JOIN (SELECT o_custkey AS k, COUNT(*) AS nb FROM orders GROUP BY 1) b USING (k)),
+         j3 AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+             CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS est_rows
+           FROM (SELECT user_id AS k, COUNT(*) AS na FROM events
+                 WHERE event_type = 'purchase' GROUP BY 1) a
+           JOIN (SELECT user_id AS k, COUNT(*) AS nb FROM events
+                 WHERE event_type = 'signup' GROUP BY 1) b USING (k))
+         SELECT 'customer_orders' AS join_name, n_matching_keys, est_rows FROM j2
+         UNION ALL
+         SELECT 'orders_lineitem', n_matching_keys, est_rows FROM j1
+         UNION ALL
+         SELECT 'purchases_signups', n_matching_keys, est_rows FROM j3
+         ORDER BY join_name""",
   )
 }
