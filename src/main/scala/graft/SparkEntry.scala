@@ -195,6 +195,7 @@ object SparkEntry {
     "q154_zorder_layout"   -> graft.operators.LakeLayout.q154ZorderLayout _,
     "q155_skew_report"     -> graft.operators.Planning.q155SkewReport _,
     "q156_join_cardinality" -> graft.operators.Planning.q156JoinCardinality _,
+    "q157_ndv_autoapprox"  -> graft.plans.ApproxDistinct.q157NdvAutoApprox _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -207,6 +208,10 @@ object SparkEntry {
     // the full catalog instead of recording rows-only checks. See
     // OraclePins for provenance and the regeneration recipe.
     "q26_simhash"           -> OraclePins.pin26,
+    // NDV dashboard through the opt-in count(DISTINCT)->HLL++ optimizer
+    // rule: the sketch values are Spark-deterministic, DuckDB cannot
+    // recompute them -> literal pin (exact n_rows rides along)
+    "q157_ndv_autoapprox"   -> OraclePins.pin157,
     "q38_retrieval"         -> OraclePins.pin38,
     "q43_sentence_chunks"   -> OraclePins.pin43,
     "q58_pdf_passages"      -> OraclePins.pin58,

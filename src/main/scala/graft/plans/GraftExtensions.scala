@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CleanTextExpr(exprs.head)
       }))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // opt-in count(DISTINCT) -> HLL++ relaxation (see ApproxDistinct)
+    e.injectOptimizerRule(ApproxCountDistinctRule)
   }
 }
