@@ -196,6 +196,7 @@ object SparkEntry {
     "q155_skew_report"     -> graft.operators.Planning.q155SkewReport _,
     "q156_join_cardinality" -> graft.operators.Planning.q156JoinCardinality _,
     "q157_ndv_autoapprox"  -> graft.plans.ApproxDistinct.q157NdvAutoApprox _,
+    "q158_simhash128"      -> ScaleOps.q158Simhash128 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -212,6 +213,8 @@ object SparkEntry {
     // rule: the sketch values are Spark-deterministic, DuckDB cannot
     // recompute them -> literal pin (exact n_rows rides along)
     "q157_ndv_autoapprox"   -> OraclePins.pin157,
+    // 128-bit simhash: JVM-hash-specific like q26 -> literal pin
+    "q158_simhash128"       -> OraclePins.pin158,
     "q38_retrieval"         -> OraclePins.pin38,
     "q43_sentence_chunks"   -> OraclePins.pin43,
     "q58_pdf_passages"      -> OraclePins.pin58,

@@ -340,10 +340,18 @@ object Dedup {
     * rows/doc) and probing each chunk value plus its 16 single-bit flips
     * (68 rows/doc) guarantees every qualifying pair collides. Expected
     * collisions ≈ 4 · 17n²/65536 = n²/964 — vs n²/32 for the naive
-    * (d+1)=8-chunk scheme whose 8-bit chunks give only 256 buckets. At
-    * larger scale, grow the chunks again (2 × 32-bit chunks + probes for
-    * d ≤ 3) — bucket count must scale with corpus size, which 8-bit
-    * chunks structurally cannot do.
+    * (d+1)=8-chunk scheme whose 8-bit chunks give only 256 buckets.
+    *
+    * Scale boundary, measured at the 100× rehearsal (500k docs, 61 s):
+    * the n²/964 collision floor is STRUCTURAL for a 64-bit signature at
+    * d ≤ 7 — fewer chunks need multi-bit probes that explode
+    * combinatorially (2 × 32-bit chunks require ≤3-bit flips = 5,489
+    * probes/chunk), more chunks shrink the bucket space. The production
+    * move past ~10⁶ docs is a LONGER signature (Manku et al., WWW'07:
+    * 128-bit simhash → 4 × 32-bit chunks, single-bit probes, collision
+    * floor n²/2²⁷) — a similarity-contract change (hamming distance on
+    * a different hash), not a banding tweak, which is why this operator
+    * keeps the 64-bit contract its oracle pins.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 7): DataFrame = {
@@ -377,6 +385,98 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 128-bit SimHash signature as (hi, lo) longs — the Manku et al.
+    * (WWW'07) scale path past [[simhashPairs]]'s 64-bit collision floor.
+    * One FNV-1a pass per token feeds both halves: bits 0–63 vote from
+    * the token hash, bits 64–127 from its splitmix64 finalizer (an
+    * independent-by-construction second hash with no second string
+    * pass).
+    */
+  def simhash128Signatures(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val sim = udf { (text: String) =>
+      val acc = new Array[Int](128)
+      if (text != null) {
+        val tokens = text.trim.split("\\s+")
+        var t = 0
+        while (t < tokens.length) {
+          if (tokens(t).nonEmpty) {
+            val h1 = fnv64(tokens(t))
+            val h2 = mix64(h1)
+            var i = 0
+            while (i < 64) {
+              if (((h1 >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+              if (((h2 >>> i) & 1L) == 1L) acc(64 + i) += 1 else acc(64 + i) -= 1
+              i += 1
+            }
+          }
+          t += 1
+        }
+      }
+      var lo = 0L; var hi = 0L
+      var i = 0
+      while (i < 64) {
+        if (acc(i) > 0) lo |= (1L << i)
+        if (acc(64 + i) > 0) hi |= (1L << i)
+        i += 1
+      }
+      (hi, lo)
+    }
+    docs.select(col(idCol).as("id"), sim(col(textCol)).as("s"))
+      .select(col("id"), col("s._1").as("sim_hi"), col("s._2").as("sim_lo"))
+  }
+
+  /** SimHash near-dup pairs at hamming ≤ maxDist over the 128-BIT
+    * signature — the banding that SCALES where the 64-bit form's
+    * collision floor is structural: 4 chunks of 32 bits give 2³²
+    * bucket values per chunk, so expected random collisions are
+    * ≈ 4·33·n²/2³² = n²/2²⁷ (vs n²/964 at 64 bits — five orders of
+    * magnitude fewer verify rows at equal n). Pigeonhole is unchanged:
+    * d ≤ 7 over 4 chunks puts ≤ 1 error in some chunk, covered by the
+    * 32 single-bit probes; recall is exactly 1.0 of the 128-bit
+    * hamming contract (which is a DIFFERENT similarity than the 64-bit
+    * one — both are registered, each with its own oracle).
+    */
+  def simhash128Pairs(docs: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 7): DataFrame = {
+    val nChunks = 4
+    val chunkBits = 32
+    val mask = (1L << chunkBits) - 1
+    require(maxDist / nChunks <= 1,
+      s"maxDist $maxDist needs >1-bit probes with $nChunks chunks — not implemented")
+    val sig = simhash128Signatures(docs, idCol, textCol)
+    // chunks 0/1 from the low long, 2/3 from the high
+    def chunkAt(ci: Int): Column = {
+      val src = if (ci < 2) col("sim_lo") else col("sim_hi")
+      shiftright(src, (ci % 2) * chunkBits).bitwiseAND(mask)
+    }
+    val idxCols = (0 until nChunks).map(ci =>
+      struct(lit(ci).as("ci"), chunkAt(ci).as("cv")))
+    val index = sig
+      .select(col("id").as("id_b"), col("sim_hi").as("hi_b"),
+        col("sim_lo").as("lo_b"), explode(array(idxCols: _*)).as("c"))
+      .select(col("id_b"), col("hi_b"), col("lo_b"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val probeCols = (0 until nChunks).flatMap { ci =>
+      val base = chunkAt(ci)
+      val variants = base +: (0 until chunkBits).map(b => base.bitwiseXOR(lit(1L << b)))
+      variants.map(v => struct(lit(ci).as("ci"), v.as("cv")))
+    }
+    val probes = sig
+      .select(col("id").as("id_a"), col("sim_hi").as("hi_a"),
+        col("sim_lo").as("lo_a"), explode(array(probeCols: _*)).as("c"))
+      .select(col("id_a"), col("hi_a"), col("lo_a"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
+    probes.join(index, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
       .orderBy("doc_a", "doc_b")

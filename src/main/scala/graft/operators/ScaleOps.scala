@@ -35,6 +35,12 @@ object ScaleOps {
   def q26Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** 128-bit SimHash banded near-dup pairs — q26's scale path (2³²
+    * buckets/chunk; see Dedup.simhash128Pairs for the collision math).
+    */
+  def q158Simhash128(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash128Pairs(Tables.documents(spark, dir), "doc_id", "text")
+
   /** Embedding-cosine near-dup pairs ≥ 0.45 (threshold calibrated to the
     * fixture's cosine distribution; reference's 0.75/0.95 bands are empty
     * on the synthetic vectors), via the BLOCKED exact all-pairs scan
