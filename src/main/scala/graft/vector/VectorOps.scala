@@ -595,10 +595,17 @@ object VectorOps {
   def signLshNearDup(vecs: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, nBands: Int = 160, bandBits: Int = 32,
                      seed: Long = 7L): DataFrame = {
+    require(threshold > 0, "sign-LSH near-dup needs a positive cosine threshold")
     val sp = new SignPlanes(nBands, bandBits, seed)
     val sigUdf = udf((v: Seq[Float]) => sp.bandSigs(v))
+    // zero-norm vectors score cosine 0.0 against everything, so at a
+    // positive threshold dropping them up front is output-identical —
+    // and they are the one class that shares IDENTICAL signatures in
+    // every band (all sign bits 0), i.e. the guaranteed giant join
+    // bucket on a corpus with many empty documents
     val v = graft.Tables.widen(vecs.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .withColumn("nv", l2Norm(col("vec")))
+      .filter(col("nv") > 0)
       .cache()
     val banded = v.select(col("id"), posexplode(sigUdf(col("vec"))).as(Seq("band", "sig")))
     val candidates = banded.as("a").join(banded.as("b"), Seq("band", "sig"))
