@@ -61,12 +61,7 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def mix64(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    def mix64(z0: Long): Long = graft.functions.SplitMix.mix64(z0)
     // deterministic text-keyed transform: same text => same output, so
     // exact-dup structure is replica-invariant (see object doc for why
     // both the shuffle AND the word tagging are needed)
@@ -88,20 +83,27 @@ object ScaleUp {
       }
     }
     // signed coordinate permutation per replica: a deterministic
-    // orthogonal transform (permutation matrix with ±1 entries) — one
-    // Fisher-Yates permutation + sign vector per salt, shared by every
-    // vector of the replica
-    val perturb = udf { (vec: Seq[Float], salt: Long) =>
-      if (salt == 0L || vec == null) vec
-      else {
-        val d = vec.length
-        val rnd = new scala.util.Random(mix64(salt * 0x100000001b3L))
-        val perm = rnd.shuffle((0 until d).toIndexedSeq)
-        val signs = Array.fill(d)(if (rnd.nextBoolean()) 1f else -1f)
-        val out = new Array[Float](d)
-        var j = 0
-        while (j < d) { out(j) = signs(j) * vec(perm(j)); j += 1 }
-        out.toSeq
+    // orthogonal transform (permutation matrix with ±1 entries). The
+    // permutation and sign vector depend only on the salt, so they are
+    // built ONCE per replica on the driver and closed over by that
+    // replica's UDF — rebuilding them per row paid a dim-element
+    // Fisher-Yates per vector (review finding)
+    val embDim = spark.read.parquet(s"$src/embeddings.parquet")
+      .select(size(col("embedding"))).head().getInt(0)
+    def signedPermUdf(salt: Long) = {
+      val rnd = new scala.util.Random(mix64(salt * 0x100000001b3L))
+      val perm = rnd.shuffle((0 until embDim).toIndexedSeq).toArray
+      val signs = Array.fill(embDim)(if (rnd.nextBoolean()) 1f else -1f)
+      udf { (vec: Seq[Float]) =>
+        if (salt == 0L || vec == null) vec
+        else {
+          val v = vec.toArray
+          val n = math.min(v.length, embDim)
+          val out = new Array[Float](v.length)
+          var j = 0
+          while (j < n) { out(j) = signs(j) * v(perm(j)); j += 1 }
+          out.toSeq
+        }
       }
     }
 
@@ -112,13 +114,13 @@ object ScaleUp {
     val docsUp = replicas(docs) { (d, i) =>
       d.withColumn("doc_id", col("doc_id") + lit(i * IdShift))
         .withColumn("text", shuffleWords(col("text"), lit(i.toLong)))
-        .withColumn("n_chars", length(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }
     docsUp.repartition(32).write.mode("overwrite").parquet(s"$dest/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embUp = replicas(emb) { (d, i) =>
-      d.withColumn("embedding", perturb(col("embedding"), lit(i.toLong)))
+      d.withColumn("embedding", signedPermUdf(i.toLong)(col("embedding")))
         .withColumn("vec_id", col("vec_id") + lit(i * IdShift))
     }
     embUp.repartition(8).write.mode("overwrite").parquet(s"$dest/embeddings.parquet")

@@ -40,13 +40,8 @@ object Dedup {
     h
   }
 
-  /** splitmix64 finalizer — decorrelates band/permutation constants. */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  /** splitmix64 finalizer (shared impl — see functions.SplitMix). */
+  private def mix64(z0: Long): Long = graft.functions.SplitMix.mix64(z0)
 
   /** Distinct word n-gram shingles as an array column; empty when the
     * document has fewer than n words.

@@ -70,12 +70,7 @@ final class LinearProjectionEmbedder(val dim: Int = 384, seed: Long = 7L)
     extends Embedder {
   import scala.util.hashing.MurmurHash3
 
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix64(z0: Long): Long = graft.functions.SplitMix.mix64(z0)
 
   def encode(texts: Seq[String]): Seq[Array[Float]] = texts.map(encodeOne)
 

@@ -38,8 +38,21 @@ case class ApproxCountDistinctRule(spark: SparkSession) extends Rule[LogicalPlan
     if (!spark.conf.get(ApproxDistinct.Flag, "false").toBoolean) plan
     else plan.transform {
       case agg: Aggregate =>
-        agg.transformExpressions {
-          case ae @ AggregateExpression(Count(Seq(child)), mode, true, filter, id) =>
+        // the single-group guard must live IN the rule, not be an
+        // accident of batch ordering: via injectOptimizerRule this runs
+        // in the operator-optimization batch BEFORE the core optimizer's
+        // RewriteDistinctAggregates, where a multi-group aggregate is
+        // still in its original form and the naive transform would
+        // silently approximate BOTH groups (the post-hoc
+        // extraOptimizations path sees them already expanded, hiding
+        // the bug from tests that only exercise that path)
+        val distinctGroups = agg.aggregateExpressions.flatMap(_.collect {
+          case ae: AggregateExpression if ae.isDistinct =>
+            ae.aggregateFunction.children
+        }).distinct
+        if (distinctGroups.size != 1) agg
+        else agg.transformExpressions {
+          case AggregateExpression(Count(Seq(child)), mode, true, filter, id) =>
             AggregateExpression(
               HyperLogLogPlusPlus(child), mode, isDistinct = false, filter, id)
         }
@@ -61,10 +74,16 @@ object ApproxDistinct {
   /** Registered form (q157): the NDV dashboard query written with plain
     * `count(DISTINCT ...)`, executed under the opt-in rule — the test
     * that the relaxation reaches real query text, not just the spec.
-    * The flag is scoped set-then-restored; because Spark optimizes
-    * lazily, the plan is FORCED inside the scope (QueryExecution caches
-    * its phases, so the later action reuses the rewritten plan — the
-    * same discipline a notebook cell with a scoped conf needs).
+    *
+    * The flag is scoped set-then-restored, and the query EXECUTES
+    * inside the scope with the result returned as a local relation:
+    * merely forcing `executedPlan` in scope is not enough, because the
+    * harness's later actions (Bench's `.count()`, Verify's
+    * `repartition(1).write`) build FRESH QueryExecutions after the
+    * restore and would silently re-plan the exact aggregate — the
+    * registered query would then never exercise the rule it exists to
+    * prove. The collect is bounded by the event-type vocabulary
+    * (dashboard-sized by construction).
     */
   def q157NdvAutoApprox(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -72,19 +91,18 @@ object ApproxDistinct {
     val prev = spark.conf.get(Flag, "false")
     spark.conf.set(Flag, "true")
     try {
-      // ONE distinct aggregate by design: an aggregate with multiple
-      // DISTINCT groups is expanded by RewriteDistinctAggregates in the
-      // core optimizer before a post-hoc rule runs, so it stays exact —
-      // the relaxation targets the single-NDV dashboard shape
+      // ONE distinct aggregate by design: the rule's scope guard leaves
+      // multi-group aggregates exact (see ApproxCountDistinctRule)
       val df = graft.Tables.events(spark, dir)
         .groupBy("event_type")
         .agg(countDistinct("user_id").as("ndv_users"),
           count(lit(1)).as("n_rows"))
         .orderBy("event_type")
-      df.queryExecution.executedPlan // pin the rewritten plan in scope
       require(df.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"),
         "q157 must run through the ApproxCountDistinctRule rewrite")
-      df
+      val rows = df.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
     } finally spark.conf.set(Flag, prev)
   }
 }

@@ -171,10 +171,15 @@ object VectorOps {
     require(threshold > 0, "blocked near-dup needs a positive cosine threshold")
     val spark = vecs.sparkSession
     import spark.implicits._
+    // cached like signLshNearDup's prepared input: the count, and the
+    // TWO joins against the packed blocks below, would otherwise each
+    // re-read the source and re-run the norm + packing aggregation
+    // (review finding: ~3x the input-side work per call)
     val v = vecs.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"))
       .withColumn("nv", l2Norm(col("vec")))
       .filter(col("nv") > 0)
+      .cache()
     val n = v.count() // one bounded-scalar job, as in kmeansFit/bpeTrain
     val nBlocks = math.max(1, math.ceil(n.toDouble / blockRows).toInt)
     require(nBlocks <= 2048,
@@ -198,6 +203,7 @@ object VectorOps {
         transform(col("bc"), s => s.getField("nv")).as("nvs"),
         transform(col("bc"), s => size(s.getField("vec"))).as("lens"),
         flatten(transform(col("bc"), s => s.getField("vec"))).as("flat"))
+      .cache() // scanned once per join side
     val grid = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
       .toDF("blk_a", "blk_b")
     val joined = grid
@@ -495,12 +501,7 @@ object VectorOps {
       extends Serializable {
     private val nProj = nBands * bandBits
     @transient @volatile private var diags: Array[Array[Float]] = _
-    private def mix64(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    private def mix64(z0: Long): Long = graft.functions.SplitMix.mix64(z0)
     // in-place Walsh–Hadamard transform (unnormalized — signs are scale-
     // invariant, so the 1/√n factor is dropped)
     private def fht(a: Array[Float]): Unit = {

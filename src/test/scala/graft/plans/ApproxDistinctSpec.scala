@@ -39,9 +39,22 @@ class ApproxDistinctSpec extends SparkSpec {
       assert(multi.head().getLong(0) ==
         ev.select("user_id", "event_type").distinct().count())
 
-      // multiple distinct GROUPS are expanded by the core optimizer's
-      // RewriteDistinctAggregates before a post-hoc rule runs — they
-      // stay exact (the documented boundary of the relaxation)
+      // multiple distinct GROUPS stay exact — and the guard must hold on
+      // the PRE-expansion plan shape too: via injectOptimizerRule the
+      // rule runs BEFORE the core optimizer's RewriteDistinctAggregates,
+      // where a multi-group aggregate is still in original form (the
+      // post-hoc install path only ever sees it expanded, which hid
+      // exactly this bug in an earlier version — review finding). Apply
+      // the rule directly to the analyzed plan to pin that path:
+      val rule = ApproxCountDistinctRule(spark)
+      val multiAnalyzed = ev.agg(countDistinct("user_id"), countDistinct("event_type"))
+        .queryExecution.analyzed
+      assert(rule(multiAnalyzed) == multiAnalyzed,
+        "a multi-distinct-group aggregate must not rewrite on any injection path")
+      val oneAnalyzed = ev.agg(countDistinct("user_id")).queryExecution.analyzed
+      assert(rule(oneAnalyzed).toString.contains("approx_count_distinct"),
+        "the single-group shape must rewrite on the pre-expansion plan")
+      // and end-to-end through the post-hoc path:
       val twoGroups = ev.agg(countDistinct("user_id"), countDistinct("event_type"))
         .head()
       assert(twoGroups.getLong(0) == exactTruth)
