@@ -29,10 +29,12 @@ object NearDupSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // codegen warmup on the smallest fixture so the sweep measures
-    // steady-state execution, not Janino compilation (see Bench)
+    // codegen warmup on a LIMIT'd slice of the user-supplied fixture so
+    // the sweep measures steady-state execution, not Janino compilation
+    // (see Bench) — no hardcoded fixture path, so the tool runs on any
+    // checkout where <sfDir> is valid
     graft.vector.VectorOps.nearDupPairsBanded(
-      Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      Tables.embeddings(spark, dir).limit(256),
       "vec_id", "embedding", 0.45).count()
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count()

@@ -98,10 +98,15 @@ object ScaleUp {
         if (salt == 0L || vec == null) vec
         else {
           val v = vec.toArray
-          val n = math.min(v.length, embDim)
-          val out = new Array[Float](v.length)
+          // perm indexes [0, embDim), so a ragged (shorter) vector would
+          // read past its end — and silently zero-pad positions past its
+          // length, changing the norm. Fail loudly instead of either.
+          require(v.length == embDim,
+            s"signed-permutation replica expects uniform $embDim-d vectors, " +
+              s"got one of length ${v.length}")
+          val out = new Array[Float](embDim)
           var j = 0
-          while (j < n) { out(j) = signs(j) * v(perm(j)); j += 1 }
+          while (j < embDim) { out(j) = signs(j) * v(perm(j)); j += 1 }
           out.toSeq
         }
       }

@@ -161,6 +161,11 @@ object Dedup {
     candidates
       .join(docSh.select(col("id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(docSh.select(col("id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      // J ≤ min(|A|,|B|)/max(|A|,|B|): skip the per-pair intersection
+      // pass for pairs the size ratio already rules out (slack-adjusted
+      // for the 4-dp rounding below, so no qualifying pair is dropped)
+      .filter(least(size(col("shs_a")), size(col("shs_b"))).cast("double") >=
+        (greatest(size(col("shs_a")), size(col("shs_b"))) * (threshold - 1e-4)))
       .withColumn("inter", interCount(col("shs_a"), col("shs_b")))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (size(col("shs_a")) + size(col("shs_b")) - col("inter")), 4))
@@ -193,7 +198,21 @@ object Dedup {
     val hotSet = broadcast(buckets.filter(col("bc._2") > maxDf).select("sh"))
     // the struct array arrives as two parallel PRIMITIVE arrays
     // (GetArrayStructFields on `bc._1._1`/`bc._1._2` is codegen'd) —
-    // no per-element Row allocation in the pair expansion
+    // no per-element Row allocation in the pair expansion.
+    //
+    // Length-ratio pre-filter at pair EMISSION: J(A,B) = |A∩B|/|A∪B| ≤
+    // min(|A|,|B|)/max(|A|,|B|) (set identity — intersection is bounded
+    // by the smaller set, union by the larger), so a pair whose
+    // shingle-count ratio is below the threshold can never qualify and
+    // never needs to reach the intersection-count shuffle. At τ = 0.8
+    // that drops every pair whose sizes differ by > ~11% — the dominant
+    // mass of co-bucketed pairs on a real corpus, and the term that grew
+    // the 100×-rehearsal verify tail. The bound is applied against the
+    // ROUNDING-SLACK-adjusted threshold (the final filter accepts raw
+    // jaccard ≥ τ − 5e-5 after 4-dp HALF_UP), so no qualifying pair is
+    // ever dropped; a pair skipped in one bucket fails the identity in
+    // every bucket, so per-bucket skipping is globally sound.
+    val minRatio = threshold - 1e-4
     val bucketPairs = udf { (ids: Array[Long], ns: Array[Int]) =>
       val ord = Array.range(0, ids.length).sortBy(ids(_))
       val out = Array.newBuilder[(Long, Int, Long, Int)]
@@ -201,7 +220,9 @@ object Dedup {
       while (i < ord.length - 1) {
         var j = i + 1
         while (j < ord.length) {
-          out += ((ids(ord(i)), ns(ord(i)), ids(ord(j)), ns(ord(j))))
+          val na = ns(ord(i)); val nb = ns(ord(j))
+          if (math.min(na, nb) >= minRatio * math.max(na, nb))
+            out += ((ids(ord(i)), na, ids(ord(j)), nb))
           j += 1
         }
         i += 1

@@ -88,7 +88,10 @@ object ApproxDistinct {
   def q157NdvAutoApprox(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     install(spark)
-    val prev = spark.conf.get(Flag, "false")
+    // remember absence vs "false": restoring a never-set flag by setting
+    // it to the defaulted read would leave it explicitly present and
+    // mask whether the user ever opted in
+    val prev = spark.conf.getOption(Flag)
     spark.conf.set(Flag, "true")
     try {
       // ONE distinct aggregate by design: the rule's scope guard leaves
@@ -103,6 +106,9 @@ object ApproxDistinct {
       val rows = df.collect()
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), df.schema)
-    } finally spark.conf.set(Flag, prev)
+    } finally prev match {
+      case Some(v) => spark.conf.set(Flag, v)
+      case None    => spark.conf.unset(Flag)
+    }
   }
 }

@@ -222,7 +222,7 @@ object VectorOps {
       while (i < lens.length) { off(i) = off(i - 1) + lens(i - 1); i += 1 }
       off
     }
-    joined.flatMap { case (same, ia, na, la, fa, ib0, nb0, lb0, fb0) =>
+    val pairs = joined.flatMap { case (same, ia, na, la, fa, ib0, nb0, lb0, fb0) =>
       // a same-block pair iterates ONE copy with i < j: the two join
       // sides aggregate collect_list independently, so the two copies of
       // an identical block may arrive in different element orders — an
@@ -264,7 +264,18 @@ object VectorOps {
       }
       out.result()
     }.toDF("id_a", "id_b", "cos")
-      .orderBy("id_a", "id_b")
+      .cache()
+    // Materialize the pair list once, then drop the heavy input caches
+    // eagerly: `v` and `packed` hold the full vector corpus, and leaving
+    // them to LRU meant repeated calls in one session (the NearDupSweep
+    // threshold loop) accumulated executor storage. The residual cache
+    // is only the qualifying pair set — bounded by the near-dup result,
+    // not the corpus — and the caller's action reads it instead of
+    // re-running the quadratic scan.
+    pairs.count()
+    v.unpersist(blocking = false)
+    packed.unpersist(blocking = false)
+    pairs.orderBy("id_a", "id_b")
   }
 
   /** IVF assignment: each vector joins its `nProbe` nearest cluster
@@ -521,10 +532,21 @@ object VectorOps {
         h <<= 1
       }
     }
-    // the ±1 diagonals, built once per executor: index [2·block + pass]
+    // the ±1 diagonals, built once per executor PER BLOCK SIZE: index
+    // [2·block + pass]. The cache is keyed on the block size (nBlocks is
+    // a function of block for a fixed nProj), so a later call with a
+    // vector whose dim maps to a different power-of-two block rebuilds
+    // instead of indexing stale shorter arrays out of bounds (or
+    // silently emitting wrong signatures for a smaller block).
     private def diagonals(block: Int, nBlocks: Int): Array[Array[Float]] = {
-      if (diags == null) synchronized {
-        if (diags == null) {
+      def ok(d: Array[Array[Float]]): Boolean =
+        d != null && d.length == nBlocks * 2 && d(0).length == block
+      val cur = diags
+      if (ok(cur)) cur
+      else synchronized {
+        val c2 = diags
+        if (ok(c2)) c2
+        else {
           val d = Array.ofDim[Array[Float]](nBlocks * 2)
           var b = 0
           while (b < nBlocks * 2) {
@@ -534,9 +556,9 @@ object VectorOps {
             b += 1
           }
           diags = d
+          d
         }
       }
-      diags
     }
     def bandSigs(v: Seq[Float]): Array[Long] = {
       val vec = v.toArray
