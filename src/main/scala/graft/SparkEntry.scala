@@ -197,6 +197,7 @@ object SparkEntry {
     "q156_join_cardinality" -> graft.operators.Planning.q156JoinCardinality _,
     "q157_ndv_autoapprox"  -> graft.plans.ApproxDistinct.q157NdvAutoApprox _,
     "q158_simhash128"      -> ScaleOps.q158Simhash128 _,
+    "q159_percentile_autoapprox" -> graft.plans.ApproxPercentile.q159PercentileAutoApprox _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -215,6 +216,10 @@ object SparkEntry {
     "q157_ndv_autoapprox"   -> OraclePins.pin157,
     // 128-bit simhash: JVM-hash-specific like q26 -> literal pin
     "q158_simhash128"       -> OraclePins.pin158,
+    // latency dashboard through the opt-in percentile->GK-sketch rule:
+    // Spark-deterministic at the gate scale (groups < sketch accuracy),
+    // not recomputable in DuckDB -> literal pin
+    "q159_percentile_autoapprox" -> OraclePins.pin159,
     "q38_retrieval"         -> OraclePins.pin38,
     "q43_sentence_chunks"   -> OraclePins.pin43,
     "q58_pdf_passages"      -> OraclePins.pin58,
@@ -904,14 +909,60 @@ object SparkEntry {
          round(quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT), 0.9), 4) AS p90_tokens,
          TRUE AS p50_ok, TRUE AS p90_ok
          FROM documents""",
-    // mirrors VectorOps.ivfAssign exactly: per-label mean centroids,
-    // probe = 2 nearest by rounded cosine (ties by label), pairs sharing
-    // any probed centroid, exact-cosine verify at the rounded threshold
+    // k = ceil(sqrt(N)) clusters learned by the q124 kmeans unroll
+    // (seeds = k lowest ids, 3 Lloyd rounds, 6-dp-rounded distances,
+    // 9-dp-rounded recenters), then mirrors VectorOps.ivfAssign exactly:
+    // per-cluster mean centroids, probe = 2 nearest by rounded cosine
+    // (ties by cluster), pairs sharing any probed centroid, exact-cosine
+    // verify at the rounded threshold
     "q69_bucketed_neardup" ->
-      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec, label FROM embeddings),
-         ci AS (SELECT label, unnest(generate_series(1, 64)) AS i, vec FROM v),
-         cent AS (SELECT label, i, avg(vec[i]) AS m FROM ci GROUP BY label, i),
-         centv AS (SELECT label AS cl, list(m ORDER BY i) AS ce FROM cent GROUP BY label),
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         seeds AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cl, vec AS centroid
+                   FROM (SELECT id, vec FROM v ORDER BY id
+                         LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM v)) s),
+         d1 AS (SELECT v.id, v.vec, c.cl,
+                 floor((list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM v, seeds c),
+         a1 AS (SELECT id, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d1) t
+                WHERE rk = 1),
+         c1 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
+                    SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a1) u
+                  GROUP BY cl, pos) g GROUP BY cl),
+         d2_ AS (SELECT v.id, v.vec, c.cl,
+                 floor((list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM v, c1 c),
+         a2 AS (SELECT id, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d2_) t
+                WHERE rk = 1),
+         c2 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
+                    SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a2) u
+                  GROUP BY cl, pos) g GROUP BY cl),
+         d3 AS (SELECT v.id, v.vec, c.cl,
+                 floor((list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM v, c2 c),
+         a3 AS (SELECT id, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM d3) t
+                WHERE rk = 1),
+         c3 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
+                    SELECT cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a3) u
+                  GROUP BY cl, pos) g GROUP BY cl),
+         df_ AS (SELECT v.id, v.vec, c.cl,
+                 floor((list_dot_product(v.vec, v.vec) - 2*list_dot_product(v.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM v, c3 c),
+         af AS (SELECT id, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM df_) t
+                WHERE rk = 1),
+         ci AS (SELECT cl, unnest(generate_series(1, 64)) AS i, vec FROM af),
+         cent AS (SELECT cl, i, avg(vec[i]) AS m FROM ci GROUP BY cl, i),
+         centv AS (SELECT cl, list(m ORDER BY i) AS ce FROM cent GROUP BY cl),
          probe AS (SELECT id, cl, vec FROM (
              SELECT v.id, centv.cl, v.vec,
                row_number() OVER (PARTITION BY v.id ORDER BY

@@ -258,17 +258,27 @@ object ScaleOps {
     * part of the contract, not a silent loss — cf. q27 (exact reference
     * scan) and q62 (sign-LSH for cluster-free corpora).
     *
-    * Scale note (measured at the 10x rehearsal: 11.2× wall at 10× rows):
-    * with the FIXTURE's fixed label set, in-cluster pair count grows
-    * quadratically as rows grow — the fixture has no more clusters to
-    * give. In production the cluster count is a knob, and the standard
-    * discipline is k ∝ √N (kmeansFit/q124 learn k from data), which
-    * keeps expected in-cluster pairs ~N·√N-bounded per probe and the
-    * per-bucket task size constant.
+    * The cluster count is DERIVED from corpus size — k = ⌈√N⌉ learned
+    * by kmeansFit (3 Lloyd rounds, q124's trainer) — instead of taken
+    * from the fixture's fixed label column. That executes the k ∝ √N
+    * discipline the earlier registration only documented: with fixed
+    * labels, in-cluster pair count grows quadratically as rows grow
+    * (measured 11.2× wall at the 10× rehearsal — the fixture has no
+    * more clusters to give); with k ∝ √N the expected bucket size stays
+    * ~√N and per-probe pair work is ~N·√N-bounded at any scale. Both
+    * the kmeans rounds (argmin over driver-held centroids, one shuffle
+    * per recenter) and the bucket verify remain fully oracle-mirrored —
+    * the DuckDB side unrolls the same 3 rounds with LIMIT-computed k.
     */
-  def q69BucketedNeardup(spark: SparkSession, dir: String): DataFrame =
+  def q69BucketedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count() // one bounded-scalar job, as in kmeansFit itself
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val fitted = VectorOps.kmeansFit(Tables.widen(e), "vec_id", "embedding", k, 3)
+      .select(col("id").as("vec_id"), col("cl"))
     VectorOps.nearDupPairsBucketed(
-      Tables.embeddings(spark, dir), "vec_id", "embedding", "label", 0.45)
+      e.join(fitted, "vec_id"), "vec_id", "embedding", "cl", 0.45)
+  }
 
   /** Word n-gram shingles of a text column as distinct strings (the
     * string form q87's oracle can mirror; Dedup.shingles is the hashed

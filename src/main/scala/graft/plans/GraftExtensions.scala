@@ -32,7 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CleanTextExpr(exprs.head)
       }))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
-    // opt-in count(DISTINCT) -> HLL++ relaxation (see ApproxDistinct)
+    // opt-in relaxation family: count(DISTINCT) -> HLL++ and exact
+    // percentile -> GK sketch (see ApproxDistinct / ApproxPercentile)
     e.injectOptimizerRule(ApproxCountDistinctRule)
+    e.injectOptimizerRule(ApproxPercentileRule)
   }
 }

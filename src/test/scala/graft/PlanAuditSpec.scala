@@ -1,0 +1,96 @@
+package graft
+
+/** Asserting plan-hygiene gate. PLANS.md / PLANS_sf0.1.md are the
+  * COMMITTED expectation (regenerate with `runMain graft.PlanAudit`
+  * when a plan change is intentional); this spec makes a plan
+  * regression a test failure instead of a human diff:
+  *
+  *  1. no cartesian or nested-loop join anywhere in either committed
+  *     audit (column `nlj` == 0 — today no query needs even the
+  *     intended-broadcast-NLJ escape hatch, so the allowlist is empty);
+  *  2. the committed sf0.01 and sf0.1 audits agree row-for-row except
+  *     the documented AQE broadcast-threshold allowlist {q24, q75}
+  *     (both flips are between sound hash joins);
+  *  3. a FRESH sf0.01 audit of every registered query reproduces its
+  *     committed PLANS.md row exactly — scan count, per-scan read
+  *     schema width (pruning), scans with non-empty PushedFilters,
+  *     exchange count, codegen-span count, nlj count. A lost pushdown,
+  *     a widened ReadSchema, or a new shuffle all fail here.
+  *
+  * The fresh audit runs in a child session pinned to PlanAudit's main
+  * config (shuffle.partitions=8) so rows are byte-comparable with the
+  * artifact; topology counts don't depend on core count.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val crossScaleAllow = Set("q24_ngram_jaccard", "q75_cohort_retention")
+
+  private def parseRows(path: String): Map[String, String] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines()
+      .filter(l => l.startsWith("| q") && !l.startsWith("| query"))
+      .map { l => l.split("\\|")(1).trim -> l.trim }
+      .toMap
+    finally src.close()
+  }
+
+  private def nljOf(row: String): String =
+    row.stripSuffix("|").trim.split("\\|").last.trim
+
+  test("committed audits contain every registered query and no errors") {
+    for (path <- Seq("PLANS.md", "PLANS_sf0.1.md")) {
+      val rows = parseRows(path)
+      val missing = SparkEntry.queries.keySet -- rows.keySet
+      assert(missing.isEmpty, s"$path missing rows for: ${missing.toSeq.sorted}")
+      val errs = rows.filter(_._2.contains("ERROR"))
+      assert(errs.isEmpty, s"$path has ERROR rows: ${errs.keys.toSeq.sorted}")
+    }
+  }
+
+  test("no cartesian or nested-loop joins in any committed plan") {
+    for (path <- Seq("PLANS.md", "PLANS_sf0.1.md")) {
+      val bad = parseRows(path).filter { case (_, row) => nljOf(row) != "0" }
+      assert(bad.isEmpty,
+        s"$path rows with nested-loop/cartesian joins: ${bad.keys.toSeq.sorted}")
+    }
+  }
+
+  test("sf0.01 and sf0.1 audits agree outside the documented AQE allowlist") {
+    val small = parseRows("PLANS.md")
+    val big = parseRows("PLANS_sf0.1.md")
+    val diverged = (small.keySet & big.keySet).filter { q =>
+      small(q) != big(q) && !crossScaleAllow(q)
+    }
+    assert(diverged.isEmpty,
+      s"plan shape diverges between sf0.01 and sf0.1 outside {q24, q75}: " +
+        diverged.toSeq.sorted.map(q => s"\n  $q\n    sf0.01: ${small(q)}\n    sf0.1:  ${big(q)}").mkString)
+  }
+
+  test("fresh sf0.01 audit reproduces every committed PLANS.md row") {
+    val committed = parseRows("PLANS.md")
+    // child session pinned to PlanAudit main's SQL config; SQL confs are
+    // per-session, so this doesn't disturb the shared suite session
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val dir = "/root/testdata/sf0.01"
+    // the AQE-allowlisted queries flip broadcast decisions on measured
+    // shuffle sizes, which moves their exchange and codegen-span counts
+    // between sound hash-join shapes run-to-run — hold them to the
+    // stable cells only (scans, pruning width, pushdown, nlj)
+    def comparable(name: String, row: String): String =
+      if (!crossScaleAllow(name)) row
+      else {
+        val cells = row.stripPrefix("|").stripSuffix("|").split("\\|").map(_.trim)
+        (cells.take(4) ++ cells.takeRight(1)).mkString("| ", " | ", " |")
+      }
+    val mismatches = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val fresh = s"| $name | ${PlanAudit.auditCells(fn(s, dir))} |"
+      val want = committed.get(name).map(comparable(name, _))
+      if (want.contains(comparable(name, fresh))) None
+      else Some(s"\n  $name\n    committed: ${committed.getOrElse(name, "<absent>")}\n    fresh:     $fresh")
+    }
+    assert(mismatches.isEmpty,
+      s"executed-plan shape drifted from PLANS.md (regenerate via " +
+        s"`runMain graft.PlanAudit` if intentional):${mismatches.mkString}")
+  }
+}

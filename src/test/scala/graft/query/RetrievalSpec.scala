@@ -6,17 +6,22 @@ import org.apache.spark.sql.functions._
 
 class RetrievalSpec extends SparkSpec {
 
-  test("recall@10 >= 0.80 on the near-dup eval set (reference quality gate)") {
-    // eval set mirrors FIXTURES.md §6: query = text of one member of a
-    // planted near-dup pair, expected = the OTHER member. The gate mirrors
-    // continuous.py:35-36 (recall@10 >= 0.80).
+  /** Eval set mirroring FIXTURES.md §6: query = text of one member of a
+    * planted near-dup pair, expected = the OTHER member.
+    */
+  private def nearDupEvalSet = {
     val docs = Tables.documents(spark, sfDir)
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
       .select(col("doc_a"), col("doc_b"))
-    val evalSet = pairs
+    pairs
       .join(docs.select(col("doc_id").as("doc_a"), col("text")), "doc_a")
       .select(col("doc_a").as("query_id"), col("text").as("query_text"),
         col("doc_b").as("expected_doc"))
+  }
+
+  test("recall@10 >= 0.80 on the near-dup eval set (reference quality gate)") {
+    // the gate mirrors continuous.py:35-36 (recall@10 >= 0.80)
+    val evalSet = nearDupEvalSet
     assert(evalSet.count() >= 10, "need a meaningful eval set")
     val recall = Retrieval.recallAtK(spark, sfDir, evalSet, 10)
     assert(recall >= 0.80, s"recall@10 = $recall")
@@ -28,12 +33,7 @@ class RetrievalSpec extends SparkSpec {
     // second (fixed-weight linear projection) embedder and the default
     // hashing embedder, changing nothing but the trait instance
     val docs = Tables.documents(spark, sfDir)
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
-      .select(col("doc_a"), col("doc_b"))
-    val evalSet = pairs
-      .join(docs.select(col("doc_id").as("doc_a"), col("text")), "doc_a")
-      .select(col("doc_a").as("query_id"), col("text").as("query_text"),
-        col("doc_b").as("expected_doc"))
+    val evalSet = nearDupEvalSet
     val linear = new graft.embed.LinearProjectionEmbedder()
     val recallLinear = Retrieval.recallAtK(spark, sfDir, evalSet, 10, embedder = linear)
     assert(recallLinear >= 0.80,
@@ -47,6 +47,30 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.buildIndex(spark, sfDir), k = 3)
     assert(outLinear.schema == outHash.schema)
     assert(outLinear.count() > 0 && outHash.count() > 0)
+  }
+
+  test("pipeline is dimension-agnostic: the full recall gate passes at 256-d — nothing hard-codes 384") {
+    // the reference's model dimension (384) appears ONLY as the default
+    // constructor argument of the embedders; prove the index build,
+    // broadcast-cosine retrieve, cascade, re-rank, and recall gate all
+    // run end-to-end at a different dimension behind the same trait,
+    // with zero plumbing diffs — for BOTH embedder implementations
+    val evalSet = nearDupEvalSet
+    for (e <- Seq(new graft.embed.HashingEmbedder(dim = 256),
+                  new graft.embed.LinearProjectionEmbedder(dim = 256))) {
+      val recall = Retrieval.recallAtK(spark, sfDir, evalSet, 10, embedder = e)
+      assert(recall >= 0.80,
+        s"recall@10 at 256-d with ${e.getClass.getSimpleName} = $recall")
+    }
+    // and the vectors really are 256-wide end-to-end (index and query side)
+    val e256 = new graft.embed.HashingEmbedder(dim = 256)
+    val idx = Retrieval.buildIndex(spark, sfDir, embedder = e256)
+    val widths = idx.select(size(col("vec")).as("w")).distinct().collect().map(_.getInt(0))
+    assert(widths.toSeq == Seq(256), s"index vec widths: ${widths.toSeq}")
+    val q = Tables.documents(spark, sfDir).filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+    val out = Retrieval.retrieve(q, idx, k = 3, embedder = e256)
+    assert(out.count() > 0)
   }
 
   test("flagship pipeline: every query packs within the token budget") {
