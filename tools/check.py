@@ -26,7 +26,10 @@ def main(sf_dir, out_dir, names=()):
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            # driver fixtures are flat files; ScaleUp fixtures are Spark
+            # parquet directories — glob the part files in that case
+            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     if names:  # dev-loop subset, mirrors Verify's SPARK_GRAFT_ONLY
         oracles = {k: v for k, v in oracles.items() if k in names}
