@@ -34,7 +34,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *  - `percentile(x, p, frequency)` with a non-unit frequency — the
   *    sketch has no weighted insert; stays exact;
   *  - `percentile_cont(p) WITHIN GROUP (ORDER BY x DESC)` (reverse) —
-  *    stays exact.
+  *    stays exact;
+  *  - percentile as a WINDOW function (`percentile(x, p) OVER (...)`)
+  *    — lives in a Window node, not an Aggregate; the rule never
+  *    touches it (windowed percentile recomputes per frame, where the
+  *    sketch's amortization argument doesn't apply).
   *
   * The rewrite wraps the sketch in a Cast back to the exact form's
   * result type (DOUBLE / ARRAY<DOUBLE>): `percentile` over an integer

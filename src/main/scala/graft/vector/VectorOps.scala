@@ -630,6 +630,16 @@ object VectorOps {
       .withColumn("nv", l2Norm(col("vec")))
       .filter(col("nv") > 0)
       .cache()
+    // candidate generation stays a band-table SELF-JOIN on (band, sig)
+    // by measurement: the tempting one-shuffle alternative — groupBy
+    // (band, sig) + collect_list + per-bucket pair expansion, q24's
+    // pattern — was built and benchmarked at the 100× rehearsal and
+    // lost 120 s vs 65 s: with 2³² sig values per band the 32M-row
+    // exploded table is ~all singleton keys, and 32M one-element
+    // aggregation buffers cost far more than the join's second shuffle
+    // of primitive rows. The bucket pattern wins when buckets are DENSE
+    // (q24's capped-df shingle index); here density is exactly what the
+    // wide signatures are designed to prevent.
     val banded = v.select(col("id"), posexplode(sigUdf(col("vec"))).as(Seq("band", "sig")))
     val candidates = banded.as("a").join(banded.as("b"), Seq("band", "sig"))
       .filter(col("a.id") < col("b.id"))

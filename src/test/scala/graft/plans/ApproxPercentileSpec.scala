@@ -58,6 +58,12 @@ class ApproxPercentileSpec extends SparkSpec {
         "SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY value DESC) FROM ev_pct")
       assert(!rev.queryExecution.optimizedPlan.toString.contains("percentile_approx"))
 
+      // percentile as a WINDOW function stays exact (Window node, not
+      // Aggregate — the rule never touches it)
+      val win = sql(
+        "SELECT percentile(value, 0.5) OVER (PARTITION BY event_type) FROM ev_pct")
+      assert(!win.queryExecution.optimizedPlan.toString.contains("percentile_approx"))
+
       // FILTER clause rides through the rewrite
       val filt = sql(
         "SELECT percentile(value, 0.5) FILTER (WHERE value > 0) FROM ev_pct")
