@@ -198,6 +198,8 @@ object SparkEntry {
     "q157_ndv_autoapprox"  -> graft.plans.ApproxDistinct.q157NdvAutoApprox _,
     "q158_simhash128"      -> ScaleOps.q158Simhash128 _,
     "q159_percentile_autoapprox" -> graft.plans.ApproxPercentile.q159PercentileAutoApprox _,
+    "q160_length_batches"  -> ((s: SparkSession, d: String) => ScaleOps.q160LengthBatches(s, d)),
+    "q161_temperature_mixture" -> ScaleOps.q161TemperatureMixture _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -228,6 +230,49 @@ object SparkEntry {
     "q112_bpe_train"        -> OraclePins.pin112,
     "q120_bpe_encode"       -> OraclePins.pin120,
     "q145_simhash_recall"   -> OraclePins.pin145,
+    // per-source length-sorted vs arrival batching with exact padding
+    // waste; ties break on doc_id in both engines
+    "q160_length_batches" ->
+      """WITH d AS (SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         s AS (SELECT 'length_sorted' AS policy, source,
+             CAST(floor((row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) - 1) / 64.0) AS BIGINT) AS batch_id,
+             n_tokens FROM d),
+         a AS (SELECT 'arrival' AS policy, source,
+             CAST(floor((row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) / 64.0) AS BIGINT) AS batch_id,
+             n_tokens FROM d),
+         u AS (SELECT * FROM s UNION ALL SELECT * FROM a)
+         SELECT policy, source, batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           max(n_tokens) AS max_tokens,
+           CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste
+         FROM u GROUP BY policy, source, batch_id
+         ORDER BY policy, source, batch_id""",
+    // temperature (T=2) language mixture: weight = floor(sqrt(n)*1e6)
+    // (IEEE sqrt is correctly rounded -> bit-identical cross-engine),
+    // largest-remainder split over integers, ties by lang
+    "q161_temperature_mixture" ->
+      """WITH d AS (SELECT lang,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t
+           FROM documents),
+         l AS (SELECT lang, CAST(sum(t) AS BIGINT) AS n_tokens FROM d GROUP BY lang),
+         w AS (SELECT lang, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS weight
+             FROM l),
+         s AS (SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS w_sum,
+             CAST(sum(n_tokens) OVER () AS BIGINT) // 2 AS budget FROM w),
+         b AS (SELECT *, CAST((budget * weight) // w_sum AS BIGINT) AS base,
+             CAST(budget * weight - ((budget * weight) // w_sum) * w_sum AS BIGINT) AS rem
+             FROM s),
+         r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk,
+             CAST(budget - sum(base) OVER () AS BIGINT) AS leftover FROM b),
+         f AS (SELECT lang, n_tokens, weight,
+             CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+             FROM r)
+         SELECT lang, n_tokens, weight, alloc_tokens,
+           CAST((alloc_tokens * 10000) // (SELECT CAST(sum(alloc_tokens) AS BIGINT) FROM f) AS BIGINT) AS share_bp
+         FROM f ORDER BY lang""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,

@@ -1391,4 +1391,84 @@ object ScaleOps {
         "epochs_bp", "capped")
       .orderBy("lang")
   }
+
+  /** Temperature-scaled language-sampling allocation (q161) — the other
+    * standard mixture knob next to UniMax (q151): sampling weight
+    * ∝ n_l^(1/T), which up-weights low-resource languages smoothly
+    * instead of epoch-capping them (mC4 / XLM-R's alpha-sampling with
+    * alpha = 1/T). Registered at T = 2 — i.e. weight = √n_l — because
+    * IEEE-754 sqrt is CORRECTLY ROUNDED and therefore bit-identical in
+    * Spark and DuckDB, where a general pow(n, 0.3) differs in the last
+    * ulp between libms and would make an exact-hash oracle a coin flip.
+    * The weights enter an integer basis (⌊√n · 10⁶⌋) and the split is
+    * largest-remainder over integers — B·w div W per language, leftover
+    * tokens to the largest remainders (ties by lang) — so every engine
+    * computes the identical allocation with no float accumulation
+    * anywhere. Bounded state: one row per language.
+    *
+    * Overflow bound, stated: B·w must fit a long — good through the
+    * 100× rehearsal (≈6·10¹⁷); a 100 TB corpus scales the basis down
+    * (or moves to DECIMAL), same algebra.
+    */
+  def q161TemperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val lang = Tables.documents(spark, dir)
+      .select(col("lang"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
+      .groupBy("lang").agg(sum("t").as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val wAll = Window.partitionBy()
+    val ranked = lang
+      .withColumn("w_sum", sum("w").over(wAll))
+      // integer `div` throughout: double division would round above 2^53
+      .withColumn("budget", expr("sum(n_tokens) OVER () div 2"))
+      .withColumn("base", expr("(budget * w) div w_sum"))
+      .withColumn("rem", col("budget") * col("w") - col("base") * col("w_sum"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang").asc)))
+      .withColumn("leftover", col("budget") - sum("base").over(wAll))
+    ranked
+      .select(col("lang"), col("n_tokens"), col("w").as("weight"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .withColumn("share_bp",
+        expr("(alloc_tokens * 10000) div (sum(alloc_tokens) OVER ())"))
+      .orderBy("lang")
+  }
+
+  /** Length-grouped training-batch packing (q160) — the padding-waste
+    * minimizer every LLM training pipeline runs between data prep and
+    * the trainer: a batch pads every sequence to its longest member, so
+    * batching ARRIVAL-ordered documents wastes compute proportional to
+    * within-batch length variance, while batching LENGTH-sorted
+    * documents makes batches near-homogeneous (the "sorted batching" /
+    * bucketing trick). Both policies are materialized per batch with
+    * their exact waste (n_docs·max_len − Σlen) so the saving is an
+    * auditable number, not a claim.
+    *
+    * Scale shape: batches are built WITHIN each source shard —
+    * `row_number` over (source) partitions, ONE hash exchange, no
+    * global sort — exactly how a sharded corpus batches in production
+    * (a global order would serialize the corpus through one window
+    * task). Deterministic: ties break on doc_id in both engines.
+    */
+  def q160LengthBatches(spark: SparkSession, dir: String,
+                        batchSize: Int = 64): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    def policy(name: String, w: org.apache.spark.sql.expressions.WindowSpec) = docs
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1).cast("double") / batchSize).cast("long"))
+      .groupBy("source", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .select(lit(name).as("policy"), col("source"), col("batch_id"),
+        col("n_docs"), col("max_tokens"),
+        (col("n_docs") * col("max_tokens") - col("sum_tokens")).as("padding_waste"))
+    val sorted = policy("length_sorted",
+      Window.partitionBy("source").orderBy(col("n_tokens").asc, col("doc_id").asc))
+    val arrival = policy("arrival",
+      Window.partitionBy("source").orderBy(col("doc_id").asc))
+    sorted.unionAll(arrival).orderBy("policy", "source", "batch_id")
+  }
 }

