@@ -200,6 +200,7 @@ object SparkEntry {
     "q159_percentile_autoapprox" -> graft.plans.ApproxPercentile.q159PercentileAutoApprox _,
     "q160_length_batches"  -> ((s: SparkSession, d: String) => ScaleOps.q160LengthBatches(s, d)),
     "q161_temperature_mixture" -> ScaleOps.q161TemperatureMixture _,
+    "q162_cdc_apply"       -> ScaleOps.q162CdcApply _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -273,6 +274,23 @@ object SparkEntry {
          SELECT lang, n_tokens, weight, alloc_tokens,
            CAST((alloc_tokens * 10000) // (SELECT CAST(sum(alloc_tokens) AS BIGINT) FROM f) AS BIGINT) AS share_bp
          FROM f ORDER BY lang""",
+    // CDC apply: last change per user in (ts, event_id) order; error =
+    // delete (absent unless a later upsert resurrects); value verbatim
+    "q162_cdc_apply" ->
+      """WITH ch AS (SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS tss,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           value
+           FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id ORDER BY tss DESC, event_id DESC) AS rk,
+             CAST(count(CASE WHEN op = 'U' THEN 1 END) OVER (PARTITION BY user_id) AS BIGINT) AS n_upserts,
+             CAST(count(CASE WHEN op = 'D' THEN 1 END) OVER (PARTITION BY user_id) AS BIGINT) AS n_deletes
+           FROM ch)
+         SELECT user_id, value AS cur_value, tss AS since_tss,
+           n_upserts, n_deletes, n_deletes > 0 AS survived_delete
+         FROM r WHERE rk = 1 AND op = 'U'
+         ORDER BY user_id""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,

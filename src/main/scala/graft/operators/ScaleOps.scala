@@ -1435,6 +1435,48 @@ object ScaleOps {
       .orderBy("lang")
   }
 
+  /** CDC apply (q162) — materialize the CURRENT table from an ordered
+    * change stream with upserts AND deletes, the mutation-apply half of
+    * the lakehouse story next to SCD2 history (q123) and as-of reads
+    * (q135). The events table is read as a change stream per user:
+    * signup/purchase upsert the user's value, error deletes the row; a
+    * later upsert after a delete resurrects it (flagged). Final state
+    * per key = the last change in (ts, event_id) order — delete ⇒
+    * absent, upsert ⇒ its value verbatim (NO arithmetic on the value,
+    * so the double passes through both engines bit-identically).
+    *
+    * Scale shape: ONE exchange keyed by user — the ordering window and
+    * the per-user change counts share the same partitioning, so the
+    * audit columns are free; state per key is one row. Hot-key
+    * discipline is the usual salting escape hatch (q47); change streams
+    * key on entity ids, which are rarely zipf-extreme.
+    */
+  /** Core CDC apply over a prepared change stream with columns
+    * (user_id, event_id, tss, op ∈ {U, D}, value).
+    */
+  def cdcApply(changes: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("tss").desc, col("event_id").desc)
+    val wAll = Window.partitionBy("user_id")
+    changes.withColumn("rk", row_number().over(wOrd))
+      .withColumn("n_upserts", count(when(col("op") === "U", 1)).over(wAll))
+      .withColumn("n_deletes", count(when(col("op") === "D", 1)).over(wAll))
+      .filter(col("rk") === 1 && col("op") === "U")
+      .select(col("user_id"), col("value").as("cur_value"),
+        col("tss").as("since_tss"), col("n_upserts"), col("n_deletes"),
+        (col("n_deletes") > 0).as("survived_delete"))
+      .orderBy("user_id")
+  }
+
+  def q162CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    cdcApply(ev
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+      .select(col("user_id"), col("event_id"),
+        Tables.tsEpochSeconds(ev).cast("long").as("tss"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("value")))
+  }
+
   /** Length-grouped training-batch packing (q160) — the padding-waste
     * minimizer every LLM training pipeline runs between data prep and
     * the trainer: a batch pads every sequence to its longest member, so

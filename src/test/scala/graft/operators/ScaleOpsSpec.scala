@@ -622,4 +622,25 @@ class ScaleOpsSpec extends SparkSpec {
       if (raw > 1.0 / rows.length) assert(got < raw, s"$lang: high-resource share must fall")
     }
   }
+
+  test("cdcApply: delete removes, later upsert resurrects, last-writer-wins on ties by event_id") {
+    import spark.implicits._
+    val changes = Seq(
+      // user 1: upsert then delete -> absent
+      (1L, 10L, 100L, "U", 5.0), (1L, 11L, 200L, "D", 0.0),
+      // user 2: upsert, delete, upsert -> present and flagged resurrected
+      (2L, 20L, 100L, "U", 1.0), (2L, 21L, 200L, "D", 0.0), (2L, 22L, 300L, "U", 7.5),
+      // user 3: two upserts, same ts -> higher event_id wins
+      (3L, 30L, 100L, "U", 1.0), (3L, 31L, 100L, "U", 2.0),
+      // user 4: delete only -> absent
+      (4L, 40L, 100L, "D", 0.0)
+    ).toDF("user_id", "event_id", "tss", "op", "value")
+    val out = ScaleOps.cdcApply(changes).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2),
+        r.getAs[Long]("n_upserts"), r.getAs[Long]("n_deletes"),
+        r.getAs[Boolean]("survived_delete"))).toMap
+    assert(out.keySet == Set(2L, 3L), "deleted-last and delete-only users are absent")
+    assert(out(2L) == ((7.5, 300L, 2L, 1L, true)))
+    assert(out(3L) == ((2.0, 100L, 2L, 0L, false)))
+  }
 }
