@@ -23,7 +23,12 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private val crossScaleAllow = Set("q24_ngram_jaccard", "q75_cohort_retention")
+  // q24/q75: AQE broadcast-threshold flips between sound hash joins.
+  // q142: a composed 10-scan audit query (4 ANN chains) whose
+  // scan/exchange REUSE differs with data size — one cached subplan
+  // more or fewer shows as ±1 scan row with identical semantics.
+  private val crossScaleAllow =
+    Set("q24_ngram_jaccard", "q75_cohort_retention", "q142_ann_tradeoff")
 
   private def parseRows(path: String): Map[String, String] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
