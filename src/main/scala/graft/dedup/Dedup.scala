@@ -497,4 +497,79 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Exact hamming pairs ≤ maxDist over 64-bit signatures via a BLOCKED
+    * all-pairs scan — the audit anchor behind q145's recall line,
+    * delivered through the same distribution shape as the exact cosine
+    * scan (`VectorOps.nearDupPairsBlocked`): ids and signatures packed
+    * as primitive long arrays per block, a driver-built B(B+1)/2 block
+    * grid of constant-size tasks, and a tight xor+popcount loop per
+    * task. The work is intrinsically N²/2 popcounts — that is what an
+    * EXACT audit side means — but the shape turns it from a row-at-a-
+    * time theta-join (one `a.join(b, id_a < id_b)` task chain
+    * materializing 2.5·10¹¹ join rows at the 100× rehearsal, 607 s)
+    * into ~1 ns/pair primitive arithmetic a cluster schedules flat.
+    * Same-block pairs iterate ONE copy with i < j (the two join sides'
+    * collect_list orders may differ — an order-sensitive skip would
+    * double- or under-count, q27's lesson). Pigeonhole shortcuts are
+    * deliberately NOT used here: at d ≤ 7 over 64 bits the chunks would
+    * replicate the banded path under audit (4×16+probe) or collapse to
+    * 256-value buckets (8×8) whose join materializes more rows than the
+    * popcounts cost.
+    */
+  def hammingPairsBlocked(sig: DataFrame, idCol: String, sigCol: String,
+                          maxDist: Int, blockRows: Int = 8192): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val v = sig.select(col(idCol).cast("long").as("id"),
+      col(sigCol).cast("long").as("s")).cache()
+    val n = v.count() // one bounded-scalar job, as in nearDupPairsBlocked
+    val nBlocks = math.max(1, math.ceil(n.toDouble / blockRows).toInt)
+    require(nBlocks <= 4096,
+      s"$n signatures → $nBlocks blocks: an exact all-pairs hamming audit " +
+        "at this scale is a sampling problem, not a scan — audit a sample " +
+        "or move to the banded production path (simhashPairs/q158)")
+    val packed = v
+      .withColumn("blk", pmod(hash(col("id")), lit(nBlocks)))
+      .groupBy("blk")
+      .agg(collect_list(struct(col("id"), col("s"))).as("bc"))
+      .select(col("blk"),
+        transform(col("bc"), x => x.getField("id")).as("ids"),
+        transform(col("bc"), x => x.getField("s")).as("sigs"))
+      .cache() // scanned once per join side
+    val grid = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
+      .toDF("blk_a", "blk_b")
+    val joined = grid
+      .join(packed.select(col("blk").as("blk_a"), col("ids").as("ia"),
+        col("sigs").as("sa")), "blk_a")
+      .join(packed.select(col("blk").as("blk_b"), col("ids").as("ib"),
+        col("sigs").as("sb")), "blk_b")
+      .select((col("blk_a") === col("blk_b")).as("same"),
+        col("ia"), col("sa"), col("ib"), col("sb"))
+      .as[(Boolean, Array[Long], Array[Long], Array[Long], Array[Long])]
+    val pairs = joined.flatMap { case (same, ia, sa, ib0, sb0) =>
+      val (ib, sb) = if (same) (ia, sa) else (ib0, sb0)
+      val out = Seq.newBuilder[(Long, Long)]
+      var i = 0
+      while (i < ia.length) {
+        val si = sa(i)
+        var j = if (same) i + 1 else 0
+        while (j < ib.length) {
+          if (java.lang.Long.bitCount(si ^ sb(j)) <= maxDist && ia(i) != ib(j)) {
+            out += (if (ia(i) < ib(j)) (ia(i), ib(j)) else (ib(j), ia(i)))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    }.toDF("doc_a", "doc_b")
+      .cache()
+    // materialize the (result-sized) pair list, then drop the input
+    // caches eagerly — the nearDupPairsBlocked cache-lifetime discipline
+    pairs.count()
+    v.unpersist(blocking = false)
+    packed.unpersist(blocking = false)
+    pairs
+  }
 }

@@ -1097,11 +1097,10 @@ object ScaleOps {
     val sig = Dedup.simhashSignatures(docs, "doc_id", "text")
     val banded = Dedup.simhashPairs(docs, "doc_id", "text")
       .select(col("doc_a"), col("doc_b"))
-    val a = sig.select(col("id").as("doc_a"), col("simhash").as("sa"))
-    val b = sig.select(col("id").as("doc_b"), col("simhash").as("sb"))
-    val exact = a.join(b, col("doc_a") < col("doc_b"))
-      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 7)
-      .select("doc_a", "doc_b")
+    // blocked exact scan (packed primitive signatures, B² constant-size
+    // tasks) instead of a theta-join: identical pair set, measured
+    // 607 s → see PROGRESS round 8 at the 100× rehearsal
+    val exact = Dedup.hammingPairsBlocked(sig, "id", "simhash", 7)
     banded.withColumn("in_b", lit(1L))
       .join(exact.withColumn("in_e", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
       .agg(
