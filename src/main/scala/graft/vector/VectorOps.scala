@@ -1,7 +1,7 @@
 package graft.vector
 
 import graft.functions.DotProduct
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -301,6 +301,77 @@ object VectorOps {
       .select(col("id"), col("vec"), col("nv"), col("cl"))
   }
 
+  /** The per-label mean centroids `ivfAssign` derives, collected to the
+    * driver as a reusable model artifact: (cl, centroid). The values are
+    * the EXACT doubles the in-plan aggregation produces (same plan,
+    * collected) — summing float-sourced doubles is exact far past any
+    * realistic cluster size, so the means are order-independent and
+    * bit-stable. k×dim doubles: driver-trivial at the k≈√N regime.
+    */
+  def ivfCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String): Array[(Int, Array[Double])] =
+    vecs
+      .select(col(labelCol).cast("int").as("cl"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("cl", "pos").agg(avg("v").as("m"))
+      .groupBy("cl").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cl"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+      .collect()
+      .map(r => (r.getAs[Int]("cl"), r.getAs[Seq[Double]]("centroid").toArray))
+      .sortBy(_._1)
+
+  /** `ivfAssign` under ALREADY-TRAINED driver-held centroids: replaces
+    * the N×k crossJoin + per-id row_number window (the dominant warm
+    * cost of q69 once the kmeans fit was split out — 0.74 s of 1.15 s
+    * at sf0.1) with one tight-loop top-nProbe UDF and a posexplode.
+    * Selection semantics are IDENTICAL to the window form: per vector,
+    * the nProbe distinct clusters with highest 4-dp-ROUNDED cosine,
+    * ties broken by ascending cluster id; rounding is the proven
+    * `BigDecimal.valueOf → setScale(4, HALF_UP)` replica of Spark's
+    * `round` (see nearDupPairsBlocked), dot products fold sequentially
+    * ascending exactly like the codegen'd DotProduct, ncent = √(c·c) in
+    * the same fold order as l2Norm. IvfAssignDrivenSpec asserts
+    * row-for-row equality against the window form on live fixtures.
+    * Output schema matches ivfAssign: (id, vec, nv, cl:int).
+    */
+  def ivfAssignDriven(vecs: DataFrame, idCol: String, vecCol: String,
+                      cent: Array[(Int, Array[Double])], nProbe: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    val cls = cent.map(_._1)
+    val cs = cent.map(_._2)
+    val ncs = cs.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((cls, cs, ncs))
+    val probes = udf { (vec: Array[Float], nv: Double) =>
+      val (bCls, bCs, bNcs) = bc.value
+      val k = bCs.length
+      val scores = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        val c = bCs(j)
+        val d = math.min(vec.length, c.length)
+        var s = 0.0; var i = 0
+        while (i < d) { s += vec(i).toDouble * c(i); i += 1 }
+        val nn = nv * bNcs(j)
+        scores(j) =
+          if (nn == 0.0) 0.0
+          else java.math.BigDecimal.valueOf(s / nn)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        j += 1
+      }
+      // top-nProbe by (score desc, cl asc) — cls arrive ascending, so a
+      // stable sort on -score alone preserves the cl tie-break
+      (0 until k).sortBy(i => -scores(i)).take(nProbe).map(bCls(_)).toArray
+    }
+    vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nv", l2Norm(col("vec")))
+      .withColumn("cl", explode(probes(col("vec").cast("array<float>"), col("nv"))))
+      .select(col("id"), col("vec"), col("nv"), col("cl"))
+  }
+
   /** Distributed k-means (Lloyd's) — the trainer behind the IVF index
     * (`knnIvf`/`ivfAssign` consume given cluster labels; this is where
     * those labels come from when nobody hands them to you). The k
@@ -325,13 +396,38 @@ object VectorOps {
     *
     * Returns (id, cl, d2): each vector's final cluster and its rounded
     * squared distance under the final centroids.
+    *
+    * `kmeansFit` = `kmeansTrain` (the Lloyd loop, producing the model
+    * artifact: k centroids on the driver) followed by `kmeansAssign`
+    * (one narrow labeling job under those centroids). They are public
+    * separately because a production pipeline persists the centroids
+    * and re-assigns many times per fit — re-training inside every
+    * invocation of a registered query doubled q69's bench wall before
+    * the split (round-8 verdict finding #1).
     */
   def kmeansFit(vecs: DataFrame, idCol: String, vecCol: String,
-                k: Int, iters: Int): DataFrame = {
-    val v = vecs.select(col(idCol).as("id"),
+                k: Int, iters: Int): DataFrame =
+    kmeansAssign(vecs, idCol, vecCol, kmeansTrain(vecs, idCol, vecCol, k, iters))
+
+  /** Shared projection: (id, vec as array<double>, vv = dot(vec,vec)) —
+    * vv is shared by all k distance evaluations, compute it once. */
+  private def kmeansProj(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-      // dot(vec,vec) is shared by all k distances — compute it once
       .withColumn("vv", dot(col("vec"), col("vec")))
+
+  /** The Lloyd training loop alone: returns the model artifact — the
+    * final (clusterId, centroid) array, driver-held. Centroid memory is
+    * k×dim doubles: at the k=⌈√N⌉ regime q69 runs (k≈1800 at the 100×
+    * rehearsal, dim 384) that is ~5.5 MB — still driver-trivial, but no
+    * longer the "k≤8" footnote the original comment assumed; the array
+    * re-enters each round's plan through an explicit SparkContext
+    * broadcast (one torrent transfer per round, not a per-task closure
+    * payload). Determinism contract identical to `kmeansFit`'s doc.
+    */
+  def kmeansTrain(vecs: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): Array[(Int, Vector[Double])] = {
+    val v = kmeansProj(vecs, idCol, vecCol)
     // Argmin as ONE closure-capturing UDF, not a least() tree over k
     // typedLit centroid arrays: the literal form re-analyzes and
     // re-Janino-compiles a ~k×dim-literal expression EVERY round
@@ -344,35 +440,16 @@ object VectorOps {
     // association, halfUp's floor(x·10⁶+0.5)/10⁶ spelling, and the
     // (d2 asc, cl asc) tie-break of the former least() over structs.
     // Array[Double] params deserialize to primitive arrays — no boxing.
-    def best(cRows: Array[(Int, Vector[Double])]): Column = {
-      val cls = cRows.map(_._1)
-      val cs = cRows.map(_._2.toArray)
-      val ccs = cs.map { c =>
-        var cc = 0.0; var i = 0
-        while (i < c.length) { cc += c(i) * c(i); i += 1 }
-        cc
-      }
-      val f = udf { (vec: Array[Double], vv: Double) =>
-        var bd = Double.PositiveInfinity
-        var bc = Int.MaxValue
-        var j = 0
-        while (j < cs.length) {
-          val c = cs(j)
-          var d = 0.0; var i = 0
-          while (i < c.length) { d += vec(i) * c(i); i += 1 }
-          val d2 = math.floor((vv - 2.0 * d + ccs(j)) * 1e6 + 0.5) / 1e6
-          if (d2 < bd || (d2 == bd && cls(j) < bc)) { bd = d2; bc = cls(j) }
-          j += 1
-        }
-        BestAssign(bc, bd)
-      }
-      f(col("vec"), col("vv"))
-    }
-    // Centroids live on the driver between rounds (k≤8 × dim doubles —
-    // trivially driver-safe) and re-enter each round's plan through the
-    // `best` closure, so a Lloyd round is ONE job whose plan references
-    // only `v`: no per-round lineage growth, no checkpoint, no window.
+    // Centroids live on the driver between rounds (k×dim doubles — at
+    // the k=⌈√N⌉ regime ~5.5 MB at the 100× rehearsal, still trivially
+    // driver-safe) and re-enter each round's plan through an EXPLICIT
+    // broadcast (one torrent transfer per round per executor, instead
+    // of a k×dim closure payload re-serialized into the task binary),
+    // so a Lloyd round is ONE job whose plan references only `v`: no
+    // per-round lineage growth, no checkpoint, no window.
     val spark = vecs.sparkSession
+    def best(cRows: Array[(Int, Vector[Double])]): Column =
+      bestAssign(spark, cRows)
     // the recenter aggregation's output is bounded by k×dim rows
     // (≤3072 here) — 32 shuffle partitions on a bounded agg is pure
     // task overhead per round (q70's state-partition rule, batch form);
@@ -397,9 +474,55 @@ object VectorOps {
         .map(r => (r.getAs[Int]("cl"), r.getAs[Seq[Double]]("centroid").toVector))
         .sortBy(_._1)
     }
-    v.withColumn("b", best(cent))
-      .select(col("id"), col("b.cl").as("cl"), col("b.d2").as("d2"))
+    cent
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Label a vector table under an already-trained centroid array (the
+    * artifact `kmeansTrain` returns): one narrow projection — no count,
+    * no Lloyd rounds, no shuffle. Returns (id, cl, d2) exactly as
+    * `kmeansFit` does; `kmeansAssign(v, id, vec, kmeansTrain(v, id,
+    * vec, k, it))` ≡ `kmeansFit(v, id, vec, k, it)` row-for-row (the
+    * assignment math is the same `bestAssign` UDF).
+    */
+  def kmeansAssign(vecs: DataFrame, idCol: String, vecCol: String,
+                   centroids: Array[(Int, Vector[Double])]): DataFrame = {
+    val v = kmeansProj(vecs, idCol, vecCol)
+    v.withColumn("b", bestAssign(vecs.sparkSession, centroids))
+      .select(col("id"), col("b.cl").as("cl"), col("b.d2").as("d2"))
+  }
+
+  /** The argmin column shared by train and assign: nearest centroid by
+    * 6-dp-rounded squared L2 (ties → lowest cluster id), math documented
+    * at `kmeansTrain`. The centroid array ships via SparkContext
+    * broadcast; the UDF closure captures only the broadcast handle.
+    */
+  private def bestAssign(spark: SparkSession,
+                         cRows: Array[(Int, Vector[Double])]): Column = {
+    val cls = cRows.map(_._1)
+    val cs = cRows.map(_._2.toArray)
+    val ccs = cs.map { c =>
+      var cc = 0.0; var i = 0
+      while (i < c.length) { cc += c(i) * c(i); i += 1 }
+      cc
+    }
+    val bc = spark.sparkContext.broadcast((cls, cs, ccs))
+    val f = udf { (vec: Array[Double], vv: Double) =>
+      val (bCls, bCs, bCcs) = bc.value
+      var bd = Double.PositiveInfinity
+      var bcI = Int.MaxValue
+      var j = 0
+      while (j < bCs.length) {
+        val c = bCs(j)
+        var d = 0.0; var i = 0
+        while (i < c.length) { d += vec(i) * c(i); i += 1 }
+        val d2 = math.floor((vv - 2.0 * d + bCcs(j)) * 1e6 + 0.5) / 1e6
+        if (d2 < bd || (d2 == bd && bCls(j) < bcI)) { bd = d2; bcI = bCls(j) }
+        j += 1
+      }
+      BestAssign(bcI, bd)
+    }
+    f(col("vec"), col("vv"))
   }
 
   /** Symmetric int8 quantization of a vector column: per-vector scale
@@ -480,6 +603,25 @@ object VectorOps {
                            labelCol: String, threshold: Double,
                            nProbe: Int = 2): DataFrame = {
     val assigned = ivfAssign(vecs, idCol, vecCol, labelCol, nProbe)
+    bucketedVerify(assigned, threshold)
+  }
+
+  /** `nearDupPairsBucketed` under already-trained driver-held centroids
+    * (`ivfCentroids` artifact): no label column, no kmeans re-assignment,
+    * no N×k window — probe via `ivfAssignDriven`, then the identical
+    * same-cluster verify. This is q69's warm path once its per-dir model
+    * cache is populated.
+    */
+  def nearDupPairsBucketedDriven(vecs: DataFrame, idCol: String, vecCol: String,
+                                 cent: Array[(Int, Array[Double])],
+                                 threshold: Double, nProbe: Int = 2): DataFrame =
+    bucketedVerify(ivfAssignDriven(vecs, idCol, vecCol, cent, nProbe), threshold)
+
+  /** Shared same-cluster exact-cosine verify over a probed assignment
+    * (id, vec, nv, cl): candidate pairs are rows sharing a probed
+    * cluster; distinct() collapses pairs sharing both probed clusters.
+    */
+  private def bucketedVerify(assigned: DataFrame, threshold: Double): DataFrame =
     assigned.as("a").join(assigned.as("b"), "cl")
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -487,7 +629,6 @@ object VectorOps {
       .distinct() // a pair sharing both probed clusters appears twice
       .filter(col("cos") >= threshold)
       .orderBy("id_a", "id_b")
-  }
 
   /** Fast-JL sign projections (Ailon–Chazelle 2006, structured-spinner
     * form): instead of nProj dense ±1 hyperplanes (O(nProj·dim) mults
