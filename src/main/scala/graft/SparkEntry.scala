@@ -235,7 +235,7 @@ object SparkEntry {
     // waste; ties break on doc_id in both engines
     "q160_length_batches" ->
       """WITH d AS (SELECT doc_id, source,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT) AS n_tokens
            FROM documents),
          s AS (SELECT 'length_sorted' AS policy, source,
              CAST(floor((row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) - 1) / 64.0) AS BIGINT) AS batch_id,
@@ -255,7 +255,7 @@ object SparkEntry {
     // largest-remainder split over integers, ties by lang
     "q161_temperature_mixture" ->
       """WITH d AS (SELECT lang,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT) AS t
            FROM documents),
          l AS (SELECT lang, CAST(sum(t) AS BIGINT) AS n_tokens FROM d GROUP BY lang),
          w AS (SELECT lang, n_tokens,
@@ -394,7 +394,7 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "q14_token_stats" ->
       """SELECT doc_id,
-         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT) AS n_tokens,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
     "q15_lang_id" ->
@@ -416,7 +416,7 @@ object SparkEntry {
     "q16_quality" ->
       """WITH s AS (SELECT doc_id,
            CAST(length(text) AS DOUBLE) AS n_chars,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS DOUBLE) AS n_words,
            CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
            CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
          FROM documents)
@@ -582,7 +582,7 @@ object SparkEntry {
          ORDER BY query_id, neighbor_id""",
     "q32_pack_context" ->
       """WITH t AS (SELECT lang, doc_id, n_chars,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT) AS n_tokens
          FROM documents),
          r AS (SELECT lang, doc_id, n_tokens,
            CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
@@ -797,7 +797,7 @@ object SparkEntry {
                 ELSE 'The answer is described in ' || text END AS answer
            FROM documents)
          SELECT doc_id, answer,
-           (len(regexp_split_to_array(trim(answer), '\s+')) < 3
+           (CASE WHEN len(trim(answer)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(answer), '\S+')) END < 3
             OR contains(lower(answer), 'i’m not sure')
             OR contains(lower(answer), 'i am not sure')
             OR contains(lower(answer), 'insufficient evidence')) AS unhelpful
@@ -939,7 +939,7 @@ object SparkEntry {
            ELSE 'zh' END AS lang_pred FROM s),
          qs AS (SELECT doc_id,
            CAST(length(text) AS DOUBLE) AS n_chars,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS DOUBLE) AS n_words,
            CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
            CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
          FROM documents),
@@ -968,8 +968,8 @@ object SparkEntry {
       """SELECT count(*) AS n_docs,
          count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS ndv_exact,
          TRUE AS hll_ok,
-         round(quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT), 0.5), 4) AS p50_tokens,
-         round(quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT), 0.9), 4) AS p90_tokens,
+         round(quantile_cont(CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT), 0.5), 4) AS p50_tokens,
+         round(quantile_cont(CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT), 0.9), 4) AS p90_tokens,
          TRUE AS p50_ok, TRUE AS p90_ok
          FROM documents""",
     // k = ceil(sqrt(N)) clusters learned by the q124 kmeans unroll
@@ -1289,7 +1289,7 @@ object SparkEntry {
          GROUP BY sh.doc_id ORDER BY sh.doc_id""",
     "q88_pack_sequences" ->
       """WITH d AS (SELECT doc_id, source,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT) AS n_tokens
          FROM documents),
          s AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
@@ -1301,7 +1301,7 @@ object SparkEntry {
     "q89_keeper_dedup" ->
       """WITH f AS (SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT) AS n_tokens
          FROM documents),
          r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY n_tokens DESC, doc_id ASC) AS rk,
                  CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_docs FROM f)
@@ -1312,7 +1312,7 @@ object SparkEntry {
     "q90_quality_cutoff" ->
       """WITH s AS (SELECT doc_id,
            CAST(length(text) AS DOUBLE) AS n_chars,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS DOUBLE) AS n_words,
            CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
            CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
          FROM documents),
@@ -1403,7 +1403,7 @@ object SparkEntry {
     // binary repr minus 1): ln(64)/ln(2) sits an ulp under 6.0
     "q96_length_histogram" ->
       """WITH d AS (SELECT source,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT) AS n_tokens
          FROM documents)
          SELECT source, CAST(length(bin(n_tokens)) - 1 AS INT) AS bucket,
            CAST(count(*) AS BIGINT) AS n_docs
@@ -1420,7 +1420,7 @@ object SparkEntry {
                              WHEN 'src2' THEN 8 WHEN 'src3' THEN 4 ELSE 2 END),
          qs AS (SELECT doc_id,
                   CAST(length(text) AS DOUBLE) AS n_chars,
-                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+                  CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS DOUBLE) AS n_words,
                   CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
                   CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
                 FROM base),
@@ -1458,7 +1458,7 @@ object SparkEntry {
          clean AS (SELECT ed.doc_id, ed.source, ed.kept_text FROM ed
                    WHERE ed.doc_id NOT IN (SELECT doc_id FROM cont)),
          d AS (SELECT doc_id, source,
-                 CAST(len(regexp_split_to_array(trim(kept_text), '\s+')) AS BIGINT) AS n_tokens
+                 CAST(CASE WHEN len(trim(kept_text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(kept_text), '\S+')) END AS BIGINT) AS n_tokens
                FROM clean),
          sums AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
@@ -1620,7 +1620,7 @@ object SparkEntry {
     "q108_weighted_sample" ->
       """WITH s AS (SELECT doc_id,
            CAST(length(text) AS DOUBLE) AS n_chars,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS DOUBLE) AS n_words,
            CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
            CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
          FROM documents),
@@ -2045,7 +2045,7 @@ object SparkEntry {
     "q127_quality_normalize" ->
       """WITH s AS (SELECT doc_id, source,
            CAST(length(text) AS DOUBLE) AS n_chars,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS DOUBLE) AS n_words,
            CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
            CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
          FROM documents),
@@ -2171,7 +2171,7 @@ object SparkEntry {
     // epoch count; integer arithmetic to the last step
     "q133_token_budget" ->
       """WITH d AS (SELECT source,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT) AS n_tokens,
              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bucket,
              CASE source WHEN 'src0' THEN 16 WHEN 'src1' THEN 12
                          WHEN 'src2' THEN 8 WHEN 'src3' THEN 4 ELSE 2 END AS rate
@@ -2563,7 +2563,7 @@ object SparkEntry {
                             * 10000.0 + 0.5) AS BIGINT) AS ppl_e4
                FROM d),
          docs AS (SELECT doc_id, source,
-                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                 CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT) AS n_tokens
                FROM documents),
          r AS (SELECT docs.doc_id, docs.source, docs.n_tokens, ppl.ppl_e4,
                  row_number() OVER (PARTITION BY docs.source
@@ -2616,7 +2616,7 @@ object SparkEntry {
     "q151_unimax_mixture" ->
       """WITH RECURSIVE
          ls0 AS (SELECT lang,
-             CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+             CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END) AS BIGINT) AS n_tokens
            FROM documents GROUP BY lang),
          ls AS (SELECT lang, n_tokens, 1 * n_tokens AS cap,
              CAST(row_number() OVER (ORDER BY 1 * n_tokens, lang) AS BIGINT) AS i,
@@ -2642,9 +2642,9 @@ object SparkEntry {
     // integer bp over the source's doc count
     "q152_corpus_datasheet" ->
       """WITH base0 AS (SELECT source, doc_id, lang,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t,
+             CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT) AS t,
              CAST(length(text) AS DOUBLE) AS n_chars,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+             CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS DOUBLE) AS n_words,
              CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
              CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
            FROM documents),

@@ -199,7 +199,7 @@ object Graph {
     val clusters = clusterAssignments(spark, dir)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     docs.join(broadcast(clusters), Seq("doc_id"))
       .groupBy("root")
       .agg(count(lit(1)).as("n_docs"),

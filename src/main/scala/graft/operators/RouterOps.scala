@@ -63,7 +63,7 @@ object RouterOps {
           .when(col("doc_id") % 6 === 3, lit("I am not sure — the context does not say."))
           .otherwise(concat(lit("The answer is described in "), col("text"))))
       .withColumn("unhelpful",
-        (size(split(trim(col("answer")), "\\s+")) < 3) ||
+        (graft.text.TextAnalysis.tokenCount(col("answer")) < 3) ||
           lower(col("answer")).contains("i’m not sure") ||
           lower(col("answer")).contains("i am not sure") ||
           lower(col("answer")).contains("insufficient evidence"))

@@ -230,7 +230,7 @@ object ScaleOps {
   def q68SketchProfile(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(
       md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     d.agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("fp")).as("ndv_exact"),
@@ -520,7 +520,7 @@ object ScaleOps {
   def keeperDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val d = docs.select(col(idCol),
       Dedup.canonicalFingerprint(col(textCol)).as("fp"),
-      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      graft.text.TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     val best = Window.partitionBy("fp")
       .orderBy(col("n_tokens").desc, col(idCol).asc)
     d.withColumn("rk", row_number().over(best))
@@ -1010,7 +1010,7 @@ object ScaleOps {
       .when(col("source") === "src3", 4)
       .otherwise(2)
     Tables.documents(spark, dir)
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("n_tokens", graft.text.TextAnalysis.tokenCount(col("text")).cast("long"))
       .withColumn("sampled", bucket < rate)
       .groupBy("source")
       .agg(
@@ -1377,7 +1377,7 @@ object ScaleOps {
   def corpusDatasheet(docs: DataFrame): DataFrame = {
     val base = docs
       .select(col("source"), col("doc_id"), col("lang"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("t"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("t"),
         (TextAnalysis.qualityScore(col("text")) >= 0.5).as("q"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"),
@@ -1408,7 +1408,7 @@ object ScaleOps {
     import spark.implicits._
     val langTokens = Tables.documents(spark, dir)
       .select(col("lang"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
       .groupBy("lang").agg(sum("t").as("n_tokens"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val budget = langTokens.map(_._2).sum * 8L / 10L

@@ -250,7 +250,7 @@ object TextOps {
       .select(col("doc_id"), pplE4.as("ppl_e4"))
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     val w = Window.partitionBy("source")
       .orderBy(col("ppl_e4").asc, col("doc_id").asc)
     // n_src counts the RANKED population (docs with >= 1 bigram — the

@@ -44,7 +44,7 @@ object Ingest {
     val obs = org.apache.spark.sql.Observation("ingest_stats")
     df.observe(obs,
         count(lit(1)).as("n_rows"),
-        sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("n_tokens"),
+        sum(graft.text.TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         sum(when(col(textCol).isNull, 1L).otherwise(0L)).as("n_null"))
       .write.mode(SaveMode.Overwrite).parquet(path)
     val m = obs.get

@@ -13,15 +13,25 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. VALUE-identical to
-    * `size(split(trim(c), "\\s+"))` (the form every oracle mirrors as
-    * `len(regexp_split_to_array(...))`): the number of \S+ runs equals
-    * the split size for any non-empty trimmed string, and the empty
-    * string splits to [""] = 1. Counting runs instead of splitting
-    * skips materializing the token array — ~1000 string allocations per
-    * document on the hot quality/sampling path (measured: q108's
-    * per-row cost was 2.9 ms/doc at the 100× rehearsal, dominated by
-    * split/extract_all array builds).
+  /** Whitespace token count: the number of \S+ runs, EXCEPT that input
+    * whose space-trimmed form is empty counts 1 (the legacy identity of
+    * `size(split(trim(c), "\\s+"))`, which splits "" to [""]). This is
+    * THE token-count semantics of the library — every Spark call site
+    * uses this function and every DuckDB oracle mirrors it with the
+    * exact CASE form
+    * `CASE WHEN len(trim(x)) = 0 THEN 1
+    *       ELSE len(regexp_extract_all(trim(x), '\S+')) END`,
+    * which is value-identical on ALL inputs. (The earlier
+    * `len(regexp_split_to_array(trim(x),'\s+'))` mirror was NOT: SQL
+    * trim strips only spaces, so text whose trimmed form starts/ends
+    * with tab or newline made the split form count empty elements —
+    * '\ta b' → 3 split vs 2 runs. TokenCountParitySpec pins the run
+    * semantics on those inputs; tools/token_mirror_check.py re-runs
+    * the CASE mirror in DuckDB against the same pins.) Counting runs
+    * instead of splitting also skips materializing the token array —
+    * ~1000 string allocations per document on the hot quality/sampling
+    * path (measured: q108's per-row cost was 2.9 ms/doc at the 100×
+    * rehearsal, dominated by split/extract_all array builds).
     */
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(1))
