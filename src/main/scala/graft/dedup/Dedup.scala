@@ -537,8 +537,11 @@ object Dedup {
         transform(col("bc"), x => x.getField("id")).as("ids"),
         transform(col("bc"), x => x.getField("s")).as("sigs"))
       .cache() // scanned once per join side
-    val grid = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
-      .toDF("blk_a", "blk_b")
+    // upper-triangle grid generated DISTRIBUTEDLY from spark.range: at
+    // the 4096-block cap a driver-local Seq would materialize ~8.4M
+    // tuples in the plan as a LocalRelation (driver memory + plan-size
+    // blowup well before the require fires); a Range scan ships no rows
+    val grid = upperTriangleGrid(spark, nBlocks)
     val joined = grid
       .join(packed.select(col("blk").as("blk_a"), col("ids").as("ia"),
         col("sigs").as("sa")), "blk_a")
@@ -564,12 +567,27 @@ object Dedup {
       }
       out.result()
     }.toDF("doc_a", "doc_b")
-      .cache()
-    // materialize the (result-sized) pair list, then drop the input
-    // caches eagerly — the nearDupPairsBlocked cache-lifetime discipline
-    pairs.count()
+      // materialize the (result-sized) pair list EAGERLY as a local
+      // checkpoint, then drop the input caches — the nearDupPairsBlocked
+      // cache-lifetime discipline. localCheckpoint instead of cache():
+      // cached plans live in the session CacheManager until an explicit
+      // unpersist, so a threshold-sweep loop accumulated one result-sized
+      // cache per call; checkpoint blocks are dropped by the
+      // ContextCleaner as soon as the returned frame is unreachable.
+      .localCheckpoint(true)
     v.unpersist(blocking = false)
     packed.unpersist(blocking = false)
     pairs
   }
+
+  /** The (i ≤ j) block-pair grid as a distributed Range scan — B² rows
+    * generated on executors, filtered to B(B+1)/2; nothing materializes
+    * on the driver or in the plan.
+    */
+  private[graft] def upperTriangleGrid(spark: org.apache.spark.sql.SparkSession,
+                                       nBlocks: Int): DataFrame =
+    spark.range(nBlocks.toLong * nBlocks)
+      .select((col("id") / nBlocks).cast("int").as("blk_a"),
+        pmod(col("id"), lit(nBlocks)).cast("int").as("blk_b"))
+      .filter(col("blk_a") <= col("blk_b"))
 }

@@ -49,12 +49,22 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * .install]] retrofits an already-built session.
   */
 case class ApproxPercentileRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  /** True iff the frequency expression is a compile-time constant 1 —
+    * evaluated via foldable+eval rather than a syntactic Literal match,
+    * so a frequency the optimizer WOULD fold to 1 (e.g. `2 - 1`, a cast
+    * of 1) also qualifies regardless of where this rule sits relative
+    * to ConstantFolding (round-8 ADVICE boundary finding). A
+    * non-foldable frequency (per-row column) is never 1-by-construction
+    * and stays on the exact path.
+    */
   private def unitFrequency(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
-    e match {
-      case Literal(v: Long, _) => v == 1L
-      case Literal(v: Int, _)  => v == 1
-      case _                   => false
-    }
+    e.foldable && (e.eval() match {
+      case v: Long  => v == 1L
+      case v: Int   => v == 1
+      case v: Short => v == 1
+      case v: Byte  => v == 1
+      case _        => false
+    })
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!spark.conf.get(ApproxPercentile.Flag, "false").toBoolean) plan

@@ -204,8 +204,9 @@ object VectorOps {
         transform(col("bc"), s => size(s.getField("vec"))).as("lens"),
         flatten(transform(col("bc"), s => s.getField("vec"))).as("flat"))
       .cache() // scanned once per join side
-    val grid = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
-      .toDF("blk_a", "blk_b")
+    // upper-triangle grid generated distributedly (see
+    // Dedup.upperTriangleGrid) — no driver-local LocalRelation
+    val grid = graft.dedup.Dedup.upperTriangleGrid(spark, nBlocks)
     val joined = grid
       .join(packed.select(col("blk").as("blk_a"), col("ids").as("ia"),
         col("nvs").as("na"), col("lens").as("la"), col("flat").as("fa")), "blk_a")
@@ -264,15 +265,16 @@ object VectorOps {
       }
       out.result()
     }.toDF("id_a", "id_b", "cos")
-      .cache()
-    // Materialize the pair list once, then drop the heavy input caches
-    // eagerly: `v` and `packed` hold the full vector corpus, and leaving
-    // them to LRU meant repeated calls in one session (the NearDupSweep
-    // threshold loop) accumulated executor storage. The residual cache
-    // is only the qualifying pair set — bounded by the near-dup result,
-    // not the corpus — and the caller's action reads it instead of
-    // re-running the quadratic scan.
-    pairs.count()
+      // Materialize the pair list once (eager local checkpoint), then
+      // drop the heavy input caches: `v` and `packed` hold the full
+      // vector corpus, and leaving them to LRU meant repeated calls in
+      // one session (the NearDupSweep threshold loop) accumulated
+      // executor storage. The residual blocks hold only the qualifying
+      // pair set — bounded by the near-dup result, not the corpus — and
+      // unlike cache() they are dropped by the ContextCleaner once the
+      // returned frame is unreachable, so a sweep loop leaves nothing
+      // behind (round-8 ADVICE cache-lifetime finding).
+      .localCheckpoint(true)
     v.unpersist(blocking = false)
     packed.unpersist(blocking = false)
     pairs.orderBy("id_a", "id_b")

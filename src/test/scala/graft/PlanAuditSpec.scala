@@ -80,13 +80,23 @@ class PlanAuditSpec extends SparkSpec {
         diverged.toSeq.sorted.map(q => s"\n  $q\n    sf0.01: ${small(q)}\n    sf0.1:  ${big(q)}").mkString)
   }
 
-  test("fresh sf0.01 audit reproduces every committed PLANS.md row") {
+  test("fresh sf0.01 audit reproduces the committed PLANS.md rows") {
     val committed = parseRows("PLANS.md")
     // child session pinned to PlanAudit main's SQL config; SQL confs are
     // per-session, so this doesn't disturb the shared suite session
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val dir = "/root/testdata/sf0.01"
+    // Executing all 162 queries cost ~100 s — a third of suite wall,
+    // growing linearly with the catalog (round-8 ADVICE). Default: a
+    // ROTATING quarter — deterministic within a day, full catalog
+    // coverage every 4 days, so a drifted plan is caught within days
+    // while the routine dev loop pays ~25 s. SPARK_GRAFT_PLANAUDIT_FULL=1
+    // audits everything (the round-close gate runs it; so do the
+    // committed-artifact tests above, which always cover all rows).
+    val full = sys.env.get("SPARK_GRAFT_PLANAUDIT_FULL").contains("1")
+    val epochDay = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay
+    def inRotation(i: Int): Boolean = full || (i + epochDay) % 4 == 0
     // the AQE-allowlisted queries flip broadcast decisions on measured
     // shuffle sizes, which moves their exchange and codegen-span counts
     // between sound hash-join shapes run-to-run — hold them to the
@@ -97,12 +107,14 @@ class PlanAuditSpec extends SparkSpec {
         val cells = row.stripPrefix("|").stripSuffix("|").split("\\|").map(_.trim)
         (cells.take(4) ++ cells.takeRight(1)).mkString("| ", " | ", " |")
       }
-    val mismatches = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val fresh = s"| $name | ${PlanAudit.auditCells(fn(s, dir))} |"
-      val want = committed.get(name).map(comparable(name, _))
-      if (want.contains(comparable(name, fresh))) None
-      else Some(s"\n  $name\n    committed: ${committed.getOrElse(name, "<absent>")}\n    fresh:     $fresh")
-    }
+    val mismatches = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .collect { case ((name, fn), i) if inRotation(i) => (name, fn) }
+      .flatMap { case (name, fn) =>
+        val fresh = s"| $name | ${PlanAudit.auditCells(fn(s, dir))} |"
+        val want = committed.get(name).map(comparable(name, _))
+        if (want.contains(comparable(name, fresh))) None
+        else Some(s"\n  $name\n    committed: ${committed.getOrElse(name, "<absent>")}\n    fresh:     $fresh")
+      }
     assert(mismatches.isEmpty,
       s"executed-plan shape drifted from PLANS.md (regenerate via " +
         s"`runMain graft.PlanAudit` if intentional):${mismatches.mkString}")

@@ -53,6 +53,15 @@ class ApproxPercentileSpec extends SparkSpec {
       val freq = sql("SELECT percentile(value, 0.5, 2) FROM ev_pct")
       assert(!freq.queryExecution.optimizedPlan.toString.contains("percentile_approx"))
 
+      // a frequency that merely FOLDS to 1 rewrites (semantic boundary,
+      // not syntactic — the matcher evaluates foldable expressions)
+      val folded = sql("SELECT percentile(value, 0.5, 2 - 1) FROM ev_pct")
+      assert(folded.queryExecution.optimizedPlan.toString.contains("percentile_approx"))
+      assert(folded.head().getDouble(0) == viaExplicit)
+      // ... while one that folds to a non-1 constant stays exact
+      val folded2 = sql("SELECT percentile(value, 0.5, 1 + 1) FROM ev_pct")
+      assert(!folded2.queryExecution.optimizedPlan.toString.contains("percentile_approx"))
+
       // reverse (descending percentile_cont) stays exact
       val rev = sql(
         "SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY value DESC) FROM ev_pct")
