@@ -758,9 +758,11 @@ object VectorOps {
     * is why `q27` keeps the exact scan and this operator is registered
     * against hash-embedded documents at τ = 0.95.
     */
+
   def signLshNearDup(vecs: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, nBands: Int = 160, bandBits: Int = 32,
-                     seed: Long = 7L): DataFrame = {
+                     seed: Long = 7L,
+                     broadcastVerifyMaxRows: Long = 1L << 20): DataFrame = {
     require(threshold > 0, "sign-LSH near-dup needs a positive cosine threshold")
     val sp = new SignPlanes(nBands, bandBits, seed)
     val sigUdf = udf((v: Seq[Float]) => sp.bandSigs(v))
@@ -769,32 +771,128 @@ object VectorOps {
     // and they are the one class that shares IDENTICAL signatures in
     // every band (all sign bits 0), i.e. the guaranteed giant join
     // bucket on a corpus with many empty documents
+    // the cached table stays WIDENED double: a float-typed cache was
+    // tried (half the footprint) and measured ~2× SLOWER on the
+    // candidate stage at sf0.1 (2.2 s vs 0.8–1.0 s — the UDF input
+    // conversion from a FloatType array column goes through a slower
+    // path than the double→float Cast the widened form uses); negative
+    // result recorded, widened cache kept
+    val floatSourced = vecs.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
     val v = graft.Tables.widen(vecs.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .withColumn("nv", l2Norm(col("vec")))
       .filter(col("nv") > 0)
       .cache()
-    // candidate generation stays a band-table SELF-JOIN on (band, sig)
-    // by measurement: the tempting one-shuffle alternative — groupBy
-    // (band, sig) + collect_list + per-bucket pair expansion, q24's
-    // pattern — was built and benchmarked at the 100× rehearsal and
-    // lost 120 s vs 65 s: with 2³² sig values per band the 32M-row
-    // exploded table is ~all singleton keys, and 32M one-element
-    // aggregation buffers cost far more than the join's second shuffle
-    // of primitive rows. The bucket pattern wins when buckets are DENSE
-    // (q24's capped-df shingle index); here density is exactly what the
-    // wide signatures are designed to prevent.
-    val banded = v.select(col("id"), posexplode(sigUdf(col("vec"))).as(Seq("band", "sig")))
-    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "sig"))
+    val n = v.count() // bounded-scalar job; picks the verify shape below
+    // candidate generation stays a band-table SELF-JOIN by measurement:
+    // the tempting one-shuffle alternative — groupBy (band, sig) +
+    // collect_list + per-bucket pair expansion, q24's pattern — was
+    // built and benchmarked at the 100× rehearsal and lost 120 s vs
+    // 65 s: with 2³² sig values per band the 32M-row exploded table is
+    // ~all singleton keys, and 32M one-element aggregation buffers cost
+    // far more than the join's second shuffle of primitive rows. The
+    // bucket pattern wins when buckets are DENSE (q24's capped-df
+    // shingle index); here density is exactly what the wide signatures
+    // are designed to prevent. Round-9 re-shaping of the join itself
+    // (measured at the 100× rehearsal, 500k docs, numbers per stage):
+    //  - (band, sig) packs into ONE long key (band·2³² + sig — exact
+    //    while bandBits ≤ 32): single-long shuffle/compare, 29.9 → 21.6 s
+    //    for the candidate stage;
+    //  - a shuffle_hash hint was measured ~13% faster (18.4 → 16.1 s)
+    //    but REVERTED: the SHJ build side cannot spill, and under the
+    //    memory pressure of a full catalog run (broadcast verify tables
+    //    + operator caches resident) it failed outright with "Can't
+    //    acquire ... bytes to build hash relation" — a sorted-merge
+    //    join that spills beats a hash join that dies. Negative result
+    //    recorded, per the bucket-aggregation precedent above.
+    val banded =
+      if (bandBits <= 32)
+        v.select(col("id"), posexplode(sigUdf(col("vec"))).as(Seq("band", "sig")))
+          .select(col("id"), (col("band").cast("long") * 4294967296L + col("sig")).as("key"))
+      else // sigs may use all 64 bits: fall back to the two-column key
+        v.select(col("id"), posexplode(sigUdf(col("vec"))).as(Seq("band", "sig")))
+          .select(col("id"), struct(col("band"), col("sig")).as("key"))
+    val rawCandidates = banded.as("a").join(banded.as("b"), "key")
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    candidates
-      .join(v.select(col("id").as("id_a"), col("vec").as("va"), col("nv").as("na")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("vec").as("vb"), col("nv").as("nb")), "id_b")
-      .withColumn("cos", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
-      .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
-      .orderBy("id_a", "id_b")
+    // VERIFY SHAPE (round-9 rework of the round-8 "worst non-exact wall").
+    // Small-enough corpus (n ≤ broadcastVerifyMaxRows, default 1M rows ≈
+    // 1.5 GB of float vectors at 384-d): collect the corpus ONCE into a
+    // compact driver/executor broadcast — flat per-id float vectors +
+    // norms behind a LongMap index, the bestAssign/ivfAssignDriven
+    // pattern — and verify every RAW collision row with a tight-loop
+    // UDF, deduplicating only the (tiny) qualifying output. No candidate
+    // distinct, no vector shuffle, ONE sub-GB broadcast (the first cut —
+    // two SQL broadcast-hash joins over the widened table — was ~2×1.5 GB
+    // of HashedRelation and fell over in an 8 GB JVM: "Can't acquire ...
+    // bytes"; the compact form is a quarter of that). The verify stage
+    // collapsed from ~27 s to ~2 s at the 100× rehearsal (raw collisions
+    // carry only a ~1.1× duplication factor: sub-threshold band mass
+    // collides ~once, and only the rare near-identical pairs collide in
+    // many bands). End-to-end at the rehearsal: 57 → ~20 s.
+    // Larger corpus (the billion-vector regime where no executor holds
+    // the vectors): distinct the candidate pairs FIRST, then the classic
+    // two-sided shuffle-join verify — each shape is the measured winner
+    // in its regime, and the output sets are identical (the UDF math is
+    // the proven cosinePre replica — sequential float→double dot fold,
+    // sqrt norms, BigDecimal.valueOf HALF_UP — and cosine is
+    // deterministic per pair, so verify-then-distinct ≡
+    // distinct-then-verify; SignLshShapeSpec pins the equality).
+    // The broadcast stores FLOATS (collected through a cast that is the
+    // exact inverse of the widen — identity for float-sourced vectors,
+    // and the collect stays under driver result limits where doubles
+    // would not), so the path is gated on the INPUT column being
+    // float-typed: a hypothetical double-native corpus carries
+    // information a float can't, and silently flattening it would make
+    // the two verify shapes disagree within float precision — that
+    // corpus takes the fallback, which verifies in full double.
+    val verified =
+      if (floatSourced && n <= broadcastVerifyMaxRows) {
+        val rows = v
+          .select(col("id"), col("vec").cast("array<float>").as("vec"), col("nv"))
+          .collect()
+        val idx = new scala.collection.mutable.LongMap[Int](rows.length * 2)
+        val flats = new Array[Array[Float]](rows.length)
+        val norms = new Array[Double](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          idx.update(rows(i).getLong(0), i)
+          flats(i) = rows(i).getAs[Seq[Float]]("vec").toArray
+          norms(i) = rows(i).getDouble(2)
+          i += 1
+        }
+        val bc = v.sparkSession.sparkContext.broadcast((idx, flats, norms))
+        val cosUdf = udf { (ia: Long, ib: Long) =>
+          val (bIdx, bFlats, bNorms) = bc.value
+          val i = bIdx(ia); val j = bIdx(ib)
+          val a = bFlats(i); val b = bFlats(j)
+          val d = math.min(a.length, b.length)
+          var s = 0.0; var k = 0
+          while (k < d) { s += a(k).toDouble * b(k).toDouble; k += 1 }
+          val nn = bNorms(i) * bNorms(j)
+          if (nn == 0.0) 0.0
+          else java.math.BigDecimal.valueOf(s / nn)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        }
+        rawCandidates
+          .withColumn("cos", cosUdf(col("id_a"), col("id_b")))
+          .filter(col("cos") >= threshold)
+          .select("id_a", "id_b", "cos")
+          .distinct()
+      } else {
+        val va = v.select(col("id").as("id_a"), col("vec").as("va"), col("nv").as("na"))
+        val vb = v.select(col("id").as("id_b"), col("vec").as("vb"), col("nv").as("nb"))
+        rawCandidates.distinct()
+          .join(va, "id_a")
+          .join(vb, "id_b")
+          .withColumn("cos", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+          .filter(col("cos") >= threshold)
+          .select("id_a", "id_b", "cos")
+      }
+    verified.orderBy("id_a", "id_b")
   }
 
   /** Exact brute-force top-k: broadcast queries × corpus, window top-k.
