@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch}
+import scala.collection.mutable
+
+/** Concurrent-catalog stress harness (round-9 verdict item 3): several
+  * operators hold executor-wide mutable state — SignPlanes' lazily
+  * built diagonal cache, thread-local Deflaters, q69's per-dir model
+  * cache, the blocked-scan localCheckpoint discipline — and all the
+  * oracle evidence is single-stream. This main runs the FULL registered
+  * catalog from N concurrent driver threads and diffs every result
+  * against a single-stream baseline, twice:
+  *
+  *  - "shared": all threads share ONE SparkSession (concurrent jobs on
+  *    one scheduler, shared catalog caches);
+  *  - "sessions": each thread runs in its own `spark.newSession()`
+  *    (separate SQL conf/catalog state over one SparkContext).
+  *
+  * Each round deterministically shuffles the catalog into a work queue
+  * and the threads pull DIFFERENT queries concurrently. Running the
+  * SAME query concurrently with itself is out of contract
+  * (TempDirs.scratch documents per-name non-reentrancy — the standard
+  * overwrite-sink contract), and the queue partition guarantees it
+  * never happens here.
+  *
+  * Results compare by a canonical hash: column names sorted, every row
+  * rendered and sorted, md5 over the block — order-insensitive, exactly
+  * the driver's comparison discipline. Any divergence prints per query
+  * and the process exits nonzero.
+  *
+  * Run: `sbt "runMain graft.ConcurrentStress /root/testdata/sf0.01 4 2"`
+  * (sfDir, threads, rounds per mode).
+  */
+object ConcurrentStress {
+
+  def canonicalHash(df: DataFrame): String = {
+    val cols = df.columns.sorted
+    val projected = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val rows = projected.collect().map { r =>
+      (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("")
+    }.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach(r => md.update(r.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nThreads = args.lift(1).map(_.toInt).getOrElse(4)
+    val rounds = args.lift(2).map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-concurrent-stress")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    println(s"[stress] baseline: ${queries.size} queries single-stream at $sfDir")
+    val baseline = queries.map { case (name, fn) =>
+      name -> canonicalHash(fn(spark, sfDir))
+    }.toMap
+    spark.catalog.clearCache()
+
+    val failures = mutable.ArrayBuffer[String]()
+
+    def stressRound(mode: String, round: Int): Unit = {
+      val order = new scala.util.Random(round * 7919L).shuffle(queries)
+      val queue = new ConcurrentLinkedQueue[(String, (SparkSession, String) => DataFrame)]()
+      order.foreach(queue.add)
+      val done = new CountDownLatch(nThreads)
+      val mismatches = new ConcurrentLinkedQueue[String]()
+      val threads = (1 to nThreads).map { t =>
+        val s = if (mode == "sessions") spark.newSession() else spark
+        new Thread(() => {
+          try {
+            var item = queue.poll()
+            while (item != null) {
+              val (name, fn) = item
+              try {
+                val h = canonicalHash(fn(s, sfDir))
+                if (h != baseline(name))
+                  mismatches.add(s"$name: concurrent hash $h != baseline ${baseline(name)}")
+              } catch {
+                case e: Throwable =>
+                  mismatches.add(s"$name: EXCEPTION ${e.getClass.getName}: ${e.getMessage}")
+              }
+              item = queue.poll()
+            }
+          } finally done.countDown()
+        }, s"stress-$mode-$t")
+      }
+      threads.foreach(_.start())
+      done.await()
+      spark.catalog.clearCache()
+      val bad = mismatches.toArray.map(_.toString)
+      if (bad.nonEmpty) {
+        bad.foreach(m => println(s"[stress] DIVERGED ($mode round $round): $m"))
+        failures ++= bad.map(m => s"$mode/$round: $m")
+      } else
+        println(s"[stress] $mode round $round: ${queries.size} queries across " +
+          s"$nThreads threads, all hashes match baseline")
+    }
+
+    for (mode <- Seq("shared", "sessions"); round <- 1 to rounds)
+      stressRound(mode, round)
+
+    if (failures.nonEmpty) {
+      println(s"[stress] FAILED: ${failures.size} divergences")
+      spark.stop()
+      sys.exit(1)
+    }
+    println(s"[stress] PASS: ${queries.size} queries x ${2 * rounds} concurrent rounds " +
+      s"($nThreads threads; shared-session and separate-sessions), zero divergence")
+    spark.stop()
+  }
+}
