@@ -76,7 +76,20 @@ object Bench {
     //  - the full artifact (raw per-rep runs included) is written to
     //    bench.json in the working directory for round-over-round diffs.
     def fmt(d: Double): String = f"$d%.3f"
-    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + fmt(m) }
+    // stdout keys are the qNN prefix alone (collision-checked): the
+    // driver's artifact keeps only the last ~2.5 KB of stdout, and the
+    // full-name map at 162 queries (~4.9 KB) lost its first ~85 entries
+    // in the r7/r8 artifacts ("parsed": null). Short keys fit the whole
+    // catalog in <2 KB so BENCH_rN.json parses standalone; bench.json
+    // (written below) keeps full names plus raw per-rep runs.
+    val shortName: Map[String, String] = {
+      val pref = results.map { case (k, _, _) => k -> k.split("_")(0) }.toMap
+      val collide = pref.values.groupBy(identity).collect {
+        case (p, occ) if occ.size > 1 => p
+      }.toSet
+      pref.map { case (k, p) => k -> (if (collide(p)) k else p) }
+    }
+    val qs = results.map { case (k, m, _) => "\"" + shortName(k) + "\":" + fmt(m) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, _, runs) =>
       "\"" + k + "\":[" + runs.map(r => fmt(r._1)).mkString(",") + "]"
@@ -88,8 +101,10 @@ object Bench {
     if (nFailed > 0)
       System.err.println(s"[bench] $nFailed quer${if (nFailed == 1) "y" else "ies"} FAILED")
     val total = results.map(_._2).sum
+    val qsFull = results.map { case (k, m, _) => "\"" + k + "\":" + fmt(m) }
+      .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$raw,"reps":$reps,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"runs":$raw,"reps":$reps,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}"""
     println(compact)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
