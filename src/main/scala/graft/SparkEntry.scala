@@ -201,6 +201,9 @@ object SparkEntry {
     "q160_length_batches"  -> ((s: SparkSession, d: String) => ScaleOps.q160LengthBatches(s, d)),
     "q161_temperature_mixture" -> ScaleOps.q161TemperatureMixture _,
     "q162_cdc_apply"       -> ScaleOps.q162CdcApply _,
+    "q163_edit_neardup"    -> ScaleOps.q163EditNeardup _,
+    "q164_pmi_collocations" -> ((s: SparkSession, d: String) => TextOps.q164PmiCollocations(s, d)),
+    "q165_containment_pairs" -> ScaleOps.q165ContainmentPairs _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -291,6 +294,61 @@ object SparkEntry {
            n_upserts, n_deletes, n_deletes > 0 AS survived_delete
          FROM r WHERE rk = 1 AND op = 'U'
          ORDER BY user_id""",
+    // blocked edit-distance fuzzy dedup: first-3-tokens block (size cap
+    // 64), exact levenshtein <= 20 over 120-char heads (integer metric —
+    // bit-exact cross-engine)
+    "q163_edit_neardup" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+           substr(trim(text), 1, 120) AS head FROM documents),
+         k AS (SELECT doc_id, head, ws[1] || ' ' || ws[2] || ' ' || ws[3] AS blk
+               FROM d WHERE len(ws) >= 3),
+         c AS (SELECT blk, count(*) AS n FROM k GROUP BY blk),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev
+               FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+               JOIN c ON c.blk = a.blk
+               WHERE c.n <= 64)
+         SELECT doc_a, doc_b, lev FROM p WHERE lev <= 20
+         ORDER BY doc_a, doc_b""",
+    // bigram collocation lift: score = floor(lift*1e4) via the SAME IEEE
+    // double expression tree as the Spark side (division/multiplication
+    // are correctly rounded -> bit-identical; no transcendental ln)
+    "q164_pmi_collocations" ->
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+         bi AS (SELECT unnest([ws[i] || ' ' || ws[i+1]
+                               for i in generate_series(1, len(ws)-1)]) AS bg
+                FROM t WHERE len(ws) >= 2),
+         bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab FROM bi GROUP BY bg),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS uni_total FROM uc),
+         btot AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS bi_total FROM bc),
+         sc AS (SELECT bg AS bigram, c_ab, a.c AS c_a, b.c AS c_b,
+                  CAST(floor(((CAST(c_ab AS DOUBLE) / bi_total) /
+                    ((CAST(a.c AS DOUBLE) / uni_total) *
+                     (CAST(b.c AS DOUBLE) / uni_total))) * 10000.0) AS BIGINT) AS lift_4dp
+                FROM bc
+                JOIN uc a ON split_part(bg, ' ', 1) = a.w
+                JOIN uc b ON split_part(bg, ' ', 2) = b.w, tot, btot
+                WHERE c_ab >= 5),
+         r AS (SELECT *, CAST(row_number() OVER (ORDER BY lift_4dp DESC, bigram ASC) AS BIGINT) AS rk
+               FROM sc)
+         SELECT bigram, c_ab, c_a, c_b, lift_4dp, rk FROM r WHERE rk <= 50
+         ORDER BY rk""",
+    // directional shingle containment |A∩B|/|A| >= 0.9 (both qualifying
+    // directions emitted); q24's shingle/rounding discipline
+    "q165_containment_pairs" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                      for i in generate_series(1, len(ws)-2)]) END AS s
+                FROM w),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 4) AS containment
+               FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+               WHERE len(a.s) > 0 AND len(b.s) > 0)
+         SELECT doc_a, doc_b, containment FROM p WHERE containment >= 0.9
+         ORDER BY doc_a, doc_b""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,

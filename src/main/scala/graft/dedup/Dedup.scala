@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact/canonical
@@ -181,8 +182,25 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
-                   maxDf: Int = 256): DataFrame = {
-    val docSh = docShingles(docs, idCol, textCol, n)
+                   maxDf: Int = 256): DataFrame =
+    rarePairInter(docShingles(docs, idCol, textCol, n), maxDf,
+        minRatio = threshold - 1e-4)
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared candidate core of `jaccardPairs` and `containmentPairs`:
+    * (doc_a, na, doc_b, nb, inter) — the exact shingle-intersection count
+    * for every unordered pair (doc_a < doc_b) sharing at least one
+    * NON-HOT shingle, from the df-capped inverted index. `minRatio` is
+    * the (already slack-adjusted) size-ratio prune applied at pair
+    * emission — pass 0.0 to disable (containment admits no such prune:
+    * min(|A|,|B|)/|A| = 1 whenever A is the smaller side).
+    */
+  private def rarePairInter(docSh: DataFrame, maxDf: Int,
+                            minRatio: Double): DataFrame = {
     val inv = docSh.select(col("id"), size(col("shs")).as("n_sh"),
       explode(col("shs")).as("sh"))
     // ONE shuffle builds the df-capped inverted index: BoundedCollect
@@ -212,7 +230,6 @@ object Dedup {
     // jaccard ≥ τ − 5e-5 after 4-dp HALF_UP), so no qualifying pair is
     // ever dropped; a pair skipped in one bucket fails the identity in
     // every bucket, so per-bucket skipping is globally sound.
-    val minRatio = threshold - 1e-4
     val bucketPairs = udf { (ids: Array[Long], ns: Array[Int]) =>
       val ord = Array.range(0, ids.length).sortBy(ids(_))
       val out = Array.newBuilder[(Long, Int, Long, Int)]
@@ -251,11 +268,85 @@ object Dedup {
       .withColumn("inter", col("inter_rare") +
         when(col("hot_a").isNotNull && col("hot_b").isNotNull,
           interCount(col("hot_a"), col("hot_b"))).otherwise(lit(0)))
-    withHot
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    withHot.select("doc_a", "na", "doc_b", "nb", "inter")
+  }
+
+  /** Exact n-gram containment pairs: c(A→B) = |Sa ∩ Sb| / |Sa| ≥
+    * `threshold` over distinct word n-gram shingles — the DIRECTIONAL
+    * near-dup relation (A is mostly contained in B: quotes, excerpts,
+    * subset documents), vs Jaccard's symmetric resemblance. A doc whose
+    * content is swallowed by a much larger one dilutes Jaccard below any
+    * useful threshold but scores containment ≈ 1; dedup pipelines drop
+    * the contained side. Both qualifying directions of a pair are
+    * emitted: (doc_a = contained, doc_b = container, containment).
+    *
+    * Candidates come from the same df-capped inverted index as
+    * `jaccardPairs` (one shuffle, maxDf-bounded buckets) but with NO
+    * size-ratio prune — for containment the bound min(|A|,|B|)/|A| is 1
+    * whenever A is the smaller side, so sizes alone exclude nothing.
+    * Recall contract unchanged from the Jaccard path: a true pair is
+    * missed only if EVERY shared shingle is corpus-hot (df > maxDf) —
+    * pure boilerplate overlap.
+    *
+    * Scale: identical shape to `jaccardPairs` — per-bucket pair emission
+    * bounded by C(maxDf, 2) regardless of corpus size; both directions
+    * are computed from ONE intersection pass (explode of a 2-element
+    * struct array, no recompute of the candidate aggregation).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.9,
+                       maxDf: Int = 256): DataFrame =
+    rarePairInter(docShingles(docs, idCol, textCol, n), maxDf, minRatio = 0.0)
+      .select(explode(array(
+        struct(col("doc_a"), col("doc_b"),
+          round(col("inter").cast("double") / col("na"), 4).as("containment")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+          round(col("inter").cast("double") / col("nb"), 4).as("containment"))
+      )).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.containment").as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy("doc_a", "doc_b")
+
+  /** Edit-distance fuzzy-dup pairs via standard blocking + bounded
+    * levenshtein verify — the entity-resolution shape (block on a cheap
+    * deterministic key, verify candidates with an exact distance) for
+    * typo-level near-identical records that token-set measures miss the
+    * direction of.
+    *
+    * Blocking key = the first `blockTokens` words. A block larger than
+    * `maxBlock` docs is excluded ENTIRELY (the df-cap analog — a
+    * boilerplate prefix would otherwise emit O(block²) pairs), so
+    * per-block pair emission is bounded by C(maxBlock, 2) regardless of
+    * corpus size. Verify = exact levenshtein over the first `headLen`
+    * chars — O(headLen²) per pair, constant-bounded. Recall contract:
+    * an edit inside the first `blockTokens` words moves the record to a
+    * different block and the pair is missed — production runs add a
+    * second blocking pass on a different key (e.g. last tokens); the
+    * single registered pass keeps the oracle one query.
+    *
+    * Scale: one hash exchange on the block key, shared by the block-size
+    * window count and the self-join; no global sort, no unblocked pairs.
+    */
+  def editBlockedPairs(docs: DataFrame, idCol: String, textCol: String,
+                       blockTokens: Int = 3, headLen: Int = 120,
+                       maxLev: Int = 20, maxBlock: Int = 64): DataFrame = {
+    val t = trim(col("txt"))
+    val keyed = graft.Tables.widen(
+        docs.select(col(idCol).as("id"), col(textCol).as("txt")))
+      .where(size(split(t, "\\s+")) >= blockTokens)
+      .select(col("id"), substring(t, 1, headLen).as("head"),
+        concat_ws(" ", slice(split(t, "\\s+"), 1, blockTokens)).as("blk"))
+    val sized = keyed
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("blk")))
+      .where(col("bn") <= maxBlock)
+    sized.select(col("blk"), col("id").as("doc_a"), col("head").as("head_a"))
+      .join(sized.select(col("blk"), col("id").as("doc_b"),
+        col("head").as("head_b")), Seq("blk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("head_a"), col("head_b")).cast("long").as("lev"))
+      .where(col("lev") <= maxLev)
       .orderBy("doc_a", "doc_b")
   }
 

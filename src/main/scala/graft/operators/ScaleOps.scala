@@ -41,6 +41,20 @@ object ScaleOps {
   def q158Simhash128(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash128Pairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Blocked edit-distance fuzzy dedup: first-3-tokens blocking (block
+    * size capped at 64 — the df-cap analog), exact levenshtein ≤ 20 over
+    * 120-char heads. See Dedup.editBlockedPairs for the recall contract.
+    */
+  def q163EditNeardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editBlockedPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Directional shingle-containment near-dups ≥ 0.9 (quotes / excerpts /
+    * subset docs — pairs symmetric Jaccard dilutes below threshold). See
+    * Dedup.containmentPairs.
+    */
+  def q165ContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text", 3, 0.9)
+
   /** Embedding-cosine near-dup pairs ≥ 0.45 (threshold calibrated to the
     * fixture's cosine distribution; reference's 0.75/0.95 bands are empty
     * on the synthetic vectors), via the BLOCKED exact all-pairs scan

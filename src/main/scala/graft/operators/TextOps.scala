@@ -916,6 +916,71 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Consecutive word pairs of a document, positional (NOT distinct —
+    * collocation counting needs occurrence counts). Tight per-row UDF for
+    * the same reason as Dedup.wordShingles: the transform(sequence(...))
+    * higher-order form is CodegenFallback, interpreted per element.
+    */
+  private val bigramsUdf = udf { (text: String) =>
+    if (text == null) Array.empty[(String, String)]
+    else {
+      val w = text.trim.split("\\s+")
+      if (w.length < 2) Array.empty[(String, String)]
+      else Array.tabulate(w.length - 1)(i => (w(i), w(i + 1)))
+    }
+  }
+
+  /** Bigram collocation mining by pointwise lift (= e^PMI):
+    * lift(w1,w2) = p(w1 w2) / (p(w1)·p(w2)) over whitespace tokens,
+    * bigrams with count ≥ `minCount`, top `k` by the 4-dp-floored score
+    * with the bigram string as tie-break.
+    *
+    * Determinism contract: the score is emitted as floor(lift·10⁴)
+    * computed through a FIXED IEEE double expression tree —
+    * (c_ab/bi_total) / ((c_a/uni_total)·(c_b/uni_total)) — every op
+    * correctly rounded, so the integer is bit-identical cross-engine
+    * WITHOUT a transcendental log (PMI = ln lift is monotone; threshold
+    * and ordering semantics are unchanged by dropping the ln).
+    *
+    * Scale: two count aggregations (the bigram group-by is the only
+    * corpus-sized shuffle); the unigram vocabulary is zipf-bounded so
+    * both count joins broadcast, and the totals ride along as broadcast
+    * scalars. The top-k window runs on the minCount-filtered AGGREGATE
+    * (≤ vocab² rows), never the corpus.
+    */
+  def q164PmiCollocations(spark: SparkSession, dir: String,
+                          minCount: Int = 5, k: Int = 50): DataFrame = {
+    val docs = Tables.widen(Tables.documents(spark, dir).select("text"))
+    val uni = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .cache() // zipf-bounded vocabulary: reused for c_a, c_b, and the total
+    val biAll = docs
+      .select(explode(bigramsUdf(col("text"))).as("p"))
+      .groupBy(col("p._1").as("w1"), col("p._2").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .cache() // ≤ vocab² rows: reused for the total and the scored set
+    val uniTot = uni.agg(sum("c").cast("double").as("uni_total"))
+    val biTot = biAll.agg(sum("c_ab").cast("double").as("bi_total"))
+    val lift = (col("c_ab").cast("double") / col("bi_total")) /
+      ((col("c_a").cast("double") / col("uni_total")) *
+        (col("c_b").cast("double") / col("uni_total")))
+    val scored = biAll.filter(col("c_ab") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))), "w2")
+      .crossJoin(broadcast(uniTot))
+      .crossJoin(broadcast(biTot))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("c_ab"), col("c_a"), col("c_b"),
+        floor(lift * lit(10000.0)).cast("long").as("lift_4dp"))
+    scored
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("lift_4dp").desc, col("bigram").asc))
+        .cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("rk")
+  }
+
   /** Normalized-key dedup with cap (main.py:253-296): key = lowercase
     * alpha-only first-60-chars; keep lowest doc_id per key; ≤10 per source.
     */

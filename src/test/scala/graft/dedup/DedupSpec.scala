@@ -67,6 +67,45 @@ class DedupSpec extends SparkSpec {
     assert(groups(0).getAs[Long]("keeper") == 1)
   }
 
+  test("containment: a shingle-subset doc scores 1.0 against its superset, not vice versa") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),           // 4 shingles, strict subset of doc 2's
+      (2L, "a b c d e f g h i j"),   // 8 shingles
+      (3L, "x y z w v u")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // c(1→2) = 4/4 = 1.0 qualifies; c(2→1) = 4/8 = 0.5 does not; doc 3 shares nothing
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
+  test("containment dominates jaccard: every fixture pair at j>=0.8 appears both ways at c>=0.8") {
+    // |Sa| <= |Sa ∪ Sb| gives c(A→B) = inter/|Sa| >= inter/union = J, for
+    // BOTH directions — so the jaccard pair set at τ is a subset of the
+    // containment pair set at the same τ, each pair in both orientations
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(j.nonEmpty)
+    val missing = j.flatMap { case (a, b) => Seq((a, b), (b, a)) } -- c
+    assert(missing.isEmpty, s"jaccard pairs missing from containment: $missing")
+  }
+
+  test("edit-blocked: typo pair found; shifted prefix re-blocks; oversized block excluded") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val typo = "alpha beta gamma delta epsilon zeta eta thata" // 1 edit, same block
+    val shifted = "xx alpha beta gamma delta epsilon zeta eta" // different first-3-tokens block
+    // 70 docs sharing one block (> maxBlock=64): pairwise lev is tiny but the
+    // cap must exclude the whole block — the df-cap analog
+    val crowd = (0 until 70).map(i => (100L + i, s"common prefix words filler$i tail"))
+    val df = (Seq((1L, base), (2L, typo), (3L, shifted)) ++ crowd).toDF("doc_id", "text")
+    val got = Dedup.editBlockedPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1L)))
+  }
+
   test("shingles: fewer than n words yields empty, order matters") {
     import spark.implicits._
     val rows = Seq("one two", "a b c d").toDF("t")

@@ -279,4 +279,33 @@ class TextOpsSpec extends SparkSpec {
     assert(ppl(1L) == ppl(2L) && ppl(2L) == ppl(3L),
       "docs made of the same transitions at the same mix score identically")
   }
+
+  test("q164: lift top-k matches an independent local reimplementation bit-for-bit") {
+    // recompute the whole pipeline driver-side with the SAME IEEE double
+    // expression tree — counts, totals, floor(lift*1e4), (score desc,
+    // bigram asc) ranking — and demand exact row equality
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    for (t <- texts) {
+      val w = t.trim.split("\\s+")
+      w.foreach(x => uni(x) += 1)
+      for (i <- 0 until w.length - 1) bi((w(i), w(i + 1))) += 1
+    }
+    val uniTot = uni.values.sum.toDouble
+    val biTot = bi.values.sum.toDouble
+    val expected = bi.toSeq.collect { case ((w1, w2), cab) if cab >= 5 =>
+      val lift = (cab.toDouble / biTot) /
+        ((uni(w1).toDouble / uniTot) * (uni(w2).toDouble / uniTot))
+      (s"$w1 $w2", cab, uni(w1), uni(w2), math.floor(lift * 10000.0).toLong)
+    }.sortBy { case (bg, _, _, _, s) => (-s, bg) }
+      .take(50).zipWithIndex
+      .map { case ((bg, cab, ca, cb, s), i) => (bg, cab, ca, cb, s, i + 1L) }
+    val got = TextOps.q164PmiCollocations(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(expected.nonEmpty, "fixture must produce min-count bigrams")
+    assert(got == expected)
+  }
 }
