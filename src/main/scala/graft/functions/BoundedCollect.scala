@@ -45,4 +45,35 @@ object BoundedCollect {
     implicit val enc: Encoder[Item] = ExpressionEncoder()
     udaf(new BC(cap)).apply(id, n)
   }
+
+  type SItem = (Long, String)       // (doc id, doc's payload string)
+  type SBuf = (Seq[SItem], Long)
+
+  /** Same bounded collect with a STRING payload — the block-build form
+    * for operators whose verify needs a bounded text fragment per member
+    * (e.g. Dedup.editBlockedPairs' 120-char heads) instead of a size.
+    */
+  class BCS(cap: Int) extends Aggregator[SItem, SBuf, SBuf] {
+    override def zero: SBuf = (Vector.empty, 0L)
+
+    override def reduce(b: SBuf, in: SItem): SBuf =
+      (if (b._1.length < cap) b._1 :+ in else b._1, b._2 + 1)
+
+    override def merge(a: SBuf, b: SBuf): SBuf =
+      (if (a._1.length >= cap) a._1
+       else (a._1 ++ b._1).take(cap), a._2 + b._2)
+
+    override def finish(r: SBuf): SBuf = r
+
+    override def bufferEncoder: Encoder[SBuf] = ExpressionEncoder()
+    override def outputEncoder: Encoder[SBuf] = ExpressionEncoder()
+  }
+
+  /** Column API: `collectStr(cap)(id, s)` →
+    * struct<_1: array<struct<_1: bigint, _2: string>>, _2: bigint>.
+    */
+  def collectStr(cap: Int)(id: Column, s: Column): Column = {
+    implicit val enc: Encoder[SItem] = ExpressionEncoder()
+    udaf(new BCS(cap)).apply(id, s)
+  }
 }
