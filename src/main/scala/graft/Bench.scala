@@ -76,20 +76,31 @@ object Bench {
     //  - the full artifact (raw per-rep runs included) is written to
     //    bench.json in the working directory for round-over-round diffs.
     def fmt(d: Double): String = f"$d%.3f"
-    // stdout keys are the qNN prefix alone (collision-checked): the
-    // driver's artifact keeps only the last ~2.5 KB of stdout, and the
-    // full-name map at 162 queries (~4.9 KB) lost its first ~85 entries
-    // in the r7/r8 artifacts ("parsed": null). Short keys fit the whole
-    // catalog in <2 KB so BENCH_rN.json parses standalone; bench.json
-    // (written below) keeps full names plus raw per-rep runs.
+    // STDOUT BYTE BUDGET (round-10 fix): the driver's artifact keeps the
+    // last ~2.1 KB of stdout INCLUDING sbt's trailing "[success] ..."
+    // line (~75 B). Round 9's compact line ("qNN" keys, 3-decimal
+    // values) was ~2.18 KB at 165 queries, so its first ~14 entries fell
+    // off the front and BENCH_r09.json recorded "parsed": null. The
+    // stdout map now uses the bare query NUMBER as key ("104") and
+    // 2-decimal trailing-zero-stripped seconds ("0.46", "2.4"), with the
+    // sf shortened to its basename — 1.77 KB at 165 queries, ~1.92 KB
+    // projected at 180, inside the window with margin. bench.json
+    // (written below) keeps full names, 3-decimal medians, and raw
+    // per-rep runs; BENCH_rN.json must parse standalone without it.
+    def fmtShort(d: Double): String = {
+      val s = f"$d%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      if (s.isEmpty) "0" else s
+    }
     val shortName: Map[String, String] = {
-      val pref = results.map { case (k, _, _) => k -> k.split("_")(0) }.toMap
+      val pref = results.map { case (k, _, _) =>
+        k -> k.split("_")(0).stripPrefix("q")
+      }.toMap
       val collide = pref.values.groupBy(identity).collect {
         case (p, occ) if occ.size > 1 => p
       }.toSet
       pref.map { case (k, p) => k -> (if (collide(p)) k else p) }
     }
-    val qs = results.map { case (k, m, _) => "\"" + shortName(k) + "\":" + fmt(m) }
+    val qs = results.map { case (k, m, _) => "\"" + shortName(k) + "\":" + fmtShort(m) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, _, runs) =>
       "\"" + k + "\":[" + runs.map(r => fmt(r._1)).mkString(",") + "]"
@@ -103,7 +114,8 @@ object Bench {
     val total = results.map(_._2).sum
     val qsFull = results.map { case (k, m, _) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}"""
+    val sfShort = sfDir.stripSuffix("/").split("/").last
+    val compact = s"""{"metric":"total","value":${fmtShort(total)},"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed,"sf":"$sfShort"}"""
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"runs":$raw,"reps":$reps,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}"""
     println(compact)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),

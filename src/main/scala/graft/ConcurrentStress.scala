@@ -37,30 +37,30 @@ object ConcurrentStress {
   def canonicalHash(df: DataFrame): String = {
     val cols = df.columns.sorted
     val projected = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    // Unambiguous encoding (round-9 judge finding): with un-escaped
+    // values and no row terminator, ("a","bc") vs ("ab","c") or a
+    // row-boundary shift could hash identically and a real divergence
+    // would pass. Backslash-escape the separators inside values, join
+    // fields on the unit separator, terminate each row with a newline.
+    def esc(s: String): String = s
+      .replace("\\", "\\\\").replace("\u001f", "\\x1f").replace("\n", "\\n")
     val rows = projected.collect().map { r =>
-      (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("")
+      (0 until r.length).map(i => esc(String.valueOf(r.get(i))))
+        .mkString("\u001f") + "\n"
     }.sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     rows.foreach(r => md.update(r.getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val nThreads = args.lift(1).map(_.toInt).getOrElse(4)
-    val rounds = args.lift(2).map(_.toInt).getOrElse(2)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .appName("graft-concurrent-stress")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+  /** Run the stress protocol over `queries` and return every divergence
+    * (empty = clean). Callable from ConcurrentStressSpec (short-mode
+    * gate: the shared-state-risk subset at sf0.001 on every `sbt test`)
+    * and from `main` (the full catalog, round-close artifact).
+    */
+  def run(spark: SparkSession, sfDir: String,
+          queries: Seq[(String, (SparkSession, String) => DataFrame)],
+          nThreads: Int, rounds: Int): Seq[String] = {
     println(s"[stress] baseline: ${queries.size} queries single-stream at $sfDir")
     val baseline = queries.map { case (name, fn) =>
       name -> canonicalHash(fn(spark, sfDir))
@@ -109,6 +109,27 @@ object ConcurrentStress {
 
     for (mode <- Seq("shared", "sessions"); round <- 1 to rounds)
       stressRound(mode, round)
+
+    failures.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nThreads = args.lift(1).map(_.toInt).getOrElse(4)
+    val rounds = args.lift(2).map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-concurrent-stress")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val failures = run(spark, sfDir, queries, nThreads, rounds)
 
     if (failures.nonEmpty) {
       println(s"[stress] FAILED: ${failures.size} divergences")

@@ -204,6 +204,7 @@ object SparkEntry {
     "q163_edit_neardup"    -> ScaleOps.q163EditNeardup _,
     "q164_pmi_collocations" -> ((s: SparkSession, d: String) => TextOps.q164PmiCollocations(s, d)),
     "q165_containment_pairs" -> ScaleOps.q165ContainmentPairs _,
+    "q166_edit_neardup_dual" -> ScaleOps.q166EditNeardupDual _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -310,11 +311,36 @@ object SparkEntry {
                WHERE c.n <= 64)
          SELECT doc_a, doc_b, lev FROM p WHERE lev <= 20
          ORDER BY doc_a, doc_b""",
+    // two-pass blocked edit dedup: first-3-tokens UNION last-3-tokens
+    // (UNION dedups the full (doc_a, doc_b, lev) row, mirroring the
+    // Spark side's distinct — lev is deterministic per pair)
+    "q166_edit_neardup_dual" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+           substr(trim(text), 1, 120) AS head FROM documents),
+         k1 AS (SELECT doc_id, head, ws[1] || ' ' || ws[2] || ' ' || ws[3] AS blk
+                FROM d WHERE len(ws) >= 3),
+         k2 AS (SELECT doc_id, head,
+                  ws[len(ws)-2] || ' ' || ws[len(ws)-1] || ' ' || ws[len(ws)] AS blk
+                FROM d WHERE len(ws) >= 3),
+         c1 AS (SELECT blk, count(*) AS n FROM k1 GROUP BY blk),
+         c2 AS (SELECT blk, count(*) AS n FROM k2 GROUP BY blk),
+         p1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev
+                FROM k1 a JOIN k1 b ON a.blk = b.blk AND a.doc_id < b.doc_id
+                JOIN c1 ON c1.blk = a.blk WHERE c1.n <= 64),
+         p2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev
+                FROM k2 a JOIN k2 b ON a.blk = b.blk AND a.doc_id < b.doc_id
+                JOIN c2 ON c2.blk = a.blk WHERE c2.n <= 64),
+         u AS (SELECT * FROM p1 WHERE lev <= 20
+               UNION
+               SELECT * FROM p2 WHERE lev <= 20)
+         SELECT doc_a, doc_b, lev FROM u ORDER BY doc_a, doc_b""",
     // bigram collocation lift: score = floor(lift*1e4) via the SAME IEEE
     // double expression tree as the Spark side (division/multiplication
     // are correctly rounded -> bit-identical; no transcendental ln)
     "q164_pmi_collocations" ->
-      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      """WITH t AS (SELECT regexp_extract_all(text, '\S+') AS ws FROM documents),
          uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
                 FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
          bi AS (SELECT unnest([ws[i] || ' ' || ws[i+1]

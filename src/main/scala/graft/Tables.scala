@@ -187,11 +187,30 @@ object Tables {
     * without this the whole per-row pipeline runs on one core (measured:
     * 26 s → 5 s on the sign-LSH signature stage). On a real many-file
     * lake the input already has the splits and this is a no-op — the
-    * repartition only fires on pathologically under-split sources.
+    * repartition only fires on under-split sources.
+    *
+    * The fire/no-fire decision is a function of the DATA ONLY (leaf
+    * input-file count), never of session topology: the previous
+    * `df.rdd.getNumPartitions` test made the PLAN SHAPE depend on core
+    * count and split packing, so the same query produced different
+    * exchange counts in different sessions and committed PLANS.md rows
+    * were irreproducible (round-9 q163 regression). `inputFiles` is
+    * resolved from the logical plan's file relations — identical in
+    * every session reading the same lake. Inputs with no file
+    * provenance (in-memory test frames, cached relations) report zero
+    * files and are left untouched — they were created with the
+    * session's own parallelism and an extra exchange would only perturb
+    * the plan (measured: an unconditional repartition of local
+    * relations reordered pushed predicates into an ANSI
+    * divide-by-zero in the banded near-dup spec).
     */
   def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
-    else df.repartition(target)
+    // Under-split = at least one but fewer leaf files than this; a
+    // many-file lake table never fires, a no-provenance frame never
+    // fires. Constant threshold so the decision is session-invariant.
+    val minFiles = 8
+    val files = df.inputFiles.length
+    if (files == 0 || files >= minFiles) df
+    else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
   }
 }

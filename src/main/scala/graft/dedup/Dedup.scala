@@ -334,13 +334,49 @@ object Dedup {
     */
   def editBlockedPairs(docs: DataFrame, idCol: String, textCol: String,
                        blockTokens: Int = 3, headLen: Int = 120,
-                       maxLev: Int = 20, maxBlock: Int = 64): DataFrame = {
+                       maxLev: Int = 20, maxBlock: Int = 64): DataFrame =
+    editBlockedPass(docs, idCol, textCol, blockTokens, headLen, maxLev,
+      maxBlock, fromEnd = false)
+      .orderBy("doc_a", "doc_b")
+
+  /** Two-pass blocked edit-distance pairs: the round-9 verdict's recall
+    * fix for [[editBlockedPairs]]'s single-key contract. An edit inside
+    * the FIRST `blockTokens` words moves a record out of its first-key
+    * block and the single pass misses the pair; this runs a second pass
+    * blocked on the LAST `blockTokens` words and unions the two,
+    * deduplicating on the (doc_a, doc_b, lev) triple (lev is
+    * deterministic per pair, so cross-pass duplicates are exact row
+    * duplicates). A pair edited in BOTH the head and the tail tokens
+    * remains out of contract — the standard multi-pass blocking
+    * tradeoff, each extra key another bounded pass.
+    *
+    * Scale: exactly two of the single pass's ONE-shuffle shapes — each
+    * pass is a cap-bounded BoundedCollect group-by with map-side pair
+    * emission — plus the distinct on the (tiny) qualifying pair set.
+    */
+  def editBlockedPairsDual(docs: DataFrame, idCol: String, textCol: String,
+                           blockTokens: Int = 3, headLen: Int = 120,
+                           maxLev: Int = 20, maxBlock: Int = 64): DataFrame = {
+    val first = editBlockedPass(docs, idCol, textCol, blockTokens, headLen,
+      maxLev, maxBlock, fromEnd = false)
+    val last = editBlockedPass(docs, idCol, textCol, blockTokens, headLen,
+      maxLev, maxBlock, fromEnd = true)
+    first.union(last).distinct().orderBy("doc_a", "doc_b")
+  }
+
+  private def editBlockedPass(docs: DataFrame, idCol: String, textCol: String,
+                              blockTokens: Int, headLen: Int,
+                              maxLev: Int, maxBlock: Int,
+                              fromEnd: Boolean): DataFrame = {
     val t = trim(col("txt"))
+    val ws = split(t, "\\s+")
+    val blk =
+      if (fromEnd) concat_ws(" ", slice(ws, -blockTokens, blockTokens))
+      else concat_ws(" ", slice(ws, 1, blockTokens))
     val keyed = graft.Tables.widen(
         docs.select(col(idCol).as("id"), col(textCol).as("txt")))
-      .where(size(split(t, "\\s+")) >= blockTokens)
-      .select(col("id"), substring(t, 1, headLen).as("head"),
-        concat_ws(" ", slice(split(t, "\\s+"), 1, blockTokens)).as("blk"))
+      .where(size(ws) >= blockTokens)
+      .select(col("id"), substring(t, 1, headLen).as("head"), blk.as("blk"))
     val blocks = keyed.groupBy("blk")
       .agg(graft.functions.BoundedCollect.collectStr(maxBlock + 1)(
         col("id"), col("head")).as("bc"))
@@ -367,7 +403,6 @@ object Dedup {
       .select(col("p._1").as("doc_a"), col("p._3").as("doc_b"),
         levenshtein(col("p._2"), col("p._4")).cast("long").as("lev"))
       .where(col("lev") <= maxLev)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Per-row MinHash band signatures: one pass over the hashed shingle

@@ -48,6 +48,15 @@ object ScaleOps {
   def q163EditNeardup(spark: SparkSession, dir: String): DataFrame =
     Dedup.editBlockedPairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Two-pass blocked edit-distance dedup (round-9 verdict item 4):
+    * first-3-tokens pass UNION last-3-tokens pass, closing the
+    * single-key recall gap for head-edited near-dups. Strict superset
+    * of q163 by construction (EditDualSpec pins it on a head-edited
+    * fixture).
+    */
+  def q166EditNeardupDual(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editBlockedPairsDual(Tables.documents(spark, dir), "doc_id", "text")
+
   /** Directional shingle-containment near-dups ≥ 0.9 (quotes / excerpts /
     * subset docs — pairs symmetric Jaccard dilutes below threshold). See
     * Dedup.containmentPairs.

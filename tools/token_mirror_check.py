@@ -47,5 +47,47 @@ def main():
         raise SystemExit(1)
     print(f"{len(PINS) + 1} pins OK — DuckDB CASE mirror matches tokenCount on all divergence inputs")
 
+
+# q164's tokenizer mirror (round-9 ADVICE): both engines derive unigrams
+# AND bigrams from one \S+-run token stream. The Spark side is
+# regexp_extract_all(text, '\S+') + a pair UDF over the array; the
+# DuckDB oracle is regexp_extract_all(text, '\S+') + a list
+# comprehension. This pins the DuckDB forms against a Python \S+
+# reference on exactly the whitespace-edged inputs where the OLD
+# trim+split mirror diverged ('\ta b' gave DuckDB bigrams {' a','a b'}
+# vs Spark {'a b'}).
+Q164_INPUTS = [
+    "a b c", "\ta b", "a b\n", "  a  b  ", "\t\na  b\tc ",
+    "one", "", "\t", " \n x \t y \n ",
+]
+
+def check_q164_mirror():
+    import re
+    con = duckdb.connect()
+    bad = []
+    for text in Q164_INPUTS:
+        toks = re.findall(r"\S+", text)
+        want_uni = toks
+        want_bi = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        got_uni = con.execute(
+            "SELECT regexp_extract_all(?, '\\S+')", [text]).fetchone()[0]
+        got_bi = con.execute(
+            """SELECT CASE WHEN len(ws) >= 2 THEN
+                 [ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]
+               ELSE [] END
+               FROM (SELECT regexp_extract_all(?, '\\S+') AS ws)""",
+            [text]).fetchone()[0]
+        if list(got_uni) != want_uni:
+            bad.append((repr(text), "unigrams", want_uni, got_uni))
+        if list(got_bi) != want_bi:
+            bad.append((repr(text), "bigrams", want_bi, got_bi))
+    if bad:
+        for t, kind, w, g in bad:
+            print(f"FAIL q164 {kind} {t}: want {w}, duckdb says {g}")
+        raise SystemExit(1)
+    print(f"{len(Q164_INPUTS)} q164 tokenizer inputs OK — DuckDB \\S+ mirror "
+          "matches the Python/Spark token stream (unigrams and bigrams)")
+
 if __name__ == "__main__":
     main()
+    check_q164_mirror()
