@@ -205,6 +205,11 @@ object SparkEntry {
     "q164_pmi_collocations" -> ((s: SparkSession, d: String) => TextOps.q164PmiCollocations(s, d)),
     "q165_containment_pairs" -> ScaleOps.q165ContainmentPairs _,
     "q166_edit_neardup_dual" -> ScaleOps.q166EditNeardupDual _,
+    "q167_ngram_novelty"     -> graft.operators.CurationOps.q167NgramNovelty _,
+    "q168_hapax_contributors" -> graft.operators.CurationOps.q168HapaxContributors _,
+    "q169_term_salience"     -> graft.operators.CurationOps.q169TermSalience _,
+    "q170_vocab_coverage"    -> graft.operators.CurationOps.q170VocabCoverage _,
+    "q171_shingle_df_histogram" -> graft.operators.CurationOps.q171ShingleDfHistogram _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -336,6 +341,81 @@ object SparkEntry {
                UNION
                SELECT * FROM p2 WHERE lev <= 20)
          SELECT doc_a, doc_b, lev FROM u ORDER BY doc_a, doc_b""",
+    // first-occurrence 3-gram novelty: both engines build shingles from
+    // the SAME \S+-run token stream; novelty_bp through the identical
+    // IEEE double tree (mult then div, floor)
+    "q167_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest([array_to_string(ws[i:i+2], ' ')
+                          for i in generate_series(1, len(ws)-2)]) AS s
+                FROM t WHERE len(ws) >= 3),
+         own AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+         SELECT sh.doc_id,
+           CAST(sum(CASE WHEN own.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(floor(CAST(sum(CASE WHEN own.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             * 10000.0 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS novelty_bp
+         FROM sh JOIN own ON sh.s = own.s
+         GROUP BY sh.doc_id ORDER BY sh.doc_id""",
+    // corpus-hapax (df = 1) vocabulary contribution per document
+    "q168_hapax_contributors" ->
+      """WITH toks AS (SELECT DISTINCT doc_id,
+                  unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
+         dfs AS (SELECT w, count(*) AS dfc FROM toks GROUP BY w)
+         SELECT toks.doc_id,
+           CAST(sum(CASE WHEN dfs.dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(floor(CAST(sum(CASE WHEN dfs.dfc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             * 10000.0 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS hapax_bp
+         FROM toks JOIN dfs ON toks.w = dfs.w
+         GROUP BY toks.doc_id ORDER BY toks.doc_id""",
+    // top-3 lift-salient terms per doc: salience = floor(((tf*1e4)*N)/df)
+    // through the identical double tree; ties (salience desc, w asc)
+    "q169_term_salience" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+                FROM documents),
+         tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, w),
+         dfs AS (SELECT w, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY w),
+         n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+         sc AS (SELECT tf.doc_id, tf.w, tf.tf, dfs.df_docs,
+                  CAST(floor(CAST(tf.tf AS DOUBLE) * 10000.0 * CAST(n.n_docs AS DOUBLE)
+                    / CAST(dfs.df_docs AS DOUBLE)) AS BIGINT) AS salience
+                FROM tf JOIN dfs ON tf.w = dfs.w, n),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY salience DESC, w ASC) AS BIGINT) AS rk FROM sc)
+         SELECT doc_id, w, tf, df_docs, salience, rk FROM r
+         WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // vocabulary coverage curve: per threshold t, vocab size (count>=t)
+    // and occurrence-weighted OOV mass; oov_bp via the identical tree
+    "q170_vocab_coverage" ->
+      """WITH c AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w
+                      FROM documents) GROUP BY w),
+         g AS (SELECT unnest([CAST(2 AS BIGINT), CAST(5 AS BIGINT),
+                              CAST(10 AS BIGINT), CAST(100 AS BIGINT)]) AS t)
+         SELECT t,
+           CAST(sum(CASE WHEN c.c >= g.t THEN 1 ELSE 0 END) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN c.c < g.t THEN c.c ELSE 0 END) AS BIGINT) AS oov_occ,
+           CAST(sum(c.c) AS BIGINT) AS total_occ,
+           CAST(floor(CAST(sum(CASE WHEN c.c < g.t THEN c.c ELSE 0 END) AS DOUBLE)
+             * 10000.0 / CAST(sum(c.c) AS DOUBLE)) AS BIGINT) AS oov_bp
+         FROM c CROSS JOIN g GROUP BY t ORDER BY t""",
+    // shingle df histogram in power-of-two buckets: bucket =
+    // bit-length(df)-1, exact integer semantics in both engines (binary
+    // string length, no floating log2)
+    "q171_shingle_df_histogram" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest([array_to_string(ws[i:i+2], ' ')
+                          for i in generate_series(1, len(ws)-2)]) AS s
+                FROM t WHERE len(ws) >= 3),
+         dfs AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s)
+         SELECT CAST(length(format('{:b}', df)) - 1 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(df) AS BIGINT) AS occurrences
+         FROM dfs GROUP BY 1 ORDER BY bucket""",
     // bigram collocation lift: score = floor(lift*1e4) via the SAME IEEE
     // double expression tree as the Spark side (division/multiplication
     // are correctly rounded -> bit-identical; no transcendental ln)

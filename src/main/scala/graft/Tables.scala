@@ -208,7 +208,14 @@ object Tables {
     // Under-split = at least one but fewer leaf files than this; a
     // many-file lake table never fires, a no-provenance frame never
     // fires. Constant threshold so the decision is session-invariant.
-    val minFiles = 8
+    // 32, not lower: the 100× rehearsal ships embeddings as 8 part
+    // files, and skipping the widen there ran the q69/q27 per-row CPU
+    // loops at 1/4 parallelism (measured round 10); a table with < 32
+    // files is under-split for ANY multi-executor deployment, and the
+    // one repartition pass is noise next to the per-row work these
+    // paths exist for. A genuinely large few-file table pays one extra
+    // benign shuffle — the documented tradeoff of a data-only decision.
+    val minFiles = 32
     val files = df.inputFiles.length
     if (files == 0 || files >= minFiles) df
     else df.repartition(df.sparkSession.sparkContext.defaultParallelism)

@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation scoring operators (round 10): first-occurrence n-gram
+  * novelty, hapax-vocabulary contribution, and per-document term
+  * salience — the "which documents add NEW information" axis of a
+  * training-data pipeline, complementing the dedup family (which asks
+  * the opposite question).
+  *
+  * All three share the round's tokenizer discipline: ONE `\S+`-run token
+  * stream (codegen'd `regexp_extract_all`) on the Spark side, the same
+  * `regexp_extract_all` on the DuckDB oracle side — never trim+split,
+  * whose empty-token artifacts on whitespace-edged text diverged between
+  * engines (round-9 token-count finding; tools/token_mirror_check.py
+  * pins the mirror).
+  *
+  * Scale shape (100 TB): every aggregation is keyed (shingle, token, or
+  * doc) — linear shuffles, no global windows, no vocabulary broadcast
+  * (the salience join runs as a shuffle join on the token key; AQE may
+  * elect broadcast when the aggregated side fits, which is a runtime
+  * size decision, not a plan-time assumption).
+  */
+object CurationOps {
+
+  /** Distinct word n-grams of a `\S+` token array, first-occurrence
+    * order. Tight per-row loop: the higher-order transform(sequence(…))
+    * form is CodegenFallback, interpreted per element (same measurement
+    * as Dedup.wordShingles).
+    */
+  private def shingleUdf(n: Int) = udf { (ws: Seq[String]) =>
+    if (ws == null || ws.length < n) Array.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + n <= ws.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j)); j += 1
+        }
+        seen.add(sb.toString); i += 1
+      }
+      val out = new Array[String](seen.size)
+      seen.toArray(out); out
+    }
+  }
+
+  /** Per-document n-gram NOVELTY: of a document's distinct word
+    * n-grams, how many occur in NO lower-id document (min doc_id over
+    * the corpus is this document). High-novelty documents add new
+    * content; near-zero novelty marks recombinations of existing text —
+    * the curation complement of pairwise dedup, catching mosaic
+    * duplication no pairwise measure sees.
+    *
+    * `novelty_bp` = floor(novel · 10⁴ / total) through a fixed IEEE
+    * double tree — bit-identical cross-engine without transcendentals.
+    * Documents with fewer than `n` tokens have no shingles and are
+    * absent (mirrored by the oracle).
+    *
+    * Scale: explode to (shingle, doc) pairs, ONE exchange on the
+    * shingle for the min-owner window, one keyed exchange back on the
+    * doc for the ratio — both linear; no driver state, no broadcast.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val pairs = Tables.widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
+      .select(col("doc_id"),
+        explode(shingleUdf(n)(regexp_extract_all(col("txt"), lit("\\S+"), lit(0)))).as("sh"))
+    val w = Window.partitionBy("sh")
+    pairs
+      .withColumn("first_doc", min("doc_id").over(w))
+      .groupBy("doc_id")
+      .agg(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"),
+        count(lit(1)).as("total"))
+      .withColumn("novelty_bp",
+        floor(col("novel").cast("double") * lit(10000.0) / col("total").cast("double"))
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document HAPAX contribution: how many of the corpus's
+    * single-document tokens (document frequency exactly 1) live in this
+    * document, over the document's distinct-token vocabulary. The
+    * classic "which documents carry rare vocabulary" audit — the docs a
+    * frequency-threshold vocabulary build silently discards.
+    *
+    * Scale: distinct (token, doc) pairs, one exchange on the token for
+    * the df window, one back on the doc — linear, no broadcast.
+    */
+  def hapaxContributors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Tables.widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
+      .select(col("doc_id"),
+        explode(array_distinct(regexp_extract_all(col("txt"), lit("\\S+"), lit(0)))).as("w"))
+    val w = Window.partitionBy("w")
+    toks
+      .withColumn("dfc", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(sum(when(col("dfc") === 1L, 1L).otherwise(0L)).as("hapax"),
+        count(lit(1)).as("vocab"))
+      .withColumn("hapax_bp",
+        floor(col("hapax").cast("double") * lit(10000.0) / col("vocab").cast("double"))
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document top-`k` TERM SALIENCE by lift — tf(d,w) · N / df(w),
+    * emitted as floor(lift-weighted score · 10⁴) through a fixed IEEE
+    * double tree: ((tf · 10⁴) · N) / df, floor — the same
+    * no-transcendental determinism contract as q164 (tf-idf's log is
+    * monotone in df at fixed tf; the ranking semantics differ only in
+    * the documented weighting, and the integer is cross-engine
+    * bit-stable). Ties break (salience desc, token asc).
+    *
+    * Scale: tf is one exchange on (doc, token); df aggregates the tf
+    * table on the token (second keyed exchange); the join back runs on
+    * the token key WITHOUT a broadcast hint — the full-vocabulary
+    * broadcast was q164's round-9 scale flaw, not repeated here. The
+    * rank window partitions by doc — parallel, never single-partition.
+    */
+  def termSalience(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    val toks = Tables.widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("txt"), lit("\\S+"), lit(0))).as("w"))
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy("w").agg(count(lit(1)).as("df_docs"))
+    val nDocs = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+    tf.join(dfw, "w")
+      .crossJoin(broadcast(nDocs)) // one scalar, not a vocabulary table
+      .withColumn("salience",
+        floor(col("tf").cast("double") * lit(10000.0) * col("n_docs").cast("double")
+          / col("df_docs").cast("double")).cast("long"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("doc_id")
+          .orderBy(col("salience").desc, col("w").asc))
+        .cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "w", "tf", "df_docs", "salience", "rk")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Vocabulary-coverage curve: for each frequency threshold t, the
+    * vocabulary size (tokens with corpus count ≥ t) and the
+    * occurrence-weighted OOV rate (fraction of token OCCURRENCES whose
+    * token falls below the threshold) — the two numbers that decide a
+    * tokenizer/vocab frequency cutoff. `oov_bp` =
+    * floor(oov_occ · 10⁴ / total_occ) via the fixed IEEE tree.
+    *
+    * Scale: ONE token count aggregation (the only corpus-sized
+    * shuffle); the curve is computed on the vocab-sized count table —
+    * one tiny exchange per threshold via a threshold×vocab broadcast
+    * grid (|thresholds| rows broadcast, never the vocabulary).
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    thresholds: Seq[Long] = Seq(2L, 5L, 10L, 100L)): DataFrame = {
+    val counts = Tables.widen(docs.select(col(textCol).as("txt")))
+      .select(explode(regexp_extract_all(col("txt"), lit("\\S+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val grid = docs.sparkSession.createDataFrame(
+      thresholds.map(Tuple1(_))).toDF("t")
+    counts.crossJoin(broadcast(grid))
+      .groupBy("t")
+      .agg(sum(when(col("c") >= col("t"), 1L).otherwise(0L)).as("vocab_size"),
+        sum(when(col("c") < col("t"), col("c")).otherwise(0L)).as("oov_occ"),
+        sum(col("c")).as("total_occ"))
+      .withColumn("oov_bp",
+        floor(col("oov_occ").cast("double") * lit(10000.0) / col("total_occ").cast("double"))
+          .cast("long"))
+      .orderBy("t")
+  }
+
+  /** Shingle document-frequency histogram in power-of-two buckets —
+    * the measurement behind the dedup family's df caps: how much of
+    * the shingle mass is boilerplate (high-df) vs discriminative
+    * (low-df), i.e. what a maxDf cap of 2^k actually drops. Bucket =
+    * bit-length(df) − 1 (floor(log₂ df) in EXACT integer form — both
+    * engines compute it from the binary string, no floating log).
+    *
+    * Scale: the shingle distinct + count is the one corpus shuffle;
+    * the histogram aggregates the df table (bounded by distinct
+    * shingles) into ≤ 64 rows.
+    */
+  def shingleDfHistogram(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3): DataFrame = {
+    val sh = Tables.widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
+      .select(col("doc_id"),
+        explode(shingleUdf(n)(regexp_extract_all(col("txt"), lit("\\S+"), lit(0)))).as("s"))
+    sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", (length(bin(col("df"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("occurrences"))
+      .orderBy("bucket")
+  }
+
+  // ---- registered catalog entries ----
+
+  /** First-occurrence 3-gram novelty per document. */
+  def q167NgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Hapax-vocabulary contribution per document. */
+  def q168HapaxContributors(spark: SparkSession, dir: String): DataFrame =
+    hapaxContributors(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Top-3 lift-salient terms per document. */
+  def q169TermSalience(spark: SparkSession, dir: String): DataFrame =
+    termSalience(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Vocabulary coverage / OOV curve at thresholds {2, 5, 10, 100}. */
+  def q170VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** 3-gram shingle df histogram (power-of-two buckets). */
+  def q171ShingleDfHistogram(spark: SparkSession, dir: String): DataFrame =
+    shingleDfHistogram(Tables.documents(spark, dir), "doc_id", "text")
+}

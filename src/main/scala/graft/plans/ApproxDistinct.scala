@@ -19,7 +19,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * (one narrow pass, bytes per group) without touching query text. The
   * conf gates it because the rewrite is a SEMANTIC relaxation: results
   * are deterministic (same sketch, same data ⇒ same number) but
-  * approximate, so the caller must opt in.
+  * approximate, so the caller must opt in. SCOPE CAVEAT: the flag is
+  * read at OPTIMIZATION time, so it applies to every query that
+  * COMPILES on the session while set — including other threads'. Opt
+  * in on a session whose whole workload accepts the relaxation; for a
+  * scoped opt-in, use a dedicated `spark.newSession()` (shared
+  * SparkContext and cache, isolated conf), as q157 does.
   *
   * Scope guard: only a single-child `Count(DISTINCT x)` rewrites; the
   * multi-column form `count(DISTINCT a, b)` has no HLL equivalent and is
@@ -87,28 +92,30 @@ object ApproxDistinct {
     */
   def q157NdvAutoApprox(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    install(spark)
-    // remember absence vs "false": restoring a never-set flag by setting
-    // it to the defaulted read would leave it explicitly present and
-    // mask whether the user ever opted in
-    val prev = spark.conf.getOption(Flag)
-    spark.conf.set(Flag, "true")
-    try {
-      // ONE distinct aggregate by design: the rule's scope guard leaves
-      // multi-group aggregates exact (see ApproxCountDistinctRule)
-      val df = graft.Tables.events(spark, dir)
-        .groupBy("event_type")
-        .agg(countDistinct("user_id").as("ndv_users"),
-          count(lit(1)).as("n_rows"))
-        .orderBy("event_type")
-      require(df.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"),
-        "q157 must run through the ApproxCountDistinctRule rewrite")
-      val rows = df.collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), df.schema)
-    } finally prev match {
-      case Some(v) => spark.conf.set(Flag, v)
-      case None    => spark.conf.unset(Flag)
-    }
+    // PRIVATE CHILD SESSION, not set-then-restore on the caller's
+    // (round-10 stress finding): the flag is read at OPTIMIZATION time,
+    // so with the old pattern any query compiling CONCURRENTLY on the
+    // same session inside the window had its exact count(DISTINCT)
+    // silently rewritten to the sketch — q143's arm_size came back as
+    // the HLL estimate (83 vs exactly 79) in the 4-thread catalog
+    // stress. newSession() shares the SparkContext and cached data but
+    // isolates SQL conf and experimental rules, which is precisely the
+    // documented scope of the opt-in: a session that opted in. Nothing
+    // to restore; the child is discarded.
+    val s = spark.newSession()
+    install(s)
+    s.conf.set(Flag, "true")
+    // ONE distinct aggregate by design: the rule's scope guard leaves
+    // multi-group aggregates exact (see ApproxCountDistinctRule)
+    val df = graft.Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("ndv_users"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("event_type")
+    require(df.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"),
+      "q157 must run through the ApproxCountDistinctRule rewrite")
+    val rows = df.collect()
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
   }
 }

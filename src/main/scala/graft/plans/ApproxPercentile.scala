@@ -25,7 +25,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * where the exact form linearly interpolates between neighbors; for
   * groups smaller than `accuracy` the sketch holds all values and the
   * difference is interpolation only. Deterministic: same data, same
-  * percentiles ⇒ same number.
+  * percentiles ⇒ same number. SCOPE CAVEAT (shared with
+  * [[ApproxCountDistinctRule]]): the flag is read at optimization time
+  * and applies to every query COMPILING on the session while set —
+  * other threads' included; scope a targeted opt-in to a dedicated
+  * `spark.newSession()`, as q159 does.
   *
   * Exact-stays-exact boundaries (each spec-pinned):
   *  - flag unset/false — no rewrite anywhere;
@@ -106,24 +110,24 @@ object ApproxPercentile {
     */
   def q159PercentileAutoApprox(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    install(spark)
-    val prev = spark.conf.getOption(Flag)
-    spark.conf.set(Flag, "true")
-    try {
-      val df = graft.Tables.events(spark, dir)
-        .groupBy("event_type")
-        .agg(expr("percentile(value, 0.5)").as("p50_value"),
-          expr("percentile(value, 0.95)").as("p95_value"),
-          count(lit(1)).as("n_rows"))
-        .orderBy("event_type")
-      require(df.queryExecution.optimizedPlan.toString.contains("percentile_approx"),
-        "q159 must run through the ApproxPercentileRule rewrite")
-      val rows = df.collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), df.schema)
-    } finally prev match {
-      case Some(v) => spark.conf.set(Flag, v)
-      case None    => spark.conf.unset(Flag)
-    }
+    // private child session — same round-10 concurrency fix as q157:
+    // the session-conf flag must never be visible to queries compiling
+    // concurrently on the caller's session (an exact percentile in
+    // another thread would silently become a GK sketch inside the old
+    // set-then-restore window)
+    val s = spark.newSession()
+    install(s)
+    s.conf.set(Flag, "true")
+    val df = graft.Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50_value"),
+        expr("percentile(value, 0.95)").as("p95_value"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("event_type")
+    require(df.queryExecution.optimizedPlan.toString.contains("percentile_approx"),
+      "q159 must run through the ApproxPercentileRule rewrite")
+    val rows = df.collect()
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
   }
 }

@@ -820,8 +820,8 @@ object VectorOps {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     // VERIFY SHAPE (round-9 rework of the round-8 "worst non-exact wall").
     // Small-enough corpus (n ≤ broadcastVerifyMaxRows AND n·dim·4 ≤
-    // 512 MB — the byte gate below keeps the collect under the 1 GiB
-    // default spark.driver.maxResultSize): collect the corpus ONCE into a
+    // 80% of spark.driver.maxResultSize — the byte gate below keeps
+    // the collect under the driver result limit): collect the corpus ONCE into a
     // compact driver/executor broadcast — flat per-id float vectors +
     // norms behind a LongMap index, the bestAssign/ivfAssignDriven
     // pattern — and verify every RAW collision row with a tight-loop
@@ -855,15 +855,23 @@ object VectorOps {
     //    a non-long id column takes the fallback instead of a
     //    corpus-size-dependent ClassCastException;
     //  - the collect() is sized in BYTES, not rows: n·dim·4 must stay
-    //    under the default 1 GiB spark.driver.maxResultSize with margin
+    //    under the session's spark.driver.maxResultSize with margin
     //    (the 1M-row row gate alone admits ~1.5 GB at 384-d, which
     //    fails outright on default configs between ~700k and 1M rows).
+    //    80% of the configured limit: the 100× rehearsal's 500k×384-d
+    //    corpus (768 MB of floats) collects fine under the 1 GiB
+    //    default and must STAY on the fast path (24.8 vs ~60 s
+    //    measured), while the 700k+ class falls back.
     val idIsLong = vecs.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType
     val dim: Long =
       if (n == 0) 0L
       else v.select(size(col("vec"))).head().getInt(0).toLong
-    val broadcastVerifyMaxBytes = 512L << 20 // half the 1 GiB default limit
+    val broadcastVerifyMaxBytes = {
+      val limit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        vecs.sparkSession.sparkContext.getConf.get("spark.driver.maxResultSize", "1g"))
+      if (limit <= 0) Long.MaxValue else limit * 4 / 5
+    }
     val verified =
       if (floatSourced && idIsLong && n <= broadcastVerifyMaxRows &&
           n * dim * 4 <= broadcastVerifyMaxBytes) {

@@ -29,7 +29,10 @@ class ConcurrentStressSpec extends SparkSpec {
     "q62_lsh_neardup", "q69_bucketed_neardup", "q26_simhash",
     "q158_simhash128", "q163_edit_neardup", "q166_edit_neardup_dual",
     "q104_dedup_clusters", "q105_cluster_keepers", "q112_bpe_train",
-    "q38_retrieval", "q146_semantic_dedup")
+    "q38_retrieval", "q146_semantic_dedup",
+    // round-10 divergence class: session-conf-scoped optimizer flags
+    // (q157/q159) racing exact aggregates (q143 was the victim)
+    "q143_ab_funnel", "q157_ndv_autoapprox", "q159_percentile_autoapprox")
 
   test("state-heavy queries diverge nowhere under 4-thread concurrency") {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)

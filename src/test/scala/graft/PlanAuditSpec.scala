@@ -27,8 +27,13 @@ class PlanAuditSpec extends SparkSpec {
   // q142: a composed 10-scan audit query (4 ANN chains) whose
   // scan/exchange REUSE differs with data size — one cached subplan
   // more or fewer shows as ±1 scan row with identical semantics.
+  // q165: shares q24's rarePairInter core, so it inherits exactly
+  // q24's AQE flip — the inverted-index side sits at the broadcast
+  // threshold, and the runtime join strategy (broadcast vs shuffle
+  // hash) moves the exchange/codegen counts ±1 between sound shapes.
   private val crossScaleAllow =
-    Set("q24_ngram_jaccard", "q75_cohort_retention", "q142_ann_tradeoff")
+    Set("q24_ngram_jaccard", "q75_cohort_retention", "q142_ann_tradeoff",
+      "q165_containment_pairs")
 
   private def parseRows(path: String): Map[String, String] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
