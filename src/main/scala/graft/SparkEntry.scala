@@ -210,6 +210,9 @@ object SparkEntry {
     "q169_term_salience"     -> graft.operators.CurationOps.q169TermSalience _,
     "q170_vocab_coverage"    -> graft.operators.CurationOps.q170VocabCoverage _,
     "q171_shingle_df_histogram" -> graft.operators.CurationOps.q171ShingleDfHistogram _,
+    "q172_pq_ann"            -> graft.vector.Pq.q172PqAnn _,
+    "q173_triangle_count"    -> graft.operators.Graph.q173TriangleCount _,
+    "q174_assoc_rules"       -> graft.operators.Associations.q174AssocRules _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2941,5 +2944,112 @@ object SparkEntry {
          UNION ALL
          SELECT 'purchases_signups', n_matching_keys, est_rows FROM j3
          ORDER BY join_name""",
+    // PQ ADC top-5: two unrolled Lloyd rounds PER SUBSPACE (q121's
+    // rounding discipline — 6 dp argmin, 9 dp recenters, first-k-by-id
+    // seeds), codes = final argmin, LUT partials floor(dot*1e7+0.5) as
+    // BIGINT so the subspace sum is integer-exact, score = 4 dp halfUp
+    "q172_pq_ann" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings),
+         ss AS (SELECT unnest(generate_series(0, 3)) AS s),
+         sub AS (SELECT id, s, fv[16*s+1 : 16*s+16] AS vec FROM v, ss),
+         sd AS (SELECT id, s, vec, row_number() OVER (PARTITION BY s ORDER BY id) AS rn FROM sub),
+         seeds AS (SELECT s, CAST(rn - 1 AS INT) AS cl, vec AS centroid FROM sd WHERE rn <= 8),
+         d1 AS (SELECT sub.id, sub.s, sub.vec, c.cl,
+                 floor((list_dot_product(sub.vec, sub.vec) - 2*list_dot_product(sub.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM sub JOIN seeds c USING (s)),
+         a1 AS (SELECT id, s, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY d2, cl) AS rk FROM d1) t
+                WHERE rk = 1),
+         c1 AS (SELECT s, cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT s, cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
+                    SELECT s, cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a1) u
+                  GROUP BY s, cl, pos) g GROUP BY s, cl),
+         d2_ AS (SELECT sub.id, sub.s, sub.vec, c.cl,
+                 floor((list_dot_product(sub.vec, sub.vec) - 2*list_dot_product(sub.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM sub JOIN c1 c USING (s)),
+         a2 AS (SELECT id, s, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY d2, cl) AS rk FROM d2_) t
+                WHERE rk = 1),
+         c2 AS (SELECT s, cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT s, cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
+                    SELECT s, cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a2) u
+                  GROUP BY s, cl, pos) g GROUP BY s, cl),
+         dc AS (SELECT sub.id, sub.s, c.cl,
+                 floor((list_dot_product(sub.vec, sub.vec) - 2*list_dot_product(sub.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM sub JOIN c2 c USING (s) WHERE sub.id >= 10),
+         codes AS (SELECT id, s, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY d2, cl) AS rk FROM dc) t
+                WHERE rk = 1),
+         q AS (SELECT id AS qid, s, vec FROM sub WHERE id < 10),
+         lut AS (SELECT q.qid, q.s, c2.cl,
+                  CAST(floor(list_dot_product(q.vec, c2.centroid) * 10000000.0 + 0.5) AS BIGINT) AS p
+                 FROM q JOIN c2 ON c2.s = q.s),
+         sc AS (SELECT lut.qid, codes.id AS nid, CAST(sum(lut.p) AS BIGINT) AS t
+                FROM codes JOIN lut ON lut.s = codes.s AND lut.cl = codes.cl
+                GROUP BY lut.qid, codes.id),
+         r AS (SELECT qid, nid, floor(t / 1000.0 + 0.5) / 10000.0 AS qscore,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY floor(t / 1000.0 + 0.5) / 10000.0 DESC, nid ASC) AS rank
+               FROM sc)
+         SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, qscore
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // degree-ordered triangle enumeration over q104's shared-line dup
+    // graph: orient by (degree, id), wedges from the tail, close
+    // against the oriented set; per-vertex participation counts
+    "q173_triangle_count" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents),
+         l AS (SELECT DISTINCT doc_id, array_to_string(ws[5*i+1 : 5*i+5], ' ') AS line
+               FROM (SELECT doc_id, ws, unnest(generate_series(0,
+                       CAST(ceil(len(ws)*1.0/5) AS INT) - 1)) AS i FROM w)
+               WHERE array_to_string(ws[5*i+1 : 5*i+5], ' ') <> ''),
+         df AS (SELECT line, count(*) AS c FROM l GROUP BY line),
+         e0 AS (SELECT DISTINCT l1.doc_id AS a, l2.doc_id AS b
+                FROM l l1 JOIN l l2 USING (line) JOIN df USING (line)
+                WHERE df.c BETWEEN 2 AND 5 AND l1.doc_id < l2.doc_id),
+         e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         deg AS (SELECT a AS v, count(*) AS d FROM e GROUP BY a),
+         o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b) THEN e0.a ELSE e0.b END AS u,
+                      CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b) THEN e0.b ELSE e0.a END AS w
+               FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
+         od AS (SELECT o.u, o.w, deg.d AS dw FROM o JOIN deg ON deg.v = o.w),
+         wd AS (SELECT a.u AS x, a.w AS y, b.w AS z
+                FROM od a JOIN od b ON a.u = b.u
+                  AND (a.dw < b.dw OR (a.dw = b.dw AND a.w < b.w))),
+         tri AS (SELECT x, y, z FROM wd JOIN o ON o.u = wd.y AND o.w = wd.z)
+         SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         FROM (SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+               UNION ALL SELECT z AS v FROM tri)
+         GROUP BY v ORDER BY doc_id""",
+    // a-priori pair rules: frequent-item prune before pair generation,
+    // metrics from integer counts in a fixed division association,
+    // min-confidence on the unrounded ratio
+    "q174_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+                FROM lineitem JOIN part ON p_partkey = l_partkey),
+         n AS (SELECT count(DISTINCT basket) AS nb FROM bi),
+         fi AS (SELECT item, count(*) AS n_item FROM bi GROUP BY item
+                HAVING count(*) >= (SELECT nb FROM n) * 0.05),
+         bif AS (SELECT bi.basket, bi.item FROM bi JOIN fi USING (item)),
+         pr AS (SELECT a.item AS x, b.item AS y, count(*) AS n_both
+                FROM bif a JOIN bif b ON a.basket = b.basket AND a.item < b.item
+                GROUP BY a.item, b.item
+                HAVING count(*) >= (SELECT nb FROM n) * 0.022),
+         r0 AS (SELECT x AS antecedent, y AS consequent, n_both FROM pr
+                UNION ALL SELECT y, x, n_both FROM pr),
+         r AS (SELECT r0.antecedent, r0.consequent, r0.n_both,
+                 fa.n_item AS n_a, fc.n_item AS n_c, (SELECT nb FROM n) AS nb
+               FROM r0 JOIN fi fa ON fa.item = r0.antecedent
+                       JOIN fi fc ON fc.item = r0.consequent)
+         SELECT antecedent, consequent, CAST(n_both AS BIGINT) AS n_both,
+           floor(CAST(n_both AS DOUBLE) / nb * 1000000.0 + 0.5) / 1000000.0 AS support,
+           floor(CAST(n_both AS DOUBLE) / n_a * 1000000.0 + 0.5) / 1000000.0 AS confidence,
+           floor(CAST(n_both AS DOUBLE) * nb / (CAST(n_a AS DOUBLE) * n_c) * 1000000.0 + 0.5) / 1000000.0 AS lift
+         FROM r
+         WHERE CAST(n_both AS DOUBLE) / n_a >= 0.158
+         ORDER BY antecedent, consequent""",
   )
 }

@@ -1,0 +1,177 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the billion-vector compression path the
+  * ANN family was still missing (reference semantics: the FAISS index
+  * the reference builds in `build_faiss.py` is the flat exact form;
+  * FAISS's own scale story beyond flat is IVF+PQ, and q29/q124 already
+  * cover the IVF half). PQ splits each vector into `m` subvectors,
+  * k-means-quantizes each subspace independently, and stores only the
+  * per-subspace code — here m=4 ints; in a production layout m bytes —
+  * so a 100 TB float corpus scans as a few TB of codes. Query scoring
+  * is ADC (asymmetric distance computation): one m×ksub lookup table
+  * of query·centroid partial dot products per query, then every corpus
+  * row scores with m table lookups + integer adds — no float math per
+  * row, no corpus vectors in flight.
+  *
+  * Scale notes (100 TB): training reads a bounded sample in practice
+  * (here: the full fixture) and is driver-held (m·ksub·dsub doubles —
+  * KBs); encode is one narrow stateless projection (no shuffle);
+  * scoring broadcasts the per-query LUTs (queries × m·ksub longs) and
+  * streams the code table — ONE corpus pass, top-k via per-query
+  * window over (query_id, score, id) tuples only. The queries side is
+  * collect()ed to build LUTs: bounded by the ADC contract (the probe
+  * set is always the small side; same bound as knnBrute's broadcast).
+  *
+  * Determinism contract (cross-engine, hash-exact vs DuckDB):
+  * subspace codebooks come from `VectorOps.kmeansTrain` (6-dp-rounded
+  * argmin, 9-dp recenters, first-k-by-id seeds); LUT partials round to
+  * 7 dp AS LONGS so the m-way sum is integer-exact in any order; the
+  * final score is halfUp(sum/1e7, 4 dp) spelled floor(t/1000.0+0.5)/1e4
+  * on both engines. Recall on the near-isotropic synthetic fixture is
+  * honest-but-low (ADC top-5 ≈ 0.22, top-50 shortlist ≈ 0.72 of the
+  * exact cosine top-5 — PqSpec pins the floor): 32-bit codes on
+  * unclustered random vectors is the worst case; real embedding
+  * corpora cluster, and the production pattern is PQ shortlist → exact
+  * re-rank (q130's two-stage shape over codes instead of int8).
+  */
+object Pq {
+
+  /** Per-subspace codebooks: books(s) = Array[(clusterId, centroid)],
+    * each centroid `dsub` doubles. Driver-held model artifact, like
+    * `kmeansTrain`'s return.
+    */
+  final case class PqModel(m: Int, dsub: Int,
+                           books: Array[Array[(Int, Vector[Double])]])
+
+  /** Train `m` independent subspace codebooks with `ksub` centroids
+    * each — m runs of the deterministic Lloyd loop (`kmeansTrain`) on
+    * the sliced column. dim is read from the first row; requires
+    * dim % m == 0.
+    */
+  def pqTrain(vecs: DataFrame, idCol: String, vecCol: String,
+              m: Int, ksub: Int, iters: Int): PqModel = {
+    val dim = vecs.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val books = (0 until m).toArray.map { s =>
+      val sub = vecs.select(col(idCol).as("id"),
+        slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub).as("sub"))
+      VectorOps.kmeansTrain(sub, "id", "sub", ksub, iters)
+    }
+    PqModel(m, dsub, books)
+  }
+
+  /** (id, codes array<int>) — per-subspace nearest-codebook-entry ids,
+    * argmin math identical to `kmeansTrain`'s assignment (6-dp-rounded
+    * squared L2, ties → lowest cluster id). One narrow projection; the
+    * model ships as ONE SparkContext broadcast, not a closure payload.
+    */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame = {
+    val spark = vecs.sparkSession
+    // flatten to primitives for the tight loop: per subspace, the
+    // cluster ids, centroid rows, and centroid self-dots
+    val cls = model.books.map(_.map(_._1))
+    val cs  = model.books.map(_.map(_._2.toArray))
+    val ccs = cs.map(_.map { c =>
+      var cc = 0.0; var i = 0
+      while (i < c.length) { cc += c(i) * c(i); i += 1 }
+      cc
+    })
+    val dsub = model.dsub
+    val bc = spark.sparkContext.broadcast((cls, cs, ccs))
+    val enc = udf { (vec: Array[Double]) =>
+      val (bCls, bCs, bCcs) = bc.value
+      val out = new Array[Int](bCs.length)
+      var s = 0
+      while (s < bCs.length) {
+        val off = s * dsub
+        var vv = 0.0
+        var i = 0
+        while (i < dsub) { val x = vec(off + i); vv += x * x; i += 1 }
+        var bd = Double.PositiveInfinity
+        var bcI = Int.MaxValue
+        var j = 0
+        while (j < bCs(s).length) {
+          val c = bCs(s)(j)
+          var d = 0.0; var i2 = 0
+          while (i2 < dsub) { d += vec(off + i2) * c(i2); i2 += 1 }
+          val d2 = math.floor((vv - 2.0 * d + bCcs(s)(j)) * 1e6 + 0.5) / 1e6
+          if (d2 < bd || (d2 == bd && bCls(s)(j) < bcI)) { bd = d2; bcI = bCls(s)(j) }
+          j += 1
+        }
+        out(s) = bcI
+        s += 1
+      }
+      out
+    }
+    vecs.select(col(idCol).as("id"),
+      enc(col(vecCol).cast("array<double>")).as("codes"))
+  }
+
+  /** ADC top-k: (query_id, rank, neighbor_id, qscore) over an encoded
+    * corpus. LUT partial = floor(dot(q_sub, centroid)·1e7+0.5) as LONG
+    * (order-free integer sum across subspaces); qscore =
+    * floor(t/1000.0+0.5)/1e4. Ranks break ties on neighbor_id.
+    */
+  def pqTopK(queries: DataFrame, codes: DataFrame, qId: String,
+             vecCol: String, model: PqModel, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val dsub = model.dsub
+    val ksub = model.books.map(_.map(_._1).max + 1).max
+    // bounded by the ADC contract: the probe set is the small side
+    val qRows = queries
+      .select(col(qId).cast("long").as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val luts: Map[Long, Array[Long]] = qRows.map { case (qid, qv) =>
+      val lut = new Array[Long](model.m * ksub)
+      var s = 0
+      while (s < model.m) {
+        val off = s * dsub
+        model.books(s).foreach { case (cl, cent) =>
+          var d = 0.0; var i = 0
+          while (i < dsub) { d += qv(off + i) * cent(i); i += 1 }
+          lut(s * ksub + cl) = math.floor(d * 1e7 + 0.5).toLong
+        }
+        s += 1
+      }
+      qid -> lut
+    }.toMap
+    val bc = spark.sparkContext.broadcast(luts)
+    val score = udf { (qid: Long, cds: Array[Int]) =>
+      val lut = bc.value(qid)
+      var t = 0L
+      var s = 0
+      while (s < cds.length) { t += lut(s * ksub + cds(s)); s += 1 }
+      math.floor(t / 1000.0 + 0.5) / 10000.0
+    }
+    val qids = spark.createDataFrame(qRows.map(r => Tuple1(r._1)).toSeq)
+      .toDF("query_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    codes.crossJoin(broadcast(qids))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        score(col("query_id"), col("codes")).as("qscore"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "qscore")
+  }
+
+  /** q172: PQ ADC top-5 over the embeddings table — m=4 subspaces of
+    * 16 dims, ksub=8, 2 Lloyd rounds; queries vec_id<10, corpus ≥10
+    * (the q28/q129 split).
+    */
+  def q172PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+    val model = pqTrain(e, "vec_id", "embedding", 4, 8, 2)
+    val codes = pqEncode(e.filter(col("vec_id") >= 10), "vec_id", "embedding", model)
+    pqTopK(e.filter(col("vec_id") < 10), codes, "vec_id", "embedding", model, 5)
+      .orderBy("query_id", "rank")
+  }
+}
