@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench's contract is ONE machine-parseable JSON line on stdout; sbt's
+// default LoggedOutput prefixes every forked-process line with
+// "[info] ", which broke the driver's tail-parse three rounds running
+// (BENCH_rN.json "parsed": null). StdoutOutput passes the forked
+// process's stdout/stderr through verbatim, so the JSON line reaches
+// the driver starting with '{'.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

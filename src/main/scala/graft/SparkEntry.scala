@@ -213,6 +213,7 @@ object SparkEntry {
     "q172_pq_ann"            -> graft.vector.Pq.q172PqAnn _,
     "q173_triangle_count"    -> graft.operators.Graph.q173TriangleCount _,
     "q174_assoc_rules"       -> graft.operators.Associations.q174AssocRules _,
+    "q175_pq_two_stage"      -> graft.vector.Pq.q175PqTwoStage _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3032,12 +3033,15 @@ object SparkEntry {
                 FROM lineitem JOIN part ON p_partkey = l_partkey),
          n AS (SELECT count(DISTINCT basket) AS nb FROM bi),
          fi AS (SELECT item, count(*) AS n_item FROM bi GROUP BY item
-                HAVING count(*) >= (SELECT nb FROM n) * 0.05),
+                -- DOUBLE*DOUBLE: same IEEE product as Spark's
+                -- lit(nb * minItemSupport); a DECIMAL threshold here is
+                -- exact and disagrees at boundaries (round-10 ADVICE)
+                HAVING count(*) >= CAST((SELECT nb FROM n) AS DOUBLE) * CAST(0.05 AS DOUBLE)),
          bif AS (SELECT bi.basket, bi.item FROM bi JOIN fi USING (item)),
          pr AS (SELECT a.item AS x, b.item AS y, count(*) AS n_both
                 FROM bif a JOIN bif b ON a.basket = b.basket AND a.item < b.item
                 GROUP BY a.item, b.item
-                HAVING count(*) >= (SELECT nb FROM n) * 0.022),
+                HAVING count(*) >= CAST((SELECT nb FROM n) AS DOUBLE) * CAST(0.022 AS DOUBLE)),
          r0 AS (SELECT x AS antecedent, y AS consequent, n_both FROM pr
                 UNION ALL SELECT y, x, n_both FROM pr),
          r AS (SELECT r0.antecedent, r0.consequent, r0.n_both,
@@ -3051,5 +3055,63 @@ object SparkEntry {
          FROM r
          WHERE CAST(n_both AS DOUBLE) / n_a >= 0.158
          ORDER BY antecedent, consequent""",
+    // q172's full ADC chain (same codebooks/LUT/integer-sum math), then
+    // shortlist-50 per query and exact-cosine re-rank among the
+    // shortlisted float vectors (q130's stage-2 math)
+    "q175_pq_two_stage" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings),
+         ss AS (SELECT unnest(generate_series(0, 3)) AS s),
+         sub AS (SELECT id, s, fv[16*s+1 : 16*s+16] AS vec FROM v, ss),
+         sd AS (SELECT id, s, vec, row_number() OVER (PARTITION BY s ORDER BY id) AS rn FROM sub),
+         seeds AS (SELECT s, CAST(rn - 1 AS INT) AS cl, vec AS centroid FROM sd WHERE rn <= 8),
+         d1 AS (SELECT sub.id, sub.s, sub.vec, c.cl,
+                 floor((list_dot_product(sub.vec, sub.vec) - 2*list_dot_product(sub.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM sub JOIN seeds c USING (s)),
+         a1 AS (SELECT id, s, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY d2, cl) AS rk FROM d1) t
+                WHERE rk = 1),
+         c1 AS (SELECT s, cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT s, cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
+                    SELECT s, cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a1) u
+                  GROUP BY s, cl, pos) g GROUP BY s, cl),
+         d2_ AS (SELECT sub.id, sub.s, sub.vec, c.cl,
+                 floor((list_dot_product(sub.vec, sub.vec) - 2*list_dot_product(sub.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM sub JOIN c1 c USING (s)),
+         a2 AS (SELECT id, s, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY d2, cl) AS rk FROM d2_) t
+                WHERE rk = 1),
+         c2 AS (SELECT s, cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT s, cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
+                    SELECT s, cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM a2) u
+                  GROUP BY s, cl, pos) g GROUP BY s, cl),
+         dc AS (SELECT sub.id, sub.s, c.cl,
+                 floor((list_dot_product(sub.vec, sub.vec) - 2*list_dot_product(sub.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM sub JOIN c2 c USING (s) WHERE sub.id >= 10),
+         codes AS (SELECT id, s, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY d2, cl) AS rk FROM dc) t
+                WHERE rk = 1),
+         q AS (SELECT id AS qid, s, vec FROM sub WHERE id < 10),
+         lut AS (SELECT q.qid, q.s, c2.cl,
+                  CAST(floor(list_dot_product(q.vec, c2.centroid) * 10000000.0 + 0.5) AS BIGINT) AS p
+                 FROM q JOIN c2 ON c2.s = q.s),
+         sc AS (SELECT lut.qid, codes.id AS nid, CAST(sum(lut.p) AS BIGINT) AS t
+                FROM codes JOIN lut ON lut.s = codes.s AND lut.cl = codes.cl
+                GROUP BY lut.qid, codes.id),
+         sl AS (SELECT qid, nid FROM (
+                 SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                   ORDER BY floor(t / 1000.0 + 0.5) / 10000.0 DESC, nid ASC) AS rk FROM sc) t2
+               WHERE rk <= 50),
+         ex AS (SELECT sl.qid, sl.nid,
+                 round(list_dot_product(qv.fv, cv.fv) /
+                   (sqrt(list_dot_product(qv.fv, qv.fv)) * sqrt(list_dot_product(cv.fv, cv.fv))), 4) AS score
+                FROM sl JOIN v qv ON qv.id = sl.qid JOIN v cv ON cv.id = sl.nid),
+         r AS (SELECT qid, nid, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+               FROM ex)
+         SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, score
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
   )
 }

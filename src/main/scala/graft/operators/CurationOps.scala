@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   * doc) — linear shuffles, no global windows, no vocabulary broadcast
   * (the salience join runs as a shuffle join on the token key; AQE may
   * elect broadcast when the aggregated side fits, which is a runtime
-  * size decision, not a plan-time assumption).
+  * size decision, not a plan-time assumption). And no WINDOWS on zipf
+  * text keys either (round-10 verdict): a window puts every row of a
+  * hot key through one reducer with no partial aggregation; corpus
+  * statistics here come from `groupBy` (map-side combine) on the text
+  * key, with any join-back running on doc_id-cardinality tables.
   */
 object CurationOps {
 
@@ -63,24 +67,34 @@ object CurationOps {
     * Documents with fewer than `n` tokens have no shingles and are
     * absent (mirrored by the oracle).
     *
-    * Scale: explode to (shingle, doc) pairs, ONE exchange on the
-    * shingle for the min-owner window, one keyed exchange back on the
-    * doc for the ratio — both linear; no driver state, no broadcast.
+    * Scale (round-10 verdict item 4 — no zipf-key windows): a window
+    * partitioned by shingle puts EVERY (doc, shingle) row of a hot
+    * shingle ("of the …") through ONE reducer with no partial
+    * aggregation. Instead: `groupBy(sh).agg(min(doc_id))` — map-side
+    * combine collapses each partition's rows per shingle to one before
+    * the exchange, so the hot key ships one row per upstream partition,
+    * not billions. And because each distinct shingle contributes its
+    * single min-owner row, per-doc novelty is a count over THAT
+    * vocab-sized table keyed by owner — no join back on the text key at
+    * all; the only join runs on doc_id between two doc-cardinality
+    * aggregates (AQE-broadcastable).
     */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3): DataFrame = {
     val pairs = Tables.widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
       .select(col("doc_id"),
         explode(shingleUdf(n)(regexp_extract_all(col("txt"), lit("\\S+"), lit(0)))).as("sh"))
-    val w = Window.partitionBy("sh")
-    pairs
-      .withColumn("first_doc", min("doc_id").over(w))
-      .groupBy("doc_id")
-      .agg(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"),
-        count(lit(1)).as("total"))
+    // each distinct (doc, sh) pair is one row; the shingle's min owner
+    // gets credited exactly once per shingle
+    val novel = pairs.groupBy("sh").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("novel"))
+    val total = pairs.groupBy("doc_id").agg(count(lit(1)).as("total"))
+    total.join(novel, Seq("doc_id"), "left")
+      .withColumn("novel", coalesce(col("novel"), lit(0L)))
       .withColumn("novelty_bp",
         floor(col("novel").cast("double") * lit(10000.0) / col("total").cast("double"))
           .cast("long"))
+      .select("doc_id", "novel", "total", "novelty_bp")
       .orderBy("doc_id")
   }
 
@@ -90,22 +104,29 @@ object CurationOps {
     * classic "which documents carry rare vocabulary" audit — the docs a
     * frequency-threshold vocabulary build silently discards.
     *
-    * Scale: distinct (token, doc) pairs, one exchange on the token for
-    * the df window, one back on the doc — linear, no broadcast.
+    * Scale (round-10 verdict item 4 — no zipf-key windows): df comes
+    * from `groupBy(w)` (map-side combine shields the hot token's
+    * reducer), and since a df=1 token lives in exactly ONE document,
+    * `min(doc_id)` in the same aggregate IS the owning document — the
+    * hapax count per doc is then a count over the vocab-sized df table,
+    * joined to the per-doc vocabulary count on doc_id only. No window,
+    * no join on the token key.
     */
   def hapaxContributors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Tables.widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
       .select(col("doc_id"),
         explode(array_distinct(regexp_extract_all(col("txt"), lit("\\S+"), lit(0)))).as("w"))
-    val w = Window.partitionBy("w")
-    toks
-      .withColumn("dfc", count(lit(1)).over(w))
-      .groupBy("doc_id")
-      .agg(sum(when(col("dfc") === 1L, 1L).otherwise(0L)).as("hapax"),
-        count(lit(1)).as("vocab"))
+    val dfw = toks.groupBy("w")
+      .agg(count(lit(1)).as("dfc"), min("doc_id").as("owner"))
+    val hapax = dfw.filter(col("dfc") === 1L)
+      .groupBy(col("owner").as("doc_id")).agg(count(lit(1)).as("hapax"))
+    val vocab = toks.groupBy("doc_id").agg(count(lit(1)).as("vocab"))
+    vocab.join(hapax, Seq("doc_id"), "left")
+      .withColumn("hapax", coalesce(col("hapax"), lit(0L)))
       .withColumn("hapax_bp",
         floor(col("hapax").cast("double") * lit(10000.0) / col("vocab").cast("double"))
           .cast("long"))
+      .select("doc_id", "hapax", "vocab", "hapax_bp")
       .orderBy("doc_id")
   }
 

@@ -88,7 +88,7 @@ object Graph {
     * document frequency 2..5 (df-capped inverted index — q24's
     * discipline bounds postings and pair fan-out by construction).
     */
-  private[operators] def lineGraphEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def lineGraphEdges(spark: SparkSession, dir: String): DataFrame = {
     val maxDf = 5
     val docLines = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -230,7 +230,11 @@ object Graph {
     * (v, n_triangles), vertices in ≥ 1 triangle.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist()
+    // defensive dedup (round-10 ADVICE): duplicate (src,dst) rows would
+    // silently inflate degrees and multiply wedge/closing matches; one
+    // partial-aggregable exchange buys the precondition instead of
+    // documenting it
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
     // one row per undirected edge, oriented by (degree, id); src<dst
     // already, so the id tie-break keeps src first

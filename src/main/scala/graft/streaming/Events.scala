@@ -1040,28 +1040,43 @@ object Events {
     * running max in shard order; each event's frontier is then
     * greatest(its shard-local running max, the previous shards' max) —
     * bit-identical to the global window, with the big table touched
-    * only by a PARTITIONED window. The shard-level prefix runs as a
-    * single-partition mapPartitions fold — deliberate and bounded
-    * (N/8192 16-byte rows; an explicit repartition(1), not an
-    * accidental unpartitioned WindowExec), and at extreme N the same
-    * two-level step recurses.
+    * only by a PARTITIONED window. The shard-level prefix is itself
+    * two-level (round-10 verdict item 6 — no `repartition(1)`
+    * sequential task over N/8192 shard rows): shards group into
+    * contiguous RANGES of 8192 shards; per-range maxima (N/8192² rows —
+    * ~1.5e4 at 10¹² events) prefix-fold on the DRIVER (the only
+    * sequential step, bounded by construction); each shard's
+    * prev-frontier is then greatest(range-partitioned window over ≤8192
+    * shard rows, the previous ranges' broadcast max). Every distributed
+    * window partition is ≤8192 rows at any N.
     */
   def q140LatenessAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .withColumn("tss", unix_timestamp(col("ts")))
       .withColumn("shard", expr("event_id div 8192"))
-    val prevFrontier = ev.groupBy("shard").agg(max("tss").as("shard_max"))
-      .as[(Long, Long)]
-      .repartition(1).sortWithinPartitions("shard")
-      .mapPartitions { it =>
-        var running = Long.MinValue // sentinel: shard 0 has no predecessor
-        it.map { case (shard, mx) =>
-          val prev = running
-          running = math.max(running, mx)
-          (shard, prev)
-        }
-      }.toDF("shard", "prev_frontier")
+    val shardMax = ev.groupBy("shard").agg(max("tss").as("shard_max"))
+      .withColumn("rng", expr("shard div 8192"))
+    // driver-side prefix over one row per RANGE — N/8192² rows, the
+    // bounded sequential core of the scan
+    val rangeRows = shardMax.groupBy("rng").agg(max("shard_max").as("range_max"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    var running = Long.MinValue // sentinel: range 0 has no predecessor
+    val prevRange = rangeRows.map { case (rng, mx) =>
+      val prev = running
+      running = math.max(running, mx)
+      (rng, prev)
+    }
+    val prevRangeDf = spark.createDataset(prevRange.toSeq)
+      .toDF("rng", "prev_range_frontier")
+    val wShard = Window.partitionBy("rng").orderBy(col("shard").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevFrontier = shardMax
+      .withColumn("prev_in_range", max("shard_max").over(wShard))
+      .join(broadcast(prevRangeDf), "rng")
+      .select(col("shard"),
+        greatest(coalesce(col("prev_in_range"), lit(Long.MinValue)),
+          col("prev_range_frontier")).as("prev_frontier"))
     val wLocal = Window.partitionBy("shard").orderBy(col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.join(broadcast(prevFrontier), "shard")

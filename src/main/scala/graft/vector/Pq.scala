@@ -1,7 +1,6 @@
 package graft.vector
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) — the billion-vector compression path the
@@ -21,10 +20,12 @@ import org.apache.spark.sql.functions._
   * (here: the full fixture) and is driver-held (m·ksub·dsub doubles —
   * KBs); encode is one narrow stateless projection (no shuffle);
   * scoring broadcasts the per-query LUTs (queries × m·ksub longs) and
-  * streams the code table — ONE corpus pass, top-k via per-query
-  * window over (query_id, score, id) tuples only. The queries side is
-  * collect()ed to build LUTs: bounded by the ADC contract (the probe
-  * set is always the small side; same bound as knnBrute's broadcast).
+  * streams the code table — ONE corpus pass, top-k via the bounded
+  * typed aggregator (`TopKAggregator`): ≤ k entries of map-side state
+  * per (partition, query), so only |queries|·k rows ever shuffle. The
+  * queries side is collect()ed to build LUTs: bounded by the ADC
+  * contract (`MaxProbeRows` guard — the probe set is always the small
+  * side; same bound as knnBrute's broadcast).
   *
   * Determinism contract (cross-engine, hash-exact vs DuckDB):
   * subspace codebooks come from `VectorOps.kmeansTrain` (6-dp-rounded
@@ -32,11 +33,13 @@ import org.apache.spark.sql.functions._
   * 7 dp AS LONGS so the m-way sum is integer-exact in any order; the
   * final score is halfUp(sum/1e7, 4 dp) spelled floor(t/1000.0+0.5)/1e4
   * on both engines. Recall on the near-isotropic synthetic fixture is
-  * honest-but-low (ADC top-5 ≈ 0.22, top-50 shortlist ≈ 0.72 of the
-  * exact cosine top-5 — PqSpec pins the floor): 32-bit codes on
-  * unclustered random vectors is the worst case; real embedding
-  * corpora cluster, and the production pattern is PQ shortlist → exact
-  * re-rank (q130's two-stage shape over codes instead of int8).
+  * honest-but-low (measured: ADC top-5 0.16 at sf0.001 / ≈0.22 at
+  * sf0.01; top-50 shortlist 0.64 / ≈0.72 of the exact cosine top-5 —
+  * PqSpec pins floors 0.14/0.60 on the sf0.001 fixture it runs on):
+  * 32-bit codes on unclustered random vectors is the worst case; real
+  * embedding corpora cluster, and the production pattern is PQ
+  * shortlist → exact re-rank (q130's two-stage shape over codes
+  * instead of int8 — `pqShortlistRerank`, q175).
   */
 object Pq {
 
@@ -118,17 +121,31 @@ object Pq {
     * (order-free integer sum across subspaces); qscore =
     * floor(t/1000.0+0.5)/1e4. Ranks break ties on neighbor_id.
     */
+  /** Largest probe set pqTopK will collect() for LUT building — the ADC
+    * contract says the query side is small; violating it should fail
+    * loudly at the guard, not opaquely in the driver heap.
+    */
+  val MaxProbeRows = 100000
+
   def pqTopK(queries: DataFrame, codes: DataFrame, qId: String,
              vecCol: String, model: PqModel, k: Int): DataFrame = {
     val spark = queries.sparkSession
     val dsub = model.dsub
+    require(model.books.nonEmpty && model.books.forall(_.nonEmpty),
+      "pqTopK: empty codebook — pqTrain produced no centroids for at " +
+        "least one subspace (k > distinct subvectors?)")
     val ksub = model.books.map(_.map(_._1).max + 1).max
     // bounded by the ADC contract: the probe set is the small side
     val qRows = queries
       .select(col(qId).cast("long").as("qid"),
         col(vecCol).cast("array<double>").as("qv"))
+      .limit(MaxProbeRows + 1)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.length <= MaxProbeRows,
+      s"pqTopK: probe set exceeds the bounded-broadcast contract " +
+        s"($MaxProbeRows rows) — ADC queries must be the small side; " +
+        "swap the sides or batch the probe set")
     val luts: Map[Long, Array[Long]] = qRows.map { case (qid, qv) =>
       val lut = new Array[Long](model.m * ksub)
       var s = 0
@@ -153,14 +170,21 @@ object Pq {
     }
     val qids = spark.createDataFrame(qRows.map(r => Tuple1(r._1)).toSeq)
       .toDF("query_id")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    // Bounded top-k (round-10 verdict item 3): the window form funnels
+    // the ENTIRE scored corpus of each query through one reducer — at
+    // 10⁹ codes that is a single-task sort per query. The typed
+    // aggregator keeps ≤ k entries per partition (map-side partial
+    // agg), so only |queries|·k rows shuffle; ordering (score desc,
+    // id asc) is identical to the window form, same oracle.
     codes.crossJoin(broadcast(qids))
-      .select(col("query_id"), col("id").as("neighbor_id"),
+      .select(col("query_id"), col("id").cast("long").as("neighbor_id"),
         score(col("query_id"), col("codes")).as("qscore"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "qscore")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topK(k)(
+        col("qscore"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s._2").as("neighbor_id"), col("s._1").as("qscore"))
   }
 
   /** q172: PQ ADC top-5 over the embeddings table — m=4 subspaces of
@@ -172,6 +196,49 @@ object Pq {
     val model = pqTrain(e, "vec_id", "embedding", 4, 8, 2)
     val codes = pqEncode(e.filter(col("vec_id") >= 10), "vec_id", "embedding", model)
     pqTopK(e.filter(col("vec_id") < 10), codes, "vec_id", "embedding", model, 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** PQ shortlist → exact re-rank: the production composition the
+    * Scaladoc above promises (q130's two-stage shape over PQ codes
+    * instead of int8). ADC's honest-but-low point recall (0.16 top-5
+    * on the isotropic fixture — PqSpec) becomes usable because the
+    * SHORTLIST recall is what matters: stage 1 scans only the code
+    * table (the few-TB face of a 100 TB float corpus), keeps kCoarse
+    * candidates per query through the bounded aggregator, and stage 2
+    * fetches float vectors for just |queries|·kCoarse rows via a keyed
+    * join against the corpus — the full-precision side is read
+    * once, shuffled never (broadcast shortlist side under AQE). The
+    * stage-2 window is bounded at kCoarse rows per query by
+    * construction. Re-rank math ≡ `VectorOps.twoStageRetrieve` stage 2
+    * (cosinePre, 4-dp, (score desc, id asc) ties).
+    */
+  def pqShortlistRerank(queries: DataFrame, corpus: DataFrame, qId: String,
+                        cId: String, vecCol: String, model: PqModel,
+                        kCoarse: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = pqEncode(corpus, cId, vecCol, model)
+    val short = pqTopK(queries, codes, qId, vecCol, model, kCoarse)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(qId).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("nq", VectorOps.l2Norm(col("qv")))
+    val c = corpus.select(col(cId).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("nc", VectorOps.l2Norm(col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    short.join(broadcast(q), "query_id").join(c, "neighbor_id")
+      .withColumn("score", VectorOps.cosinePre(col("qv"), col("cv"), col("nq"), col("nc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** q175: PQ-shortlist-50 → exact top-5 over the q172 split/model. */
+  def q175PqTwoStage(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+    val model = pqTrain(e, "vec_id", "embedding", 4, 8, 2)
+    pqShortlistRerank(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      "vec_id", "vec_id", "embedding", model, 50, 5)
       .orderBy("query_id", "rank")
   }
 }

@@ -9,8 +9,9 @@ package graft
   *     audit (column `nlj` == 0 — today no query needs even the
   *     intended-broadcast-NLJ escape hatch, so the allowlist is empty);
   *  2. the committed sf0.01 and sf0.1 audits agree row-for-row except
-  *     the documented AQE broadcast-threshold allowlist {q24, q75}
-  *     (both flips are between sound hash joins);
+  *     the documented AQE allowlist (crossScaleAllow — each entry
+  *     additionally pinned to its named sound-shape pair by the
+  *     allowlist-shape test below);
   *  3. a FRESH sf0.01 audit of every registered query reproduces its
   *     committed PLANS.md row exactly — scan count, per-scan read
   *     schema width (pruning), scans with non-empty PushedFilters,
@@ -31,9 +32,13 @@ class PlanAuditSpec extends SparkSpec {
   // q24's AQE flip — the inverted-index side sits at the broadcast
   // threshold, and the runtime join strategy (broadcast vs shuffle
   // hash) moves the exchange/codegen counts ±1 between sound shapes.
+  // q174: the a-priori frequent-item and rule-stats joins both sit at
+  // the AQE broadcast threshold (the pruned fi/n_a sides grow with
+  // scale), so TWO hash joins can flip together — exchanges move ±2
+  // between sound hash shapes (14 sf0.01 vs 12 sf0.1 at round 11).
   private val crossScaleAllow =
     Set("q24_ngram_jaccard", "q75_cohort_retention", "q142_ann_tradeoff",
-      "q165_containment_pairs")
+      "q165_containment_pairs", "q174_assoc_rules")
 
   private def parseRows(path: String): Map[String, String] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
@@ -81,8 +86,44 @@ class PlanAuditSpec extends SparkSpec {
       topo(small(q)) != topo(big(q)) && !crossScaleAllow(q)
     }
     assert(diverged.isEmpty,
-      s"plan shape diverges between sf0.01 and sf0.1 outside {q24, q75}: " +
+      s"plan shape diverges between sf0.01 and sf0.1 outside the allowlist: " +
         diverged.toSeq.sorted.map(q => s"\n  $q\n    sf0.01: ${small(q)}\n    sf0.1:  ${big(q)}").mkString)
+  }
+
+  test("every cross-scale allowlist entry flips only between its two named sound shapes") {
+    // round-10 verdict item 9: the allowlist must not silently absorb a
+    // real regression. Each entry's divergence is pinned to the SPECIFIC
+    // sound-shape pair it was argued as:
+    //  - q24/q75/q165: an AQE broadcast↔shuffle-hash flip — identical
+    //    scans, identical pruning widths, identical pushdown, nlj=0,
+    //    and the exchange count moving by AT MOST 1 (one shuffle
+    //    exchange replaced by/replacing one broadcast exchange);
+    //  - q142: cached-subplan reuse — ±1 scan (one cached ANN subplan
+    //    materialized or reused), pushdown and nlj pinned, exchanges
+    //    within ±2 (the extra scan brings its exchange).
+    val small = parseRows("PLANS.md")
+    val big = parseRows("PLANS_sf0.1.md")
+    def cells(row: String): Array[String] =
+      row.stripPrefix("|").stripSuffix("|").split("\\|").map(_.trim)
+    for (q <- crossScaleAllow) {
+      val a = cells(small(q)); val b = cells(big(q))
+      // cells: 0=name 1=scans 2=cols/scan 3=pushed 4=exchanges 5=codegen 6=nlj
+      assert(a(6) == "0" && b(6) == "0", s"$q: allowlisted flip grew an NLJ")
+      assert(a(3) == b(3), s"$q: pushdown count diverged (${a(3)} vs ${b(3)}) — not a join-strategy flip")
+      val dScan = math.abs(a(1).toInt - b(1).toInt)
+      val dEx = math.abs(a(4).toInt - b(4).toInt)
+      if (q == "q142_ann_tradeoff") {
+        assert(dScan <= 1, s"$q: scan count moved by $dScan (> the ±1 cached-subplan reuse shape)")
+        assert(dEx <= 2, s"$q: exchange count moved by $dEx (> the cached-subplan bound)")
+      } else if (q == "q174_assoc_rules") {
+        assert(dScan == 0, s"$q: scan count diverged — not a join-strategy flip")
+        assert(dEx <= 2, s"$q: exchange count moved by $dEx (> the two-join-flip bound)")
+      } else {
+        assert(dScan == 0, s"$q: scan count diverged — not a broadcast↔shuffle-hash flip")
+        assert(a(2) == b(2), s"$q: read-schema widths diverged (${a(2)} vs ${b(2)}) — pruning changed")
+        assert(dEx <= 1, s"$q: exchange count moved by $dEx (> the single-join-flip bound)")
+      }
+    }
   }
 
   test("fresh sf0.01 audit reproduces the committed PLANS.md rows") {

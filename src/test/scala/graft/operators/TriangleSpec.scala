@@ -44,6 +44,14 @@ class TriangleSpec extends SparkSpec {
     assert(counts(star).isEmpty)
   }
 
+  test("duplicate edge rows do not inflate counts (defensive distinct)") {
+    // round-10 ADVICE: duplicated (src,dst) rows inflated degrees and
+    // multiplied wedge matches before the .distinct() guard
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val dup = tri ++ tri ++ Seq((1L, 2L))
+    assert(counts(dup) === counts(tri))
+  }
+
   test("matches brute force on random graphs (degree-order orientation is lossless)") {
     for (seed <- 1 to 6) {
       val rnd = new scala.util.Random(seed)

@@ -14,6 +14,13 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 mode="${1:-quick}"
 
+# Hooks don't travel with clones (round 10 shipped red because the
+# installer was never run in the fresh checkout). Every gate run
+# re-installs the pre-commit hook, so a passing gate GUARANTEES the
+# enforcement is armed.
+tools/install_hooks.sh
+test -x .git/hooks/pre-commit || { echo "[gate] FAIL: pre-commit hook missing" >&2; exit 1; }
+
 srchash() {
   { sha256sum build.sbt
     find src -type f -name '*.scala' -print0 | sort -z | xargs -0 sha256sum
