@@ -214,6 +214,9 @@ object SparkEntry {
     "q173_triangle_count"    -> graft.operators.Graph.q173TriangleCount _,
     "q174_assoc_rules"       -> graft.operators.Associations.q174AssocRules _,
     "q175_pq_two_stage"      -> graft.vector.Pq.q175PqTwoStage _,
+    "q176_weighted_jaccard"  -> ScaleOps.q176WeightedJaccard _,
+    "q177_zipf_fit"          -> graft.operators.CurationOps.q177ZipfFit _,
+    "q178_mixture_reweight"  -> graft.operators.CurationOps.q178MixtureReweight _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3113,5 +3116,85 @@ object SparkEntry {
                FROM ex)
          SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, score
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q176: TF-weighted 3-gram Jaccard over the df≤64-capped gram space;
+    // all-integer until the final 4-dp ratio
+    "q176_weighted_jaccard" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         g AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in generate_series(1, len(ws)-2)] END) AS gr
+               FROM w),
+         tf AS (SELECT doc_id, gr, CAST(count(*) AS BIGINT) AS tf FROM g GROUP BY 1, 2),
+         keep AS (SELECT gr FROM tf GROUP BY gr HAVING count(*) <= 64),
+         c AS (SELECT tf.doc_id, tf.gr, tf.tf FROM tf JOIN keep USING (gr)),
+         tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tot FROM c GROUP BY 1),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS smin
+                FROM c a JOIN c b USING (gr) WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         r AS (SELECT pr.doc_a, pr.doc_b, pr.smin,
+                 round(CAST(pr.smin AS DOUBLE) /
+                   CAST(ta.tot + tb.tot - pr.smin AS DOUBLE), 4) AS wjacc
+               FROM pr JOIN tot ta ON ta.doc_id = pr.doc_a
+                       JOIN tot tb ON tb.doc_id = pr.doc_b)
+         SELECT doc_a, doc_b, smin, wjacc FROM r WHERE wjacc >= 0.5
+         ORDER BY doc_a, doc_b""",
+    // q177: per-source Zipf least squares on 6-dp-scaled integer ln
+    // values; slope/intercept evaluated with the same double expression
+    // tree as the Spark side (casts FIRST — integer n*sxy overflows)
+    "q177_zipf_fit" ->
+      """WITH tok AS (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
+         c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+         r AS (SELECT source, c,
+                 row_number() OVER (PARTITION BY source ORDER BY c DESC, w ASC) AS rank
+               FROM c),
+         p AS (SELECT source,
+                 CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+                 CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+               FROM r WHERE rank <= 200),
+         s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ranked,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+               FROM p GROUP BY 1),
+         f AS (SELECT source, n_ranked,
+                 (CAST(n_ranked AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n_ranked AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_raw,
+                 sx, sy
+               FROM s)
+         SELECT source, n_ranked,
+           floor(slope_raw * 1000000.0 + 0.5) / 1000000.0 AS slope,
+           floor((CAST(sy AS DOUBLE) / CAST(n_ranked AS DOUBLE)
+                  - slope_raw * CAST(sx AS DOUBLE) / CAST(n_ranked AS DOUBLE)) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS intercept
+         FROM f ORDER BY source""",
+    // q178: one DoReMi-style reweight step — per-token KL contributions
+    // as 9-dp integers (order-free Σ), weights normalized over 12-dp
+    // integer raws (a float Σ across sources is order-dependent)
+    "q178_mixture_reweight" ->
+      """WITH tok AS (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
+         sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS csw FROM tok GROUP BY 1, 2),
+         cw AS (SELECT w, CAST(sum(csw) AS BIGINT) AS cww FROM sw GROUP BY 1),
+         ts AS (SELECT source, CAST(sum(csw) AS BIGINT) AS t_s FROM sw GROUP BY 1),
+         tt AS (SELECT CAST(sum(t_s) AS BIGINT) AS t FROM ts),
+         kl AS (SELECT sw.source, any_value(ts.t_s) AS t_s, any_value(tt.t) AS t,
+                  CAST(sum(CAST(floor(
+                    (CAST(csw AS DOUBLE) / CAST(ts.t_s AS DOUBLE)) *
+                    ln((CAST(csw AS DOUBLE) / CAST(ts.t_s AS DOUBLE))
+                       / (CAST(cww AS DOUBLE) / CAST(tt.t AS DOUBLE)))
+                    * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS kl9
+                FROM sw JOIN cw USING (w) JOIN ts USING (source), tt
+                GROUP BY sw.source),
+         r AS (SELECT source, t_s, CAST(kl9 AS DOUBLE) / 1000000000.0 AS kl,
+                 CAST(floor((CAST(t_s AS DOUBLE) / CAST(t AS DOUBLE))
+                   * exp(1.0 * (CAST(kl9 AS DOUBLE) / 1000000000.0))
+                   * 1000000000000.0 + 0.5) AS BIGINT) AS raw12
+               FROM kl),
+         z AS (SELECT CAST(sum(raw12) AS BIGINT) AS z FROM r)
+         SELECT source, t_s AS n_tokens,
+           floor(kl * 1000000.0 + 0.5) / 1000000.0 AS kl_div,
+           CAST(floor(CAST(raw12 AS DOUBLE) / CAST(z.z AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS weight_bp
+         FROM r, z ORDER BY source""",
   )
 }

@@ -307,6 +307,74 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .orderBy("doc_a", "doc_b")
 
+  /** TF-weighted n-gram Jaccard near-dup pairs — the multiplicity-aware
+    * sibling of [[containmentPairs]]/q24's set Jaccard: wJ(A,B) =
+    * Σ_g min(tf_A(g), tf_B(g)) / Σ_g max(tf_A(g), tf_B(g)) over
+    * positional n-grams WITH repeat counts, so a document that repeats a
+    * template paragraph 5× no longer looks identical to one containing
+    * it once (set Jaccard collapses multiplicity; weighted Jaccard is
+    * the measure CCNet-style curation uses for repeated-boilerplate
+    * discrimination). Σ max = tot_A + tot_B − Σ min, so one shared-gram
+    * join suffices.
+    *
+    * Contract (mirrored exactly by the oracle): the gram space is
+    * df-capped FIRST — grams present in more than `maxDf` documents are
+    * dropped from tf totals AND pairing (boilerplate carries no
+    * similarity evidence, and its pairs are O(df²)); weights and the
+    * threshold apply in the surviving space. All arithmetic is integer
+    * until the final 4-dp ratio.
+    *
+    * Scale: counts are groupBy aggregates (map-side combine on the zipf
+    * gram key — never a window); the pair join runs only on df-capped
+    * grams, so emission is bounded by Σ_g C(df_g, 2) ≤ maxDf/2 · Σ df_g
+    * — the q24 inverted-index bound. Two keyed fact shuffles (tf build,
+    * pair agg); the per-doc totals join back on doc-cardinality tables.
+    */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.5,
+                           maxDf: Int = 64): DataFrame = {
+    // multiplicity-preserving n-grams in a tight loop (the higher-order
+    // transform(sequence(...)) form is CodegenFallback — interpreted per
+    // element; same measurement as wordShingles above)
+    val gramUdf = udf { (ws: Seq[String]) =>
+      if (ws == null || ws.length < n) Array.empty[String]
+      else {
+        val out = new Array[String](ws.length - n + 1)
+        var i = 0
+        while (i <= ws.length - n) {
+          val sb = new java.lang.StringBuilder(ws(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+          out(i) = sb.toString
+          i += 1
+        }
+        out
+      }
+    }
+    val grams = graft.Tables.widen(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
+      .select(col("doc_id"),
+        explode(gramUdf(regexp_extract_all(col("txt"), lit("\\S+"), lit(0)))).as("gr"))
+    val tf = grams.groupBy("doc_id", "gr").agg(count(lit(1)).as("tf"))
+    val keep = tf.groupBy("gr").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") <= maxDf).select("gr")
+    val capped = tf.join(keep, "gr")
+    val tot = capped.groupBy("doc_id").agg(sum("tf").as("tot"))
+    val smin = capped.select(col("gr"), col("doc_id").as("doc_a"), col("tf").as("tfa"))
+      .join(capped.select(col("gr"), col("doc_id").as("doc_b"), col("tf").as("tfb")), Seq("gr"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("tfa"), col("tfb"))).as("smin"))
+    smin
+      .join(tot.select(col("doc_id").as("doc_a"), col("tot").as("ta")), Seq("doc_a"))
+      .join(tot.select(col("doc_id").as("doc_b"), col("tot").as("tb")), Seq("doc_b"))
+      .withColumn("wjacc", round(col("smin").cast("double") /
+        (col("ta") + col("tb") - col("smin")).cast("double"), 4))
+      .filter(col("wjacc") >= threshold)
+      .select("doc_a", "doc_b", "smin", "wjacc")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Edit-distance fuzzy-dup pairs via standard blocking + bounded
     * levenshtein verify — the entity-resolution shape (block on a cheap
     * deterministic key, verify candidates with an exact distance) for

@@ -48,4 +48,41 @@ object TopKAggregator {
     implicit val enc: Encoder[Scored] = ExpressionEncoder()
     udaf(new TopK(k)).apply(score, id)
   }
+
+  type Counted = (Long, String) // (count, word)
+
+  private def betterStr(a: Counted, b: Counted): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  /** String-keyed variant for vocabulary ranks: top-k by (count desc,
+    * word asc) — the bounded replacement for a rank window partitioned
+    * by a grouping key whose per-key row count is the VOCABULARY (q177's
+    * per-source token ranks). Same ≤ k map-side state per (partition,
+    * group) bound as [[TopK]].
+    */
+  class TopKStr(k: Int) extends Aggregator[Counted, Seq[Counted], Seq[Counted]] {
+    override def zero: Seq[Counted] = Seq.empty
+
+    override def reduce(buf: Seq[Counted], in: Counted): Seq[Counted] = insert(buf, in)
+
+    override def merge(a: Seq[Counted], b: Seq[Counted]): Seq[Counted] =
+      b.foldLeft(a)(insert)
+
+    private def insert(buf: Seq[Counted], in: Counted): Seq[Counted] =
+      if (buf.length >= k && betterStr(buf.last, in)) buf
+      else (buf :+ in).sortWith(betterStr).take(k)
+
+    override def finish(r: Seq[Counted]): Seq[Counted] = r
+
+    override def bufferEncoder: Encoder[Seq[Counted]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Counted]] = ExpressionEncoder()
+  }
+
+  /** Column API: `topKStr(k)(count, word)` → array<struct<count,word>>
+    * sorted (count desc, word asc), length ≤ k.
+    */
+  def topKStr(k: Int)(count: Column, word: Column): Column = {
+    implicit val enc: Encoder[Counted] = ExpressionEncoder()
+    udaf(new TopKStr(k)).apply(count, word)
+  }
 }

@@ -219,6 +219,115 @@ object CurationOps {
       .orderBy("bucket")
   }
 
+  /** Zipf least-squares fit per source: slope/intercept of
+    * ln(freq) ~ ln(rank) over each source's top-`topR` tokens — the
+    * canonical "is this source natural language or boilerplate/spam"
+    * distribution audit (natural text fits slope ≈ −1; machine-generated
+    * or template-heavy sources flatten or step). Returns (source,
+    * n_ranked, slope, intercept), 6-dp.
+    *
+    * Determinism contract: ranks order by (count desc, token asc); the
+    * regression inputs are ln values HALF-UP-rounded to 6 dp as scaled
+    * BIGINTs, so Σx/Σy/Σxy/Σx² are integer-exact in any order; the
+    * closed-form slope then runs the same double expression on both
+    * engines (casts first — BIGINT×BIGINT would overflow, and the two
+    * engines overflow differently).
+    *
+    * Scale: token counts are one keyed groupBy (map-side combine on the
+    * zipf token key); the per-source rank is NOT a window over the
+    * vocabulary (that is a per-source hot reducer) but the bounded
+    * `TopKAggregator.topKStr` — ≤ topR entries of map-side state per
+    * (partition, source), |sources|·topR rows shuffled; the regression
+    * folds ≤ topR rows per source.
+    */
+  def zipfFit(docs: DataFrame, srcCol: String, textCol: String,
+              topR: Int = 200): DataFrame = {
+    val counts = Tables.widen(docs.select(col(srcCol).as("source"), col(textCol).as("txt")))
+      .select(col("source"),
+        explode(regexp_extract_all(col("txt"), lit("\\S+"), lit(0))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val ranked = counts.groupBy("source")
+      .agg(graft.functions.TopKAggregator.topKStr(topR)(col("c"), col("w")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("t._1").as("c"))
+    val pts = ranked
+      .withColumn("x", floor(log(col("rank").cast("double")) * 1e6 + 0.5).cast("long"))
+      .withColumn("y", floor(log(col("c").cast("double")) * 1e6 + 0.5).cast("long"))
+    pts.groupBy("source")
+      .agg(count(lit(1)).as("n_ranked"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("det",
+        col("n_ranked").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      .withColumn("slope_raw",
+        (col("n_ranked").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) / col("det"))
+      .withColumn("intercept_raw",
+        (col("sy").cast("double") / col("n_ranked").cast("double") -
+          col("slope_raw") * col("sx").cast("double") / col("n_ranked").cast("double")) / 1e6)
+      .select(col("source"), col("n_ranked"),
+        (floor(col("slope_raw") * 1e6 + 0.5) / 1e6).as("slope"),
+        (floor(col("intercept_raw") * 1e6 + 0.5) / 1e6).as("intercept"))
+      .orderBy("source")
+  }
+
+  /** One DoReMi-flavored mixture-reweight step over sources: each
+    * source's sampling weight moves from its token share by
+    * exp(η·KL(source ‖ corpus)) — sources whose unigram distribution
+    * diverges most from the corpus mixture (i.e. contribute the most
+    * "surprising" text) are up-weighted, template-like sources that
+    * mirror the mixture are not. KL uses exact counts (every source
+    * token exists in the corpus, so no smoothing):
+    * KL_s = Σ_w (c_sw/T_s) · ln((c_sw/T_s) / (c_w/T)).
+    *
+    * Determinism contract: per-token KL contributions are HALF-UP 9-dp
+    * scaled BIGINTs (order-free integer sum across the vocabulary);
+    * weights normalize over the (tiny) source table and report as
+    * integer basis points.
+    *
+    * Scale: (source, w) and (w) counts are keyed groupBys (map-side
+    * combine); the join runs token-key on two AGGREGATED vocab-sized
+    * tables (AQE skew-splittable, no raw-corpus row ever joins); the
+    * normalization is over |sources| rows on the driver side of a
+    * broadcast-able aggregate.
+    */
+  def mixtureReweight(docs: DataFrame, srcCol: String, textCol: String,
+                      eta: Double = 1.0): DataFrame = {
+    val tok = Tables.widen(docs.select(col(srcCol).as("source"), col(textCol).as("txt")))
+      .select(col("source"),
+        explode(regexp_extract_all(col("txt"), lit("\\S+"), lit(0))).as("w"))
+    val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("csw"))
+    val cw = sw.groupBy("w").agg(sum("csw").as("cww"))
+    val ts = sw.groupBy("source").agg(sum("csw").as("t_s"))
+    val tTot = ts.agg(sum("t_s").as("t")).select(col("t"))
+    val kl = sw.join(cw, "w")
+      .join(ts, "source")
+      .crossJoin(broadcast(tTot))
+      .withColumn("contrib", floor(
+        (col("csw").cast("double") / col("t_s").cast("double")) *
+          log((col("csw").cast("double") / col("t_s").cast("double")) /
+            (col("cww").cast("double") / col("t").cast("double"))) * 1e9 + 0.5)
+        .cast("long"))
+      .groupBy("source")
+      .agg(first("t_s").as("t_s"), first("t").as("t"), sum("contrib").as("kl9"))
+      .withColumn("kl", col("kl9").cast("double") / 1e9)
+      // raw ≤ 1 (KL(s‖corpus) ≤ ln(T/T_s), so share·e^KL ≤ 1): scale to
+      // a 12-dp BIGINT BEFORE the cross-source normalization sum — a
+      // float Σ over sources is partition-order-dependent in the last
+      // ulp, and weight_bp sits on floor boundaries
+      .withColumn("raw12", floor(
+        (col("t_s").cast("double") / col("t").cast("double")) *
+          exp(lit(eta) * col("kl")) * 1e12 + 0.5).cast("long"))
+    val z = kl.agg(sum("raw12").as("z"))
+    kl.crossJoin(broadcast(z))
+      .select(col("source"), col("t_s").as("n_tokens"),
+        (floor(col("kl") * 1e6 + 0.5) / 1e6).as("kl_div"),
+        floor(col("raw12").cast("double") / col("z").cast("double") * 10000.0 + 0.5)
+          .cast("long").as("weight_bp"))
+      .orderBy("source")
+  }
+
   // ---- registered catalog entries ----
 
   /** First-occurrence 3-gram novelty per document. */
@@ -240,4 +349,12 @@ object CurationOps {
   /** 3-gram shingle df histogram (power-of-two buckets). */
   def q171ShingleDfHistogram(spark: SparkSession, dir: String): DataFrame =
     shingleDfHistogram(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Per-source Zipf fit over the top-200 token ranks. */
+  def q177ZipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfFit(Tables.documents(spark, dir), "source", "text")
+
+  /** One mixture-reweight step (η=1) over document sources. */
+  def q178MixtureReweight(spark: SparkSession, dir: String): DataFrame =
+    mixtureReweight(Tables.documents(spark, dir), "source", "text")
 }

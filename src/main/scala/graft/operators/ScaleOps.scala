@@ -64,6 +64,13 @@ object ScaleOps {
   def q165ContainmentPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text", 3, 0.9)
 
+  /** TF-weighted 3-gram Jaccard near-dups ≥ 0.5 over the df-capped gram
+    * space (multiplicity-aware — repeated boilerplate no longer
+    * saturates the set measure). See Dedup.weightedJaccardPairs.
+    */
+  def q176WeightedJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.weightedJaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
+
   /** Embedding-cosine near-dup pairs ≥ 0.45 (threshold calibrated to the
     * fixture's cosine distribution; reference's 0.75/0.95 bands are empty
     * on the synthetic vectors), via the BLOCKED exact all-pairs scan

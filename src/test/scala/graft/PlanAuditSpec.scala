@@ -36,9 +36,12 @@ class PlanAuditSpec extends SparkSpec {
   // the AQE broadcast threshold (the pruned fi/n_a sides grow with
   // scale), so TWO hash joins can flip together — exchanges move ±2
   // between sound hash shapes (14 sf0.01 vs 12 sf0.1 at round 11).
+  // q178: one of the vocab-table joins (cw/ts) crosses the AQE
+  // broadcast threshold between scales — a single hash-join flip
+  // (24↔25 exchanges, same scans/pruning/pushdown).
   private val crossScaleAllow =
     Set("q24_ngram_jaccard", "q75_cohort_retention", "q142_ann_tradeoff",
-      "q165_containment_pairs", "q174_assoc_rules")
+      "q165_containment_pairs", "q174_assoc_rules", "q178_mixture_reweight")
 
   private def parseRows(path: String): Map[String, String] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
