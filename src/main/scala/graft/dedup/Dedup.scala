@@ -358,21 +358,38 @@ object Dedup {
     val tf = grams.groupBy("doc_id", "gr").agg(count(lit(1)).as("tf"))
     val keep = tf.groupBy("gr").agg(count(lit(1)).as("dfc"))
       .filter(col("dfc") <= maxDf).select("gr")
-    val capped = tf.join(keep, "gr")
+    // EAGER checkpoint: the capped gram table feeds the totals AND both
+    // pair-join sides — without it the doc scan + gram explode + two
+    // aggs recompute three times (first 100× MemoryAudit run measured it)
+    val capped = tf.join(keep, "gr").localCheckpoint(true)
     val tot = capped.groupBy("doc_id").agg(sum("tf").as("tot"))
-    val smin = capped.select(col("gr"), col("doc_id").as("doc_a"), col("tf").as("tfa"))
-      .join(capped.select(col("gr"), col("doc_id").as("doc_b"), col("tf").as("tfb")), Seq("gr"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(sum(least(col("tfa"), col("tfb"))).as("smin"))
-    smin
-      .join(tot.select(col("doc_id").as("doc_a"), col("tot").as("ta")), Seq("doc_a"))
-      .join(tot.select(col("doc_id").as("doc_b"), col("tot").as("tb")), Seq("doc_b"))
+    val withTot = capped.join(tot, Seq("doc_id"))
+    // slack-adjusted lossless prune at pair EMISSION (q24's length-ratio
+    // analog): wJ ≤ min(tot)/max(tot) because Σmin ≤ min(tot) and the
+    // denominator ≥ max(tot), so pairs failing the rounded threshold on
+    // that bound can never qualify — dropped BEFORE the pair exchange.
+    // The first 100× audit without this emitted ΣC(df,2) ≈ 2·10⁸ rows
+    // and spilled 11 GB; the bound prunes map-side.
+    val slack = threshold - 0.00005
+    smin0(withTot, slack)
       .withColumn("wjacc", round(col("smin").cast("double") /
         (col("ta") + col("tb") - col("smin")).cast("double"), 4))
       .filter(col("wjacc") >= threshold)
       .select("doc_a", "doc_b", "smin", "wjacc")
       .orderBy("doc_a", "doc_b")
+  }
+
+  private def smin0(withTot: DataFrame, slack: Double): DataFrame = {
+    withTot.select(col("gr"), col("doc_id").as("doc_a"),
+        col("tf").as("tfa"), col("tot").as("ta"))
+      .join(withTot.select(col("gr"), col("doc_id").as("doc_b"),
+        col("tf").as("tfb"), col("tot").as("tb")), Seq("gr"))
+      .where(col("doc_a") < col("doc_b") &&
+        least(col("ta"), col("tb")).cast("double") >=
+          lit(slack) * greatest(col("ta"), col("tb")).cast("double"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("tfa"), col("tfb"))).as("smin"),
+        first("ta").as("ta"), first("tb").as("tb"))
   }
 
   /** Edit-distance fuzzy-dup pairs via standard blocking + bounded

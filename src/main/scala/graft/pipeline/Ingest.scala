@@ -59,7 +59,6 @@ object Ingest {
     */
   def upsertByKey(spark: SparkSession, newRows: DataFrame, path: String,
                   keyCol: String, tsCol: String): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val existing =
       try spark.read.parquet(path).drop("year", "month")
       catch { case _: Throwable => null }
@@ -77,6 +76,11 @@ object Ingest {
     all.withColumn("year", date_format(col(tsCol), "yyyy"))
       .withColumn("month", date_format(col(tsCol), "MM"))
       .write.mode(SaveMode.Overwrite)
+      // per-write option, NOT a session conf: the old
+      // `spark.conf.set("...partitionOverwriteMode", "dynamic")` here
+      // leaked the mode to every later overwrite on the caller's
+      // session (the q143-class session-conf leak, write-path form)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("year", "month")
       .parquet(path)
   }

@@ -51,19 +51,89 @@ object Pq {
                            books: Array[Array[(Int, Vector[Double])]])
 
   /** Train `m` independent subspace codebooks with `ksub` centroids
-    * each — m runs of the deterministic Lloyd loop (`kmeansTrain`) on
-    * the sliced column. dim is read from the first row; requires
-    * dim % m == 0.
+    * each. Semantics: exactly m runs of the deterministic Lloyd loop
+    * (`kmeansTrain`) on the sliced columns — same first-ksub-by-id
+    * seeds, same 6-dp-rounded argmin with (d2 asc, cl asc) ties, same
+    * 9-dp half-up recentered means (PqSpec asserts codebook equality
+    * against m literal `kmeansTrain` calls). Execution: FUSED — one
+    * corpus pass per Lloyd iteration computes ALL m subspace
+    * assignments in a single tight-loop UDF and one keyed aggregation
+    * recenters every (subspace, cluster, position) cell, so training
+    * costs `iters` scans instead of `m × iters` (at production m=16
+    * that is 16× fewer passes over the few-TB vector corpus). dim is
+    * read from the first row; requires dim % m == 0.
     */
   def pqTrain(vecs: DataFrame, idCol: String, vecCol: String,
               m: Int, ksub: Int, iters: Int): PqModel = {
     val dim = vecs.select(size(col(vecCol)).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    val books = (0 until m).toArray.map { s =>
-      val sub = vecs.select(col(idCol).as("id"),
-        slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub).as("sub"))
-      VectorOps.kmeansTrain(sub, "id", "sub", ksub, iters)
+    val spark = vecs.sparkSession
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    // seeds: the SAME first-ksub-by-id rows for every subspace (slicing
+    // commutes with row selection), collected once and sliced driver-side
+    val seedVecs = v.orderBy("id").limit(ksub).select("vec").collect()
+      .map(_.getSeq[Double](0).toArray)
+    var books: Array[Array[(Int, Vector[Double])]] =
+      Array.tabulate(m) { s =>
+        seedVecs.zipWithIndex.map { case (fv, i) =>
+          (i, fv.slice(s * dsub, (s + 1) * dsub).toVector)
+        }
+      }
+    for (_ <- 1 to iters) {
+      val cls = books.map(_.map(_._1))
+      val cs = books.map(_.map(_._2.toArray))
+      val ccs = cs.map(_.map { c =>
+        var cc = 0.0; var i = 0
+        while (i < c.length) { cc += c(i) * c(i); i += 1 }
+        cc
+      })
+      val bc = spark.sparkContext.broadcast((cls, cs, ccs))
+      // per-row assignment for all m subspaces — the pqEncode loop
+      // (bit-identical to kmeansTrain's bestAssign: ascending dot fold,
+      // d2 = halfUp(vv − 2d + cc, 6), ties to the lowest cluster id)
+      val assign = udf { (vec: Array[Double]) =>
+        val (bCls, bCs, bCcs) = bc.value
+        val out = new Array[Int](bCs.length)
+        var s = 0
+        while (s < bCs.length) {
+          val off = s * dsub
+          var vv = 0.0
+          var i = 0
+          while (i < dsub) { val x = vec(off + i); vv += x * x; i += 1 }
+          var bd = Double.PositiveInfinity
+          var bcI = Int.MaxValue
+          var j = 0
+          while (j < bCs(s).length) {
+            val c = bCs(s)(j)
+            var d = 0.0; var i2 = 0
+            while (i2 < dsub) { d += vec(off + i2) * c(i2); i2 += 1 }
+            val d2 = math.floor((vv - 2.0 * d + bCcs(s)(j)) * 1e6 + 0.5) / 1e6
+            if (d2 < bd || (d2 == bd && bCls(s)(j) < bcI)) { bd = d2; bcI = bCls(s)(j) }
+            j += 1
+          }
+          out(s) = bcI
+          s += 1
+        }
+        out
+      }
+      val cells = v.withColumn("a", assign(col("vec")))
+        .select(col("a"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .select((col("pos") / lit(dsub)).cast("int").as("s"),
+          element_at(col("a"), (col("pos") / lit(dsub)).cast("int") + 1).as("cl"),
+          (col("pos") % lit(dsub)).as("j"), col("x"))
+        .groupBy("s", "cl", "j")
+        .agg(graft.functions.Rounding.halfUp(avg("x"), 9).as("mv"))
+        .collect()
+      books = Array.tabulate(m) { s =>
+        cells.filter(_.getInt(0) == s)
+          .groupBy(_.getInt(1)).toArray
+          .map { case (cl, rows) =>
+            (cl, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toVector)
+          }
+          .sortBy(_._1)
+      }
     }
     PqModel(m, dsub, books)
   }

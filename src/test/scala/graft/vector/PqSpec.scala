@@ -57,6 +57,20 @@ class PqSpec extends SparkSpec {
     assert(two.subsetOf(short), "re-ranked results must be shortlist members")
   }
 
+  test("fused pqTrain ≡ m independent kmeansTrain runs (codebook equality)") {
+    // the fused single-pass-per-iteration trainer must reproduce the
+    // per-subspace Lloyd runs EXACTLY — seeds, 6-dp argmin, 9-dp
+    // recenters; any drift in the fused path fails here bit-for-bit
+    val dsub = model.dsub
+    for (s <- 0 until model.m) {
+      val sub = e.select(col("vec_id").cast("long").as("id"),
+        slice(col("embedding").cast("array<double>"), s * dsub + 1, dsub).as("sub"))
+      val ref = VectorOps.kmeansTrain(sub, "id", "sub", 8, 2)
+      assert(model.books(s).toSeq === ref.toSeq,
+        s"subspace $s codebook diverged from the literal kmeansTrain run")
+    }
+  }
+
   test("pqTopK refuses an empty codebook with a clear message") {
     val broken = Pq.PqModel(2, 32, Array(Array((0, Vector.fill(32)(0.0))), Array.empty))
     val ex = intercept[IllegalArgumentException] {
