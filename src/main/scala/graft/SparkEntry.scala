@@ -217,6 +217,7 @@ object SparkEntry {
     "q176_weighted_jaccard"  -> ScaleOps.q176WeightedJaccard _,
     "q177_zipf_fit"          -> graft.operators.CurationOps.q177ZipfFit _,
     "q178_mixture_reweight"  -> graft.operators.CurationOps.q178MixtureReweight _,
+    "q179_mmr_rerank"        -> ScaleOps.q179MmrRerank _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3196,5 +3197,50 @@ object SparkEntry {
            floor(kl * 1000000.0 + 0.5) / 1000000.0 AS kl_div,
            CAST(floor(CAST(raw12 AS DOUBLE) / CAST(z.z AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS weight_bp
          FROM r, z ORDER BY source""",
+    // q179: MMR greedy as a recursive CTE — step 1 = pure top-1 rel
+    // (empty picked set, penalty 0); each later step picks argmax of
+    // floor((0.7·rel − (1.0−0.7)·max_sim_to_picked)·10⁴+0.5)/10⁴ with
+    // ties to the lowest id ((1.0−0.7) spelled as the SAME IEEE
+    // subtraction the Spark side performs)
+    "q179_mmr_rerank" ->
+      """WITH RECURSIVE
+         q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id >= 10),
+         s AS (SELECT qid, nid, cv,
+                 round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS rel
+               FROM q, c),
+         cand AS (SELECT qid, nid, cv, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid ASC) AS rk FROM s) t
+            WHERE rk <= 20),
+         sim AS (SELECT a.qid, a.nid AS ida, b.nid AS idb,
+                   round(list_dot_product(a.cv, b.cv)
+                     / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))), 4) AS s
+                 FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid),
+         r AS (
+           SELECT qid, 1 AS step, [nid] AS picked, nid,
+             floor((0.7 * rel) * 10000.0 + 0.5) / 10000.0 AS mmr
+           FROM (SELECT qid, nid, rel,
+                   row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid ASC) AS rk FROM cand) t
+           WHERE rk = 1
+           UNION ALL
+           SELECT r.qid, r.step + 1, list_append(r.picked, t.nid), t.nid, t.mmr
+           FROM r, LATERAL (
+             SELECT x.nid, x.mmr FROM (
+               SELECT c2.nid,
+                 -- (1.0 − 0.7) must be the IEEE DOUBLE subtraction the
+                 -- Spark side performs (0.30000000000000004), not
+                 -- DuckDB's exact DECIMAL 0.3 (q174's literal trap)
+                 floor((0.7 * c2.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+                   (SELECT max(sim.s) FROM sim
+                    WHERE sim.qid = r.qid AND sim.ida = c2.nid AND list_contains(r.picked, sim.idb)))
+                   * 10000.0 + 0.5) / 10000.0 AS mmr
+               FROM cand c2 WHERE c2.qid = r.qid AND NOT list_contains(r.picked, c2.nid)
+             ) x ORDER BY x.mmr DESC, x.nid ASC LIMIT 1
+           ) t
+           WHERE r.step < 5
+         )
+         SELECT qid AS query_id, CAST(step AS INT) AS rank, nid AS neighbor_id, mmr AS mmr_score
+         FROM r ORDER BY query_id, rank""",
   )
 }

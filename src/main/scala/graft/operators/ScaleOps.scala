@@ -71,6 +71,15 @@ object ScaleOps {
   def q176WeightedJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.weightedJaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** MMR-diversified top-5 from the exact top-20 (λ=0.7) over the
+    * q28 query/corpus split. See VectorOps.mmrRerank.
+    */
+  def q179MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    VectorOps.mmrRerank(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      "vec_id", "vec_id", "embedding", 20, 5, 0.7)
+  }
+
   /** Embedding-cosine near-dup pairs ≥ 0.45 (threshold calibrated to the
     * fixture's cosine distribution; reference's 0.75/0.95 bands are empty
     * on the synthetic vectors), via the BLOCKED exact all-pairs scan

@@ -557,15 +557,17 @@ object VectorOps {
     val q = quantizeInt8(queries, vecCol)
       .select(col(qId).as("query_id"), col("qvec").as("qa"), col("q_scale").as("sa"))
     val c = quantizeInt8(corpus, vecCol)
-      .select(col(cId).as("neighbor_id"), col("qvec").as("qb"), col("q_scale").as("sb"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+      .select(col(cId).cast("long").as("neighbor_id"), col("qvec").as("qb"), col("q_scale").as("sb"))
+    // bounded top-k, not a full-corpus-per-query window (q172's lesson)
     broadcast(q).crossJoin(c)
       .withColumn("qscore", graft.functions.Rounding.halfUp(
         dot(col("qa"), col("qb")) * col("sa") * col("sb"), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "qscore")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topK(k)(
+        col("qscore"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s._2").as("neighbor_id"), col("s._1").as("qscore"))
   }
 
   /** Two-stage retrieval — the production serving pattern: a cheap
@@ -591,6 +593,102 @@ object VectorOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Maximal-marginal-relevance diversified re-rank — the classic RAG
+    * passage-selection step: from each query's exact top-`kCand`
+    * cosine candidates, greedily pick `k` where pick i maximizes
+    * λ·rel − (1−λ)·max_{j∈picked} sim(i, j) (ties → lowest id). The
+    * first pick has an empty picked set (penalty 0, i.e. pure top-1
+    * relevance); sims may be negative and the TRUE max is used (a
+    * negative max-sim raises the score — the standard formula).
+    *
+    * Determinism contract (vs the recursive-CTE DuckDB oracle): rel =
+    * knnBrute's 4-dp HALF_UP cosine; pairwise sims 4-dp HALF_UP
+    * (BigDecimal — matches both engines' round()); each step score =
+    * floor((λ·rel − (1−λ)·maxsim)·10⁴ + 0.5)/10⁴ with the SAME IEEE
+    * (1.0 − λ) product both engines.
+    *
+    * Scale: stage 1 is knnBrute's bounded-aggregator top-kCand (only
+    * |queries|·kCand rows shuffle); the greedy runs per query over a
+    * kCand-element array in one UDF call — O(kCand·k) sims per query,
+    * driver never involved, corpus never re-shuffled (candidate vectors
+    * arrive via one keyed join on the shortlist ids).
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, qId: String,
+                cId: String, vecCol: String, kCand: Int, k: Int,
+                lambda: Double): DataFrame = {
+    val mu = 1.0 - lambda // bind ONCE so both engines multiply the same double
+    val cand = knnBrute(queries, corpus, qId, cId, vecCol, kCand)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    val cvec = corpus.select(col(cId).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val packed = cand.join(cvec, Seq("neighbor_id"))
+      .groupBy("query_id")
+      .agg(collect_list(struct(col("neighbor_id"), col("score"), col("cv"))).as("cands"))
+    val kSel = k
+    val sel = udf { (cands: Seq[org.apache.spark.sql.Row]) =>
+      val n = cands.length
+      val ids = new Array[Long](n)
+      val rel = new Array[Double](n)
+      val vs = new Array[Array[Double]](n)
+      var i0 = 0
+      while (i0 < n) {
+        val r = cands(i0)
+        ids(i0) = r.getLong(0); rel(i0) = r.getDouble(1)
+        vs(i0) = r.getSeq[Double](2).toArray
+        i0 += 1
+      }
+      val norms = vs.map { v =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        math.sqrt(s)
+      }
+      def sim(i: Int, j: Int): Double = {
+        val nn = norms(i) * norms(j)
+        if (nn == 0.0) 0.0
+        else {
+          var s = 0.0; var t = 0
+          while (t < vs(i).length) { s += vs(i)(t) * vs(j)(t); t += 1 }
+          java.math.BigDecimal.valueOf(s / nn)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        }
+      }
+      val picked = Array.newBuilder[(Int, Long, Double)]
+      val taken = new Array[Boolean](n)
+      // max sim to the picked set; NegativeInfinity = empty set → penalty 0
+      val maxSim = Array.fill(n)(Double.NegativeInfinity)
+      var step = 1
+      val limit = math.min(kSel, n)
+      while (step <= limit) {
+        var bi = -1; var bs = Double.NegativeInfinity; var bid = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val pen = if (maxSim(i) == Double.NegativeInfinity) 0.0 else maxSim(i)
+            val s = math.floor((lambda * rel(i) - mu * pen) * 10000.0 + 0.5) / 10000.0
+            if (s > bs || (s == bs && ids(i) < bid)) { bi = i; bs = s; bid = ids(i) }
+          }
+          i += 1
+        }
+        picked += ((step, ids(bi), bs))
+        taken(bi) = true
+        var j = 0
+        while (j < n) {
+          if (!taken(j)) {
+            val s2 = sim(j, bi)
+            if (s2 > maxSim(j)) maxSim(j) = s2
+          }
+          j += 1
+        }
+        step += 1
+      }
+      picked.result().toSeq
+    }
+    packed.select(col("query_id"), explode(sel(col("cands"))).as("p"))
+      .select(col("query_id"), col("p._1").cast("int").as("rank"),
+        col("p._2").as("neighbor_id"), col("p._3").as("mmr_score"))
+      .orderBy("query_id", "rank")
   }
 
   /** Embedding near-dup pairs ≥ threshold with IVF-bucketed candidate
@@ -926,15 +1024,21 @@ object VectorOps {
                vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(qId).as("query_id"), col(vecCol).as("qv"))
       .withColumn("nq", l2Norm(col("qv")))
-    val c = corpus.select(col(cId).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = corpus.select(col(cId).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("nc", l2Norm(col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
+    // bounded top-k (q172's lesson applied to the baseline): the
+    // row_number window funneled the ENTIRE scored corpus of each query
+    // through one reducer; the typed aggregator keeps ≤ k map-side
+    // entries per (partition, query) — only |queries|·k rows shuffle.
+    // Ordering (score desc, id asc) identical; same oracles.
     broadcast(q).crossJoin(c)
       .withColumn("score", cosinePre(col("qv"), col("cv"), col("nq"), col("nc")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topK(k)(
+        col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s._2").as("neighbor_id"), col("s._1").as("score"))
   }
 
   /** IVF-style ANN: centroids = per-cluster mean vector; each query probes
@@ -961,16 +1065,20 @@ object VectorOps {
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= nProbe)
       .select("query_id", "qv", "nq", "cl")
-    val c = corpus.select(col(cId).as("neighbor_id"), col(vecCol).as("cv"),
+    val c = corpus.select(col(cId).cast("long").as("neighbor_id"), col(vecCol).as("cv"),
         col(labelCol).as("cl"))
       .withColumn("nc", l2Norm(col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
+    // the probed-members pool is nProbe·N/k rows per query — bounded
+    // relative to the corpus but still too big for one reducer at 10⁹
+    // vectors; the typed aggregator keeps it ≤ k map-side entries
     probed.join(c, "cl")
       .withColumn("score", cosinePre(col("qv"), col("cv"), col("nq"), col("nc")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topK(k)(
+        col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s._2").as("neighbor_id"), col("s._1").as("score"))
   }
 
   /** recall@k with an expected-label membership test (mirror of the
@@ -981,15 +1089,19 @@ object VectorOps {
     val q = queries.select(col(qId).as("query_id"), col(vecCol).as("qv"),
         col(labelCol).as("expected"))
       .withColumn("nq", l2Norm(col("qv")))
-    val c = corpus.select(col(cId).as("neighbor_id"), col(vecCol).as("cv"),
+    val c = corpus.select(col(cId).cast("long").as("neighbor_id"), col(vecCol).as("cv"),
         col(labelCol).as("nl"))
       .withColumn("nc", l2Norm(col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    val hits = broadcast(q).crossJoin(c)
+    // bounded top-k instead of a full-corpus-per-query window; the hit
+    // labels re-join on the |queries|·k surviving ids only
+    val top = broadcast(q).crossJoin(c)
       .withColumn("score", cosinePre(col("qv"), col("cv"), col("nq"), col("nc")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .groupBy("query_id", "expected")
+      .agg(graft.functions.TopKAggregator.topK(k)(
+        col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), col("expected"), explode(col("top")).as("s"))
+      .select(col("query_id"), col("expected"), col("s._2").as("neighbor_id"))
+    val hits = top.join(c.select(col("neighbor_id"), col("nl")), Seq("neighbor_id"))
       .groupBy("query_id")
       .agg(max(when(col("nl") === col("expected"), 1).otherwise(0)).as("hit"))
     hits.agg(round(avg("hit"), 4).as("recall"))
@@ -1013,15 +1125,22 @@ object VectorOps {
     val q = queries.select(col(qId).as("query_id"), col(vecCol).as("qv"),
         col(labelCol).as("expected"))
       .withColumn("nq", l2Norm(col("qv")))
-    val c = corpus.select(col(cId).as("neighbor_id"), col(vecCol).as("cv"),
+    val c = corpus.select(col(cId).cast("long").as("neighbor_id"), col(vecCol).as("cv"),
         col(labelCol).as("nl"))
       .withColumn("nc", l2Norm(col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
+    // bounded top-k; rank = explode position (the aggregator's order is
+    // exactly the window's (score desc, id asc)); labels re-join on the
+    // |queries|·k survivors only
     val perQ = broadcast(q).crossJoin(c)
       .withColumn("score", cosinePre(col("qv"), col("cv"), col("nq"), col("nc")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .groupBy("query_id", "expected")
+      .agg(graft.functions.TopKAggregator.topK(k)(
+        col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), col("expected"),
+        posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("expected"),
+        (col("pos") + 1).cast("int").as("rank"), col("s._2").as("neighbor_id"))
+      .join(c.select(col("neighbor_id"), col("nl")), Seq("neighbor_id"))
       .withColumn("rel", when(col("nl") === col("expected"), 1.0).otherwise(0.0))
       .groupBy("query_id", "expected")
       .agg(
@@ -1056,18 +1175,20 @@ object VectorOps {
     val q = queries.select(col(qId).as("query_id"), col(vecCol).as("qv"),
         col(labelCol).as("expected"))
       .withColumn("nq", l2Norm(col("qv")))
-    val c = corpus.select(col(cId).as("neighbor_id"), col(vecCol).as("cv"),
+    val c = corpus.select(col(cId).cast("long").as("neighbor_id"), col(vecCol).as("cv"),
         col(labelCol).as("nl"))
       .withColumn("nc", l2Norm(col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
+    // relevance filter BEFORE the bounded top-k, so the rank is over
+    // negatives only — same semantics as the former window form
     broadcast(q).crossJoin(c)
       .withColumn("score", cosinePre(col("qv"), col("cv"), col("nq"), col("nc")))
       .filter(col("nl") =!= col("expected"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("neighbor_id"), col("score"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topK(k)(
+        col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s._2").as("neighbor_id"), col("s._1").as("score"))
       .orderBy("query_id", "rank")
   }
 
@@ -1083,13 +1204,16 @@ object VectorOps {
       .withColumn("nq", l2Norm(col("qv")))
     val c = corpus.select(col(cId).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("nc", l2Norm(col("cv")))
-    // one pass: the per-query max score decides the tier, so the scored
-    // cross product is computed once (the anti-join formulation re-ran it
-    // per tier). Window partitioning = the one shuffle this op needs.
-    val wQ = Window.partitionBy("query_id")
-    broadcast(q).crossJoin(c)
+    // two narrow corpus passes, ZERO wide shuffle: the former
+    // max().over(partitionBy(query_id)) put every scored corpus row of
+    // a query through one reducer. Pass 1 reduces the per-query max
+    // with map-side combine (|queries| rows out); pass 2 re-scores and
+    // filters against the broadcast maxima. Re-scoring is a narrow
+    // scan-stage recompute — cheaper at scale than one hot reducer.
+    val scored = broadcast(q).crossJoin(c)
       .withColumn("cos", cosinePre(col("qv"), col("cv"), col("nq"), col("nc")))
-      .withColumn("qmax", max("cos").over(wQ))
+    val qmax = scored.groupBy("query_id").agg(max("cos").as("qmax"))
+    scored.join(broadcast(qmax), Seq("query_id"))
       .filter((col("qmax") >= tHigh && col("cos") >= tHigh) ||
               (col("qmax") <  tHigh && col("cos") >= tLow))
       .withColumn("tier", when(col("qmax") >= tHigh, lit(1)).otherwise(lit(2)))
