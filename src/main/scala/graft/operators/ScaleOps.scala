@@ -397,14 +397,19 @@ object ScaleOps {
       .select(col(idCol) +: carry.map(col) :+
         posexplode(graft.text.Chunker.wordChunks(col(textCol), lineWords)): _*)
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "line")
-    val first = Window.partitionBy("line").orderBy(col(idCol), col("i"))
-    // ONE scan, TWO shuffles: every line (kept or not) flows into the
-    // per-doc aggregation carrying a kept flag, so totals come from the
-    // same pass — a separate totals branch would scan + explode the
-    // corpus twice and add a join (measured plan: 2 scans, 3 exchanges,
-    // broadcast join; this shape: 1 scan, 2 exchanges, no join).
-    // collect_list skips the nulls the when() leaves for dropped lines.
-    lines.withColumn("kept", row_number().over(first) === 1)
+    // first-owner via groupBy(min(struct)) + join back, NOT a
+    // line-partitioned window: a hot boilerplate line ("all rights
+    // reserved") appears in billions of docs at web scale, and a window
+    // would funnel every copy through one reducer with no partial
+    // aggregation (the exact shape C4's own dedup exists to handle).
+    // min(struct(id, i)) ≡ the (id, i)-ordered first row; the groupBy
+    // partial-aggregates map-side and the join back on the line key is
+    // AQE skew-splittable. collect_list skips the nulls the when()
+    // leaves for dropped lines.
+    val winner = lines.groupBy("line")
+      .agg(min(struct(col(idCol), col("i"))).as("win"))
+    lines.join(winner, Seq("line"))
+      .withColumn("kept", struct(col(idCol), col("i")) === col("win"))
       .groupBy(idCol, carry: _*)
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
@@ -560,13 +565,17 @@ object ScaleOps {
     val d = docs.select(col(idCol),
       Dedup.canonicalFingerprint(col(textCol)).as("fp"),
       graft.text.TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val best = Window.partitionBy("fp")
-      .orderBy(col("n_tokens").desc, col(idCol).asc)
-    d.withColumn("rk", row_number().over(best))
-      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("fp")))
-      .filter(col("rk") === 1 && col("n_docs") > 1)
-      .select(col("fp"), col(idCol).as("keeper"), col("n_docs"),
-        col("n_tokens").as("keeper_tokens"))
+    // argmax via ONE map-side-combined aggregate, not an fp-partitioned
+    // window: a mass-duplicated page makes its fingerprint a hot key at
+    // web scale. min(struct(−n_tokens, id)) ≡ the (n_tokens desc,
+    // id asc) first row; strictly fewer exchanges than the window form
+    // (no join either).
+    d.groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct((-col("n_tokens")).as("neg"), col(idCol).as("kid"))).as("win"))
+      .filter(col("n_docs") > 1)
+      .select(col("fp"), col("win.kid").as("keeper"), col("n_docs"),
+        (-col("win.neg")).as("keeper_tokens"))
       .orderBy("fp")
   }
 
@@ -633,9 +642,9 @@ object ScaleOps {
     val fped = batch.select(col(idCol),
       Dedup.canonicalFingerprint(col(textCol)).as("fp"))
     val fresh = fped.join(lakeFps, Seq("fp"), "left_anti")
-    val first = Window.partitionBy("fp").orderBy(idCol)
-    fresh.withColumn("rk", row_number().over(first))
-      .filter(col("rk") === 1)
+    // min(id) per fingerprint — one map-side-combined aggregate instead
+    // of an fp-partitioned first-row window (hot-fp safety, q89's rule)
+    fresh.groupBy("fp").agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("fp"))
       .orderBy(idCol)
   }
@@ -1189,11 +1198,27 @@ object ScaleOps {
     * running token count stays ≤ 800.
     */
   def q32PackContext(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      // tokenCount ≥ 1 by contract (empty text counts 1 — the oracle's
+      // CASE mirrors it), so every doc consumes ≥ 1 of the 800-token
+      // budget; the defensive filter pins the pool-prune precondition
+      .filter(col("n_tokens") >= 1)
+    // LOSSLESS pool prune: best-first position p has running Σ ≥ p, so
+    // a row past position 800 can never satisfy Σ ≤ 800 — only the
+    // topK(800) by (n_chars desc, doc_id asc) per lang are candidates.
+    // The former unbounded window ran the running sum over EVERY doc of
+    // a lang (one reducer per lang at corpus scale); it now sees ≤ 800
+    // rows per partition by construction.
+    val pool = d.groupBy("lang")
+      .agg(graft.functions.TopKAggregator.topK(800)(
+        col("n_chars").cast("double"), col("doc_id")).as("top"))
+      .select(col("lang"), explode(col("top")).as("s"))
+      .select(col("lang"), col("s._2").as("doc_id"))
     val w = Window.partitionBy("lang")
       .orderBy(col("n_chars").desc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    d.join(pool, Seq("lang", "doc_id"))
       .withColumn("run_tokens", sum("n_tokens").over(w))
       .filter(col("run_tokens") <= 800)
       .select("lang", "doc_id", "n_tokens", "run_tokens")

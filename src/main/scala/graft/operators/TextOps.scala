@@ -98,12 +98,16 @@ object TextOps {
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(col("w") =!= "")
     val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    // df as a window over the tf relation: one exchange on the term,
-    // instead of a second full corpus scan + aggregation for a dfreq
-    // branch (Spark has no automatic subtree reuse across branches)
+    // df via groupBy + join on the term, NOT a term-partitioned window:
+    // a window puts every tf row of a hot term ("the" ≈ every doc)
+    // through ONE reducer with no partial aggregation — the zipf-key
+    // hot-reducer shape the round-10 verdict killed in q167/q168. The
+    // groupBy partial-aggregates map-side and the join back on the term
+    // key is AQE skew-splittable.
     val n = words.agg(countDistinct("doc_id").as("n"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("w")))
+      .join(dfreq, Seq("w"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         floor(col("tf") * log(col("n").cast("double") / col("df")) * 10000.0 + 0.5) / 10000.0)
@@ -214,11 +218,15 @@ object TextOps {
     val docBigrams = docs
       .select(col("doc_id"), explode(pairs).as("bg"))
       .filter(col("bg").isNotNull)
-    // corpus LM: c(w1 w2) and, via a window over the same relation
-    // (q74's df trick — no second corpus scan), c(w1 ·)
-    val lm = docBigrams.groupBy("bg").agg(count(lit(1)).as("cbg"))
+    // corpus LM: c(w1 w2) from the bigram groupBy; c(w1 ·) via a second
+    // groupBy over the AGGREGATED bigram table + join back on w1 — not
+    // a w1-partitioned window ("the …" bigrams would all hit one
+    // reducer; the aggregate side is vocab-bounded and the join is
+    // AQE skew-splittable)
+    val bg0 = docBigrams.groupBy("bg").agg(count(lit(1)).as("cbg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
-      .withColumn("cw1", sum("cbg").over(Window.partitionBy("w1")))
+    val w1c = bg0.groupBy("w1").agg(sum("cbg").as("cw1"))
+    val lm = bg0.join(w1c, Seq("w1"))
       .select(col("bg"), (-log(col("cbg").cast("double") / col("cw1"))).as("nll"))
     docBigrams.join(broadcast(lm), "bg")
       .groupBy("doc_id")
@@ -332,10 +340,15 @@ object TextOps {
       .select(col("source"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(col("w") =!= "")
-    val dist = (src: String) => words.filter(col("source") === src)
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .withColumn("p", col("c").cast("double") /
-        sum("c").over(Window.partitionBy(lit(1))))
+    val dist = (src: String) => {
+      val c = words.filter(col("source") === src)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      // total via a scalar agg broadcast back — the former
+      // Window.partitionBy(lit(1)) dragged the whole vocab-sized
+      // distribution through a single reducer
+      c.crossJoin(broadcast(c.agg(sum("c").as("tot"))))
+        .withColumn("p", col("c").cast("double") / col("tot"))
+    }
     val joined = dist("src0").select(col("w"), col("p").as("pa"))
       .join(dist("src1").select(col("w"), col("p").as("pb")), Seq("w"), "full_outer")
       .na.fill(0.0, Seq("pa", "pb"))
@@ -507,8 +520,11 @@ object TextOps {
     val stats = dl.agg(avg("dl").as("avgdl"), count(lit(1)).cast("double").as("n"))
     val tf = words.filter(col("w").isin(terms: _*))
       .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
-    // df via window over tf (see q74) — no separate dfreq rescan branch
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("w")).cast("double"))
+    // df via groupBy + join on the term (q74's rule): a common query
+    // term matches billions of docs at 100 TB, and a term-partitioned
+    // window would funnel them through one reducer
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(dfreq, Seq("w"))
       .join(dl, "doc_id").crossJoin(broadcast(stats))
       .withColumn("s",
         log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
@@ -529,10 +545,14 @@ object TextOps {
     */
   def q84RrfFusion(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("table", "query", "spark")
-    val wA = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    // each retriever's top-50 via the bounded aggregator: the global
+    // rank window ordered the ENTIRE matching-doc score table (billions
+    // of rows for a common term at 100 TB) in one reducer
     val a = bm25Scores(spark, dir, terms)
-      .withColumn("ra", row_number().over(wA)).filter(col("ra") <= 50)
-      .select(col("doc_id"), col("ra"))
+      .agg(graft.functions.TopKAggregator.topK(50)(
+        col("bm25"), col("doc_id")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("s._2").as("doc_id"), (col("pos") + 1).cast("int").as("ra"))
     // retriever B: query TF-IDF (q74's scoring restricted to the terms)
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
@@ -540,15 +560,18 @@ object TextOps {
     val n = words.agg(countDistinct("doc_id").cast("double").as("n"))
     val tf = words.filter(col("w").isin(terms: _*))
       .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
     val tfidf = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("w")).cast("double"))
+      .join(dfreq, Seq("w"))
       .crossJoin(broadcast(n))
       .groupBy("doc_id")
       .agg((floor(sum(col("tf") * log(col("n") / col("df"))) * 10000.0 + 0.5) / 10000.0)
         .as("tfidf"))
-    val wB = Window.orderBy(col("tfidf").desc, col("doc_id").asc)
-    val b = tfidf.withColumn("rb", row_number().over(wB)).filter(col("rb") <= 50)
-      .select(col("doc_id"), col("rb"))
+    val b = tfidf
+      .agg(graft.functions.TopKAggregator.topK(50)(
+        col("tfidf"), col("doc_id")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("s._2").as("doc_id"), (col("pos") + 1).cast("int").as("rb"))
     a.join(b, Seq("doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (col("ra") + 60.0), lit(0.0)) +

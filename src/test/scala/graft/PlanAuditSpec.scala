@@ -39,9 +39,15 @@ class PlanAuditSpec extends SparkSpec {
   // q178: one of the vocab-table joins (cw/ts) crosses the AQE
   // broadcast threshold between scales — a single hash-join flip
   // (24↔25 exchanges, same scans/pruning/pushdown).
+  // q103: the bigram-LM aggregate feeds both the marginal groupBy and
+  // the join-back; AQE materializes the REUSED subplan at one scale and
+  // not the other, which shows as one extra ReadSchema entry with
+  // identical scan/exchange/codegen topology (q142's reuse class,
+  // ReadSchema form).
   private val crossScaleAllow =
     Set("q24_ngram_jaccard", "q75_cohort_retention", "q142_ann_tradeoff",
-      "q165_containment_pairs", "q174_assoc_rules", "q178_mixture_reweight")
+      "q165_containment_pairs", "q174_assoc_rules", "q178_mixture_reweight",
+      "q103_lm_perplexity")
 
   private def parseRows(path: String): Map[String, String] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
@@ -121,6 +127,9 @@ class PlanAuditSpec extends SparkSpec {
       } else if (q == "q174_assoc_rules") {
         assert(dScan == 0, s"$q: scan count diverged — not a join-strategy flip")
         assert(dEx <= 2, s"$q: exchange count moved by $dEx (> the two-join-flip bound)")
+      } else if (q == "q103_lm_perplexity") {
+        assert(dScan == 0, s"$q: scan count diverged — not the subplan-reuse shape")
+        assert(dEx == 0, s"$q: exchange count diverged — not the subplan-reuse shape")
       } else {
         assert(dScan == 0, s"$q: scan count diverged — not a broadcast↔shuffle-hash flip")
         assert(a(2) == b(2), s"$q: read-schema widths diverged (${a(2)} vs ${b(2)}) — pruning changed")
