@@ -218,6 +218,7 @@ object SparkEntry {
     "q177_zipf_fit"          -> graft.operators.CurationOps.q177ZipfFit _,
     "q178_mixture_reweight"  -> graft.operators.CurationOps.q178MixtureReweight _,
     "q179_mmr_rerank"        -> ScaleOps.q179MmrRerank _,
+    "q180_kcore"             -> graft.operators.Graph.q180KCore _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -240,6 +241,11 @@ object SparkEntry {
     // Spark-deterministic at the gate scale (groups < sketch accuracy),
     // not recomputable in DuckDB -> literal pin
     "q159_percentile_autoapprox" -> OraclePins.pin159,
+    // iterate-to-fixpoint peeling: a recursive CTE cannot aggregate
+    // over its own recursive relation, so the 3-core is pinned
+    // (KCoreSpec carries the sequential-peel equality + fixpoint
+    // invariants that make the pin trustworthy)
+    "q180_kcore"            -> OraclePins.pin180,
     "q38_retrieval"         -> OraclePins.pin38,
     "q43_sentence_chunks"   -> OraclePins.pin43,
     "q58_pdf_passages"      -> OraclePins.pin58,

@@ -270,4 +270,54 @@ object Graph {
     triangleCounts(lineGraphEdges(spark, dir))
       .select(col("v").as("doc_id"), col("n_triangles"))
       .orderBy("doc_id")
+
+  /** k-core decomposition (fixed k): iteratively peel vertices of
+    * degree < k until a fixpoint — the standard "deeply embedded
+    * duplicates" lens on a dup graph (a vertex in the k-core shares
+    * content with ≥ k others that THEMSELVES each share with ≥ k,
+    * recursively — template farms and mirror clusters, not one-off
+    * pairs). Completes the dup-graph quartet: components (q104),
+    * PageRank (q125), triangles (q173), k-core (q180). Returns
+    * (v, core_deg) — the k-core's vertices with their degree WITHIN
+    * the core.
+    *
+    * Semantics: input is a symmetric deduplicated edge list (enforced
+    * by `.distinct()`, same guard as triangleCounts); result is the
+    * unique maximal subgraph with min degree ≥ k (order-independent,
+    * hence deterministic).
+    *
+    * Scale: each peel round is ONE degree aggregate (map-side combine)
+    * + a semi-join restriction of the edge list — all keyed exchanges,
+    * no windows, no driver state beyond the loop counter; eager
+    * checkpoint per round caps lineage exactly like q104's pointer
+    * jumping. Rounds ≤ the peeling depth (≤ √m in theory, single
+    * digits on real dup graphs); a loud `require` clamps runaways.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    var e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var nEdges = e.count()
+    var converged = false
+    var it = 0
+    while (!converged) {
+      it += 1
+      require(it <= maxIter,
+        s"kCore: no fixpoint after $maxIter peel rounds — raise maxIter")
+      val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("v"))
+      val e2 = e.join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst").localCheckpoint(true)
+      val n2 = e2.count()
+      converged = n2 == nEdges
+      e = e2
+      nEdges = n2
+    }
+    e.groupBy(col("src").as("v")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** q180: 3-core of the q104 shared-line dup graph. */
+  def q180KCore(spark: SparkSession, dir: String): DataFrame =
+    kCore(lineGraphEdges(spark, dir), 3)
+      .select(col("v").as("doc_id"), col("core_deg"))
+      .orderBy("doc_id")
 }

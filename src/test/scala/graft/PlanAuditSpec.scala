@@ -158,13 +158,20 @@ class PlanAuditSpec extends SparkSpec {
     // the AQE-allowlisted queries flip broadcast decisions on measured
     // shuffle sizes, which moves their exchange and codegen-span counts
     // between sound hash-join shapes run-to-run — hold them to the
-    // stable cells only (scans, pruning width, pushdown, nlj)
-    def comparable(name: String, row: String): String =
-      if (!crossScaleAllow(name)) row
-      else {
-        val cells = row.stripPrefix("|").stripSuffix("|").split("\\|").map(_.trim)
+    // stable cells only (scans, pruning width, pushdown, nlj).
+    // q86 additionally flips its codegen-SPAN count 6↔7 run-to-run at
+    // the SAME scale (AQE stage composition on the merged-sketch
+    // subplan) with identical scan/exchange topology — its span cell
+    // alone is excluded (round-11: a full-gate run caught the flake).
+    val codegenFlaky = Set("q86_sketch_merge")
+    def comparable(name: String, row: String): String = {
+      val cells = row.stripPrefix("|").stripSuffix("|").split("\\|").map(_.trim)
+      if (crossScaleAllow(name))
         (cells.take(4) ++ cells.takeRight(1)).mkString("| ", " | ", " |")
-      }
+      else if (codegenFlaky(name))
+        (cells.take(5) ++ cells.takeRight(1)).mkString("| ", " | ", " |")
+      else row
+    }
     val mismatches = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
       .collect { case ((name, fn), i) if inRotation(i) => (name, fn) }
       .flatMap { case (name, fn) =>
