@@ -18,6 +18,12 @@ run / fork := true
 // process's stdout/stderr through verbatim, so the JSON line reaches
 // the driver starting with '{'.
 run / outputStrategy := Some(StdoutOutput)
+// The driver keeps only the LAST ~2000 bytes of stdout. sbt's trailing
+// "[success] Total time: ..." line (~76 B) ate exactly the head of the
+// round-11 compact bench line (~1940 B at 180 queries) and left
+// "parsed": null again. Suppress it: rc already carries success.
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -100,8 +100,6 @@ object Bench {
       }.toSet
       pref.map { case (k, p) => k -> (if (collide(p)) k else p) }
     }
-    val qs = results.map { case (k, m, _) => "\"" + shortName(k) + "\":" + fmtShort(m) }
-      .mkString("{", ",", "}")
     val raw = results.map { case (k, _, runs) =>
       "\"" + k + "\":[" + runs.map(r => fmt(r._1)).mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -115,7 +113,30 @@ object Bench {
     val qsFull = results.map { case (k, m, _) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
     val sfShort = sfDir.stripSuffix("/").split("/").last
-    val compact = s"""{"metric":"total","value":${fmtShort(total)},"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed,"sf":"$sfShort"}"""
+    // SELF-GUARDING byte budget (round-11 item: BENCH_r11 "parsed" was
+    // null because the 180-query compact line overran the 2000-byte
+    // window by the width of sbt's [success] line — now suppressed via
+    // showSuccess := false, but the guard must not depend on that):
+    // build the compact line at 2-decimal precision; if the catalog has
+    // grown it past the budget, degrade ≥1 s values to 1 decimal (their
+    // precision lives in bench.json anyway), and as a last resort every
+    // value to 1 decimal. Loudly impossible to overrun silently.
+    def fmtCoarse(d: Double): String =
+      if (d >= 1.0) fmtShort(math.rint(d * 10) / 10) else fmtShort(d)
+    def fmt1(d: Double): String = fmtShort(math.rint(d * 10) / 10)
+    def compactLine(fv: Double => String): String = {
+      val qs = results.map { case (k, m, _) => "\"" + shortName(k) + "\":" + fv(m) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmtShort(total)},"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed,"sf":"$sfShort"}"""
+    }
+    val budget = 1900
+    val compact = Seq(fmtShort _, fmtCoarse _, fmt1 _).map(compactLine)
+      .find(_.length <= budget)
+      .getOrElse {
+        System.err.println("[bench] compact line exceeds the stdout tail " +
+          "budget even at 1-decimal precision — driver parse WILL truncate")
+        compactLine(fmt1)
+      }
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"runs":$raw,"reps":$reps,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}"""
     println(compact)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),

@@ -219,11 +219,46 @@ object SparkEntry {
     "q178_mixture_reweight"  -> graft.operators.CurationOps.q178MixtureReweight _,
     "q179_mmr_rerank"        -> ScaleOps.q179MmrRerank _,
     "q180_kcore"             -> graft.operators.Graph.q180KCore _,
+    "q181_month_rebuild"     -> graft.pipeline.Ingest.q181MonthRebuild _,
+    "q182_pq_recall_audit"   -> graft.vector.Pq.q182PqRecallAudit _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    // q182 reuses q175's ENTIRE oracle CTE chain (same unrolled PQ
+    // trainer, same codebooks/LUT/ADC math, same split) and replaces
+    // only the final top-5 projection with the recall-audit tail, so
+    // the two oracles can never drift apart. The splice point is the
+    // chain's single final SELECT.
+    val pqChain = baseOracleSql("q175_pq_two_stage")
+      .split("(?m)^\\s*SELECT qid AS query_id")(0)
+    baseOracleSql + ("q182_pq_recall_audit" -> (pqChain +
+      """, two AS (SELECT qid, nid FROM r WHERE rank <= 5),
+         adc AS (SELECT qid, nid FROM (
+                  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                    ORDER BY floor(t / 1000.0 + 0.5) / 10000.0 DESC, nid ASC) AS rk FROM sc) t5
+                WHERE rk <= 5),
+         bf AS (SELECT qid, nid FROM (
+                  SELECT qv.id AS qid, cv.id AS nid,
+                    row_number() OVER (PARTITION BY qv.id ORDER BY
+                      round(list_dot_product(qv.fv, cv.fv) /
+                        (sqrt(list_dot_product(qv.fv, qv.fv)) * sqrt(list_dot_product(cv.fv, cv.fv))), 4) DESC,
+                      cv.id ASC) AS rk
+                  FROM v qv, v cv WHERE qv.id < 10 AND cv.id >= 10) t6
+                WHERE rk <= 5),
+         m AS (SELECT 'exact' AS method, qid, nid FROM bf
+               UNION ALL SELECT 'pq_adc' AS method, qid, nid FROM adc
+               UNION ALL SELECT 'pq_two_stage' AS method, qid, nid FROM two),
+         au AS (SELECT m.method, count(*) AS n_pairs,
+                  CAST(sum(CASE WHEN h.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+                FROM m LEFT JOIN bf h ON m.qid = h.qid AND m.nid = h.nid
+                GROUP BY m.method)
+         SELECT method, n_pairs, n_hits, (n_hits * 10000) // n_pairs AS recall_bp
+         FROM au ORDER BY method"""))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     // Literal VALUES pins (q134's technique) for the nine queries whose
     // semantics DuckDB cannot recompute — JVM/xxhash64 hashing, BPE's
     // sequential merge loop, deflate, fixpoint text folds. The expected
@@ -3248,5 +3283,29 @@ object SparkEntry {
          )
          SELECT qid AS query_id, CAST(step AS INT) AS rank, nid AS neighbor_id, mmr AS mmr_score
          FROM r ORDER BY query_id, rank""",
+    // q181: per-month incremental rebuild accounting — q92's lake/batch
+    // convention (80% doc_id high-watermark, same fp expression), with
+    // the per-source ingest report and fp-index sizes; all-integer
+    // arithmetic, keeper = min doc_id per new fingerprint
+    "q181_month_rebuild" ->
+      """WITH c AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS cut FROM documents),
+         f AS (SELECT doc_id, source,
+           md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
+         FROM documents),
+         lake AS (SELECT DISTINCT fp FROM f, c WHERE f.doc_id <= c.cut),
+         batch AS (SELECT f.doc_id, f.source, f.fp FROM f, c WHERE f.doc_id > c.cut),
+         fresh AS (SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM lake)),
+         kept AS (SELECT fp, min(doc_id) AS doc_id FROM fresh GROUP BY fp),
+         keptsrc AS (SELECT b.source FROM kept k JOIN fresh b ON k.fp = b.fp AND k.doc_id = b.doc_id),
+         raws AS (SELECT source, count(*) AS n_raw FROM batch GROUP BY source),
+         ing AS (SELECT source, count(*) AS n_ingested FROM keptsrc GROUP BY source),
+         ib AS (SELECT count(*) AS idx_before FROM lake),
+         nn AS (SELECT count(*) AS n_new FROM kept)
+         SELECT raws.source, raws.n_raw,
+           CAST(coalesce(ing.n_ingested, 0) AS BIGINT) AS n_ingested,
+           raws.n_raw - CAST(coalesce(ing.n_ingested, 0) AS BIGINT) AS n_dropped,
+           ib.idx_before, ib.idx_before + nn.n_new AS idx_after
+         FROM raws LEFT JOIN ing ON raws.source = ing.source, ib, nn
+         ORDER BY raws.source""",
   )
 }

@@ -74,6 +74,41 @@ object Dedup {
     }
   }
 
+  /** Positioned word n-gram shingles — array<struct<pos:int,s:string>>
+    * with 1-based start positions and ALL occurrences kept (substring-
+    * level dedup needs positions and within-doc repeats, so this is the
+    * positioned, non-distinct twin of [[wordShingles]]). Same rationale:
+    * the native `transform(sequence(...), i -> array_join(slice(...)))`
+    * chain is a CodegenFallback higher-order function interpreted per
+    * ELEMENT — measured 10.6 s vs <0.5 s for 260k shingles — so one
+    * tight-loop UDF per document wins. Empty array when the document
+    * has fewer than n words.
+    */
+  def positionedShingles(c: Column, n: Int): Column =
+    udf(positionedShingleFn(n)).apply(c)
+
+  case class PosShingle(pos: Int, s: String)
+
+  private def positionedShingleFn(n: Int): String => Array[PosShingle] = { text =>
+    if (text == null) Array.empty[PosShingle]
+    else {
+      val words = text.trim.split("\\s+")
+      if (words.length < n) Array.empty[PosShingle]
+      else {
+        val out = new Array[PosShingle](words.length - n + 1)
+        var i = 0
+        while (i <= words.length - n) {
+          val sb = new java.lang.StringBuilder(words(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+          out(i) = PosShingle(i + 1, sb.toString)
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
   /** Canonical fingerprint: md5 over the sorted distinct word set — the
     * "same bag of words" identity (order/duplication-insensitive exact dedup).
     */
@@ -253,17 +288,21 @@ object Dedup {
       .agg(count(lit(1)).as("inter_rare"))
     // hot-shingle correction: |A∩B| = inter_rare + |hotA ∩ hotB|. Only
     // docs that actually CONTAIN a hot shingle get a row (inner join on
-    // the broadcast hot set) — on a corpus with no zipf head this side is
-    // empty and AQE turns both left joins into free broadcasts; each list
-    // is at most |hot| long, so the merge UDF touches only the head.
+    // the broadcast hot set); each list is at most |hot| long, so the
+    // merge UDF touches only the head. The hot-doc side is PINNED to
+    // shuffle-hash (round-11 verdict item 5): it is corpus-growing (every
+    // doc containing zipf-head boilerplate), so broadcasting it is only
+    // ever an AQE small-scale artifact — the flip was the q24/q165
+    // cross-scale allowlist entry, and pinning the 100 TB-honest
+    // strategy makes the plan identical at every scale instead.
     val hotPerDoc = inv.join(hotSet, Seq("sh"))
       .groupBy("id")
       .agg(sort_array(collect_list("sh")).as("hot_shs"))
     val withHot = interRare
-      .join(hotPerDoc.select(col("id").as("doc_a"), col("hot_shs").as("hot_a")),
-        Seq("doc_a"), "left")
-      .join(hotPerDoc.select(col("id").as("doc_b"), col("hot_shs").as("hot_b")),
-        Seq("doc_b"), "left")
+      .join(hotPerDoc.select(col("id").as("doc_a"), col("hot_shs").as("hot_a"))
+        .hint("shuffle_hash"), Seq("doc_a"), "left")
+      .join(hotPerDoc.select(col("id").as("doc_b"), col("hot_shs").as("hot_b"))
+        .hint("shuffle_hash"), Seq("doc_b"), "left")
       .withColumn("inter", col("inter_rare") +
         when(col("hot_a").isNotNull && col("hot_b").isNotNull,
           interCount(col("hot_a"), col("hot_b"))).otherwise(lit(0)))

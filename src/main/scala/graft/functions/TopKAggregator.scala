@@ -20,8 +20,39 @@ object TopKAggregator {
 
   type Scored = (Double, Long) // (score, neighbor_id)
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // TOTAL order (round-11 ADVICE): java.lang.Double.compare gives NaN a
+  // fixed place (greater than every other double) — the SAME total
+  // order Spark's window sort uses for DOUBLE desc, so a NaN score
+  // ranks first in both forms instead of making the comparator
+  // non-transitive (a>b and b>a both false under IEEE > with NaN).
+  // `+ 0.0` folds -0.0 into +0.0 first (NaN unaffected), matching
+  // Spark's NormalizeFloatingNumbers treatment of sort keys where
+  // Double.compare alone would order -0.0 below +0.0.
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a._1 + 0.0, b._1 + 0.0)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
+
+  // Bounded binary insert into an already-sorted buffer (round-11
+  // ADVICE): O(log k) probes + one O(k) array copy per ACCEPTED row,
+  // replacing the append + full re-sort (O(k log k) with k=800 at the
+  // q32 call site). The cheap reject path (full buffer, worse than the
+  // current tail) stays allocation-free.
+  private def boundedInsert[T](buf: Seq[T], in: T, k: Int,
+                               better: (T, T) => Boolean): Seq[T] =
+    if (buf.length >= k && better(buf.last, in)) buf
+    else {
+      val b = scala.collection.mutable.ArrayBuffer.from(buf)
+      var lo = 0
+      var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (better(b(mid), in)) lo = mid + 1 else hi = mid
+      }
+      b.insert(lo, in)
+      if (b.length > k) b.remove(b.length - 1)
+      b.toSeq
+    }
 
   class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     override def zero: Seq[Scored] = Seq.empty
@@ -32,8 +63,7 @@ object TopKAggregator {
       b.foldLeft(a)(insert)
 
     private def insert(buf: Seq[Scored], in: Scored): Seq[Scored] =
-      if (buf.length >= k && better(buf.last, in)) buf
-      else (buf :+ in).sortWith(better).take(k)
+      boundedInsert(buf, in, k, better)
 
     override def finish(r: Seq[Scored]): Seq[Scored] = r
 
@@ -69,8 +99,7 @@ object TopKAggregator {
       b.foldLeft(a)(insert)
 
     private def insert(buf: Seq[Counted], in: Counted): Seq[Counted] =
-      if (buf.length >= k && betterStr(buf.last, in)) buf
-      else (buf :+ in).sortWith(betterStr).take(k)
+      boundedInsert(buf, in, k, betterStr)
 
     override def finish(r: Seq[Counted]): Seq[Counted] = r
 

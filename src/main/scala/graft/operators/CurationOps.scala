@@ -294,6 +294,12 @@ object CurationOps {
     */
   def mixtureReweight(docs: DataFrame, srcCol: String, textCol: String,
                       eta: Double = 1.0): DataFrame = {
+    // the raw12 fixed-point scaling below relies on share·e^(eta·KL) ≤ 1,
+    // which holds only for eta ≤ 1 (KL(s‖corpus) ≤ ln(T/T_s)); larger
+    // eta can overflow the 1e12-scaled long (round-11 ADVICE)
+    require(eta >= 0.0 && eta <= 1.0,
+      s"mixtureReweight: eta must be in [0, 1] (got $eta) — the 1e12 " +
+        "fixed-point weight scaling overflows when share*exp(eta*KL) > 1")
     val tok = Tables.widen(docs.select(col(srcCol).as("source"), col(textCol).as("txt")))
       .select(col("source"),
         explode(regexp_extract_all(col("txt"), lit("\\S+"), lit(0))).as("w"))
@@ -301,8 +307,13 @@ object CurationOps {
     val cw = sw.groupBy("w").agg(sum("csw").as("cww"))
     val ts = sw.groupBy("source").agg(sum("csw").as("t_s"))
     val tTot = ts.agg(sum("t_s").as("t")).select(col("t"))
-    val kl = sw.join(cw, "w")
-      .join(ts, "source")
+    // join strategies PINNED (round-11 verdict item 5): cw is
+    // vocab-sized and corpus-growing → shuffle-hash (its AQE broadcast
+    // at sf0.01 was the cross-scale allowlist entry; broadcast is never
+    // the 100 TB shape); ts is |sources| rows, bounded by construction
+    // → always broadcast.
+    val kl = sw.join(cw.hint("shuffle_hash"), "w")
+      .join(broadcast(ts), "source")
       .crossJoin(broadcast(tTot))
       .withColumn("contrib", floor(
         (col("csw").cast("double") / col("t_s").cast("double")) *

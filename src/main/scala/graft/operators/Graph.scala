@@ -212,6 +212,18 @@ object Graph {
       .orderBy("root")
   }
 
+  /** Undirected-edge-list normalization shared by the degree-based
+    * graph operators: union with the reversed edges + distinct, so
+    * degrees computed from src occurrences alone are correct whether
+    * the caller hands a symmetric or a one-row-per-undirected-edge
+    * list. One extra map-side-combined exchange; a semantic no-op on
+    * already-symmetric deduplicated input.
+    */
+  private def symmetrized(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
   /** Per-vertex triangle counts over a symmetric edge list — the local
     * clustering signal of the dup graph (q104 tells you WHICH docs form
     * a component; triangle density tells you whether the component is a
@@ -230,11 +242,13 @@ object Graph {
     * (v, n_triangles), vertices in ≥ 1 triangle.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    // defensive dedup (round-10 ADVICE): duplicate (src,dst) rows would
-    // silently inflate degrees and multiply wedge/closing matches; one
-    // partial-aggregable exchange buys the precondition instead of
-    // documenting it
-    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    // defensive dedup + symmetrize (round-10/11 ADVICE): duplicate
+    // (src,dst) rows would silently inflate degrees and multiply
+    // wedge/closing matches, and an asymmetric list would compute deg
+    // from src occurrences only; one partial-aggregable exchange buys
+    // both preconditions instead of documenting them (a no-op on the
+    // already-symmetric call sites)
+    val e = symmetrized(edges).persist()
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
     // one row per undirected edge, oriented by (degree, id); src<dst
     // already, so the id tie-break keeps src first
@@ -281,10 +295,12 @@ object Graph {
     * (v, core_deg) — the k-core's vertices with their degree WITHIN
     * the core.
     *
-    * Semantics: input is a symmetric deduplicated edge list (enforced
-    * by `.distinct()`, same guard as triangleCounts); result is the
-    * unique maximal subgraph with min degree ≥ k (order-independent,
-    * hence deterministic).
+    * Semantics: input is an undirected edge list. It is symmetrized
+    * internally (union with the reversed edges + distinct — a no-op on
+    * already-symmetric input, so current call sites are unchanged), so
+    * an asymmetric list cannot silently under-count degrees (round-11
+    * ADVICE); result is the unique maximal subgraph with min degree ≥ k
+    * (order-independent, hence deterministic).
     *
     * Scale: each peel round is ONE degree aggregate (map-side combine)
     * + a semi-join restriction of the edge list — all keyed exchanges,
@@ -294,7 +310,7 @@ object Graph {
     * digits on real dup graphs); a loud `require` clamps runaways.
     */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
-    var e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var e = symmetrized(edges).localCheckpoint(true)
     var nEdges = e.count()
     var converged = false
     var it = 0

@@ -870,22 +870,19 @@ object ScaleOps {
     * anywhere in the corpus (cross-doc OR within-doc) marks its
     * positions duplicated, and per doc the marked positions merge into
     * maximal spans (two shingle starts p < q overlap or touch iff
-    * q − p ≤ k). Shingling is fully narrow (`transform` over the split
-    * array — no window, no UDF); the ONE wide op is the occurrence
-    * count group-by, exactly q24's inverted-index discipline; the
-    * islands pass is a per-doc window. Integer positions only — no
-    * rounding surface anywhere.
+    * q − p ≤ k). Shingling is one tight-loop UDF per document
+    * (`Dedup.positionedShingles` — the native `transform(sequence(...))`
+    * chain is CodegenFallback interpreted per element, measured ~20×
+    * slower at 260k shingles, see Dedup.scala); the ONE wide op is the
+    * occurrence count group-by, exactly q24's inverted-index
+    * discipline; the islands pass is a per-doc window. Integer
+    * positions only — no rounding surface anywhere.
     */
   def q116DupSpans(spark: SparkSession, dir: String): DataFrame = {
     val k = 5
-    val ws = split(trim(col("text")), "\\s+")
     val positioned = Tables.documents(spark, dir)
-      .select(col("doc_id"), ws.as("ws"))
-      .filter(size(col("ws")) >= k)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("ws")) - (k - 1)),
-        i => struct(i.as("pos"),
-          array_join(slice(col("ws"), i, lit(k)), " ").as("s")))).as("e"))
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.positionedShingles(col("text"), k)).as("e"))
       .select(col("doc_id"), col("e.pos").as("pos"), col("e.s").as("s"))
     val dupShingles = positioned.groupBy("s")
       .agg(count(lit(1)).as("occ"))

@@ -15,6 +15,63 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
+  /** q181: the incremental-rebuild epilogue as ONE hash-checked
+    * accounting frame — the batch-equivalent of `incrementalLakeIngest`
+    * + fp-index update, mirroring the reference's per-month
+    * process-only-the-new-month loop (pipeline.py:219-226): the lake is
+    * the already-ingested 80% of doc_id (q92's high-watermark
+    * convention), the increment is the new band, and the output is the
+    * per-source ingest report the reference logs — raw rows seen,
+    * rows ingested after dedup against the lake's fingerprint index
+    * AND within the batch (first-occurrence keeper), rows dropped, plus
+    * the index size before/after the update.
+    *
+    * Scale: fingerprints are scan-stage expressions; the lake index and
+    * batch dedup are ONE distinct + ONE left-anti + ONE min(struct)
+    * aggregate (all map-side combinable, no windows — q89's hot-fp
+    * rule); the accounting itself operates on |sources|-sized
+    * aggregates; index sizes are two scalar aggs broadcast back. All
+    * integer arithmetic — no cross-engine float surface.
+    *
+    * Both reused frames are EAGERLY materialized (round-9 cache-
+    * lifetime discipline): the fp index is read twice (anti-join +
+    * size) and the batch twice (dedup + raw counts) — without the
+    * checkpoint each read re-scans the documents table and re-hashes
+    * full text, which at 100 TB means re-reading the corpus to save a
+    * ~fp-index-sized materialization (in production the lake index is
+    * a persisted table, exactly what the checkpoint stands in for).
+    */
+  def q181MonthRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val cut = docs.agg(floor(max("doc_id") * 0.8).cast("long").as("cut"))
+    val fped = docs.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("source"), col("cut"),
+        graft.dedup.Dedup.canonicalFingerprint(col("text")).as("fp"))
+    val lakeFps = fped.filter(col("doc_id") <= col("cut")).select("fp").distinct()
+      .localCheckpoint(true)
+    val batch = fped.filter(col("doc_id") > col("cut"))
+      .select("doc_id", "source", "fp")
+      .localCheckpoint(true)
+    val fresh = batch.join(lakeFps, Seq("fp"), "left_anti")
+    // keeper per new fingerprint = min doc_id; its source rides along in
+    // the struct (doc_id is unique, so min(struct) is the min-id row)
+    val kept = fresh.groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("source"))).as("w"))
+      .select(col("w.source").as("source"))
+    val rawBySrc = batch.groupBy("source").agg(count(lit(1)).as("n_raw"))
+    val ingBySrc = kept.groupBy("source").agg(count(lit(1)).as("n_ingested"))
+    val idxBefore = lakeFps.agg(count(lit(1)).as("idx_before"))
+    val nNew = kept.agg(count(lit(1)).as("n_new"))
+    rawBySrc.join(ingBySrc, Seq("source"), "left_outer")
+      .na.fill(0L, Seq("n_ingested"))
+      .crossJoin(broadcast(idxBefore))
+      .crossJoin(broadcast(nNew))
+      .select(col("source"), col("n_raw"), col("n_ingested"),
+        (col("n_raw") - col("n_ingested")).as("n_dropped"),
+        col("idx_before"), (col("idx_before") + col("n_new")).as("idx_after"))
+      .orderBy("source")
+  }
+
   /** Write a month-partitioned corpus (dual-write shape of
     * pipeline.py:66-93 collapses to ONE partitioned dataset; the
     * per-article view is a filter, not a second copy).

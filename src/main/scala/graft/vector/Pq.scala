@@ -72,8 +72,14 @@ object Pq {
     val v = vecs.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec"))
     // seeds: the SAME first-ksub-by-id rows for every subspace (slicing
-    // commutes with row selection), collected once and sliced driver-side
-    val seedVecs = v.orderBy("id").limit(ksub).select("vec").collect()
+    // commutes with row selection), collected once and sliced driver-
+    // side. Ordered by the RAW id column (round-11 ADVICE): kmeansTrain
+    // orders seeds by the uncast column, and casting a non-numeric id
+    // to long would yield nulls and silently diverge from the
+    // documented codebook-equality contract.
+    val seedVecs = vecs
+      .select(col(idCol).as("id0"), col(vecCol).cast("array<double>").as("vec"))
+      .orderBy("id0").limit(ksub).select("vec").collect()
       .map(_.getSeq[Double](0).toArray)
     var books: Array[Array[(Int, Vector[Double])]] =
       Array.tabulate(m) { s =>
@@ -310,5 +316,51 @@ object Pq {
     pqShortlistRerank(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
       "vec_id", "vec_id", "embedding", model, 50, 5)
       .orderBy("query_id", "rank")
+  }
+
+  /** q182: recall audit of the PQ family against the exact brute-force
+    * baseline on the q172 split — ADC-only top-5 (q172's path) and
+    * PQ-shortlist-50 → exact re-rank (q175's production path), each
+    * scored as |pairs ∩ exact| in basis points of its pair count
+    * (q142's audit shape, extended to the PQ family). This makes the
+    * production two-stage recall a TRACKED, hash-checked catalog row at
+    * every scale the oracle runs — not a spec constant (round-11
+    * verdict item 7). Scale: the methods are the audited operators
+    * themselves; the audit overhead is one |queries|·k-sized join + a
+    * 3-row aggregate.
+    */
+  def q182PqRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+    val model = pqTrain(e, "vec_id", "embedding", 4, 8, 2)
+    val queries = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    def pairs(df: DataFrame) = df.select(col("query_id"), col("neighbor_id"))
+    val exact = pairs(VectorOps.knnBrute(
+      queries, corpus, "vec_id", "vec_id", "embedding", 5))
+    val codes = pqEncode(corpus, "vec_id", "embedding", model)
+    val methods = Seq(
+      ("exact", exact),
+      ("pq_adc", pairs(pqTopK(queries, codes, "vec_id", "embedding", model, 5))),
+      ("pq_two_stage", pairs(pqShortlistRerank(
+        queries, corpus, "vec_id", "vec_id", "embedding", model, 50, 5))))
+    val labeled = methods
+      .map { case (name, p) => p.withColumn("method", lit(name)) }
+      .reduce(_.unionByName(_))
+    val agg = labeled
+      .join(exact.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+    import e.sparkSession.implicits._
+    methods.map(_._1).toDF("method")
+      .join(agg, Seq("method"), "left_outer")
+      .select(col("method"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_bp",
+        when(col("n_pairs") === 0L, lit(0L))
+          .otherwise(expr("n_hits * 10000 div n_pairs")))
+      .orderBy("method")
   }
 }

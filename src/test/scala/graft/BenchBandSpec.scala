@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mechanical bench-regression band (round-11 verdict item 3): two
+  * consecutive rounds burned judge+builder cycles adjudicating
+  * ENVIRONMENTAL per-query wall-time blips in prose (r10 q140/q141,
+  * r11 q116/q117). This spec turns the committed band
+  * (`BENCH_BAND.json` — last official quiet-box sf0.1 medians) into an
+  * assertion over the machine-local `bench.json` that the Bench main
+  * writes: a fresh median breaching `median * factor` AND
+  * `median + abs_slack_sec` fails here, so the next blip is caught by
+  * a failing test naming the rows, not by artifact archaeology.
+  *
+  * - `bench.json` is gitignored and machine-local; when absent (fresh
+  *   clone, no bench run yet) the spec passes trivially — the band
+  *   asserts bench RUNS, it doesn't force one.
+  * - Only sf0.1 full-catalog runs are compared (a dev-loop subset or
+  *   another scale says nothing about the band).
+  * - Intentional trades go in the band file's `allow` map with a
+  *   reason (q85's window→groupBy hot-key-safety trade is the model).
+  * - New queries not yet banded are reported, not failed; the band is
+  *   refreshed from each round's official quiet-box run.
+  */
+class BenchBandSpec extends AnyFunSuite {
+
+  // minimal extractors for the two flat JSON files — no library dep
+  private def jsonNumberMap(obj: String): Map[String, Double] =
+    "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(obj)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  private def section(json: String, key: String): Option[String] =
+    ("\"" + key + "\"\\s*:\\s*\\{([^}]*)\\}").r
+      .findFirstMatchIn(json).map(_.group(1))
+
+  private def numField(json: String, key: String): Option[Double] =
+    ("\"" + key + "\"\\s*:\\s*([0-9.eE+-]+)").r
+      .findFirstMatchIn(json).map(_.group(1).toDouble)
+
+  test("fresh bench medians stay inside the committed band") {
+    val benchFile = new java.io.File("bench.json")
+    assume(benchFile.exists, "no machine-local bench.json — run graft.Bench first")
+    val bench = scala.io.Source.fromFile(benchFile, "UTF-8").mkString
+    val sf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(bench).map(_.group(1))
+    assume(sf.exists(_.endsWith("sf0.1")), s"bench.json is at $sf, band is sf0.1")
+    val fresh = section(bench, "queries").map(jsonNumberMap).getOrElse(Map.empty)
+    assume(fresh.size >= SparkEntry.queries.size,
+      s"bench.json holds ${fresh.size} queries — a dev-loop subset, not an official run")
+
+    val bandJson = scala.io.Source.fromFile("BENCH_BAND.json", "UTF-8").mkString
+    val medians = section(bandJson, "medians").map(jsonNumberMap).getOrElse(Map.empty)
+    assert(medians.nonEmpty, "BENCH_BAND.json has no medians section")
+    val factor = numField(bandJson, "factor").getOrElse(1.35)
+    val slack = numField(bandJson, "abs_slack_sec").getOrElse(0.3)
+    val allow = section(bandJson, "allow").toSeq
+      .flatMap("\"([^\"]+)\"\\s*:".r.findAllMatchIn(_).map(_.group(1))).toSet
+
+    val unbanded = fresh.keySet -- medians.keySet -- allow
+    if (unbanded.nonEmpty)
+      info(s"unbanded queries (new this round — refresh BENCH_BAND.json): " +
+        unbanded.toSeq.sorted.mkString(", "))
+
+    val breaches = fresh.toSeq.sortBy(_._1).flatMap { case (q, sec) =>
+      medians.get(q) match {
+        case Some(band) if !allow(q) &&
+          sec > band * factor && sec > band + slack =>
+          Some(f"$q: $sec%.2fs vs banded $band%.2fs (> ×$factor%.2f and +$slack%.2fs)")
+        case _ => None
+      }
+    }
+    assert(breaches.isEmpty,
+      "bench medians breached the committed band — adjudicate on a quiet " +
+        "box; if the regression is intentional, add it to BENCH_BAND.json's " +
+        "allow map with a reason; if environmental, re-run:\n  " +
+        breaches.mkString("\n  "))
+  }
+}

@@ -24,30 +24,32 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
-  // q24/q75: AQE broadcast-threshold flips between sound hash joins.
+  // Round-12 shrink (round-11 verdict item 5), 7 entries → 1:
+  // q24/q165's "flip" was PlanAudit auditing a cache-warm plan
+  // depending on run order (fixed at the root — auditCells now clears
+  // the cache, so every row is the deterministic cold standalone
+  // plan, which also de-listed q75 and q103); q174/q178's AQE
+  // broadcast flips are gone because the corpus-growing join sides
+  // are now PINNED shuffle-hash at the operator (the only
+  // 100 TB-honest strategy). Survivor:
   // q142: a composed 10-scan audit query (4 ANN chains) whose
-  // scan/exchange REUSE differs with data size — one cached subplan
-  // more or fewer shows as ±1 scan row with identical semantics.
-  // q165: shares q24's rarePairInter core, so it inherits exactly
-  // q24's AQE flip — the inverted-index side sits at the broadcast
-  // threshold, and the runtime join strategy (broadcast vs shuffle
-  // hash) moves the exchange/codegen counts ±1 between sound shapes.
-  // q174: the a-priori frequent-item and rule-stats joins both sit at
-  // the AQE broadcast threshold (the pruned fi/n_a sides grow with
-  // scale), so TWO hash joins can flip together — exchanges move ±2
-  // between sound hash shapes (14 sf0.01 vs 12 sf0.1 at round 11).
-  // q178: one of the vocab-table joins (cw/ts) crosses the AQE
-  // broadcast threshold between scales — a single hash-join flip
-  // (24↔25 exchanges, same scans/pruning/pushdown).
-  // q103: the bigram-LM aggregate feeds both the marginal groupBy and
-  // the join-back; AQE materializes the REUSED subplan at one scale and
-  // not the other, which shows as one extra ReadSchema entry with
-  // identical scan/exchange/codegen topology (q142's reuse class,
-  // ReadSchema form).
-  private val crossScaleAllow =
-    Set("q24_ngram_jaccard", "q75_cohort_retention", "q142_ann_tradeoff",
-      "q165_containment_pairs", "q174_assoc_rules", "q178_mixture_reweight",
-      "q103_lm_perplexity")
+  // subplan REUSE differs with data size — AQE materializes one
+  // reused subplan at one scale and not the other, which shows as ±1
+  // ReadSchema/PushedFilters entry with identical
+  // scan/exchange/codegen topology.
+  private val crossScaleAllow = Set("q142_ann_tradeoff")
+
+  test("cross-scale allowlist can only shrink") {
+    // round-11 verdict item 5: the list grew every round; any growth
+    // must now flip this assertion and argue itself explicitly (first
+    // try a pinned join strategy at the operator — that is what removed
+    // q174/q178 — or a determinism fix in the audit itself — q24/q165/
+    // q75/q103 — and only then raise the cap WITH the shape pinned in
+    // the allowlist-shape test below).
+    assert(crossScaleAllow.size <= 1,
+      s"crossScaleAllow grew to ${crossScaleAllow.size} — pin the join " +
+        "strategy at the operator instead of allowlisting the flip")
+  }
 
   private def parseRows(path: String): Map[String, String] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
@@ -103,13 +105,10 @@ class PlanAuditSpec extends SparkSpec {
     // round-10 verdict item 9: the allowlist must not silently absorb a
     // real regression. Each entry's divergence is pinned to the SPECIFIC
     // sound-shape pair it was argued as:
-    //  - q24/q75/q165: an AQE broadcast↔shuffle-hash flip — identical
-    //    scans, identical pruning widths, identical pushdown, nlj=0,
-    //    and the exchange count moving by AT MOST 1 (one shuffle
-    //    exchange replaced by/replacing one broadcast exchange);
-    //  - q142: cached-subplan reuse — ±1 scan (one cached ANN subplan
-    //    materialized or reused), pushdown and nlj pinned, exchanges
-    //    within ±2 (the extra scan brings its exchange).
+    //  - q142: AQE subplan reuse — scans, exchanges, and nlj IDENTICAL;
+    //    only the ReadSchema/PushedFilters detail entries move by ±1
+    //    (one reused subplan materialized at one scale and not the
+    //    other brings its own details row).
     val small = parseRows("PLANS.md")
     val big = parseRows("PLANS_sf0.1.md")
     def cells(row: String): Array[String] =
@@ -118,23 +117,12 @@ class PlanAuditSpec extends SparkSpec {
       val a = cells(small(q)); val b = cells(big(q))
       // cells: 0=name 1=scans 2=cols/scan 3=pushed 4=exchanges 5=codegen 6=nlj
       assert(a(6) == "0" && b(6) == "0", s"$q: allowlisted flip grew an NLJ")
-      assert(a(3) == b(3), s"$q: pushdown count diverged (${a(3)} vs ${b(3)}) — not a join-strategy flip")
-      val dScan = math.abs(a(1).toInt - b(1).toInt)
-      val dEx = math.abs(a(4).toInt - b(4).toInt)
-      if (q == "q142_ann_tradeoff") {
-        assert(dScan <= 1, s"$q: scan count moved by $dScan (> the ±1 cached-subplan reuse shape)")
-        assert(dEx <= 2, s"$q: exchange count moved by $dEx (> the cached-subplan bound)")
-      } else if (q == "q174_assoc_rules") {
-        assert(dScan == 0, s"$q: scan count diverged — not a join-strategy flip")
-        assert(dEx <= 2, s"$q: exchange count moved by $dEx (> the two-join-flip bound)")
-      } else if (q == "q103_lm_perplexity") {
-        assert(dScan == 0, s"$q: scan count diverged — not the subplan-reuse shape")
-        assert(dEx == 0, s"$q: exchange count diverged — not the subplan-reuse shape")
-      } else {
-        assert(dScan == 0, s"$q: scan count diverged — not a broadcast↔shuffle-hash flip")
-        assert(a(2) == b(2), s"$q: read-schema widths diverged (${a(2)} vs ${b(2)}) — pruning changed")
-        assert(dEx <= 1, s"$q: exchange count moved by $dEx (> the single-join-flip bound)")
-      }
+      assert(a(1) == b(1), s"$q: scan count diverged — not the subplan-reuse shape")
+      assert(a(4) == b(4), s"$q: exchange count diverged — not the subplan-reuse shape")
+      val dPush = math.abs(a(3).toInt - b(3).toInt)
+      assert(dPush <= 1, s"$q: pushdown entries moved by $dPush (> the ±1 reuse shape)")
+      val dCols = math.abs(a(2).split("/").length - b(2).split("/").length)
+      assert(dCols <= 1, s"$q: ReadSchema entries moved by $dCols (> the ±1 reuse shape)")
     }
   }
 
