@@ -44,7 +44,6 @@ object PlanAudit {
     def inTree(name: String): Int =
       ("(?m)" + name + " \\(\\d+\\)").r.findAllIn(finalTree).length
     val scans = "Scan parquet".r.findAllIn(finalTree).length
-    val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(formatted).length
     val exchanges = inTree("Exchange") + inTree("BroadcastExchange")
     // codegen span ids appear as "*(k)" markers in the simple string
     // of the (now final) executed plan
@@ -53,9 +52,43 @@ object PlanAudit {
       .map(_.group(1)).toSet.size
     val bnlj = inTree("BroadcastNestedLoopJoin")
     val cartesian = inTree("CartesianProduct")
-    val readCols = "ReadSchema: struct<([^>]*)>".r
-      .findAllMatchIn(formatted)
-      .map(_.group(1).count(_ == ':')).toSeq
+    // Scan metadata (pruning + pushdown) is read ONLY for scan node ids
+    // a FINAL tree references — main plan or subquery. Counting every
+    // details block double-counts scans whose initial-plan node kept a
+    // different id than the final plan's, and HOW MANY ids AQE shares
+    // between the two trees varies with runtime reuse timing — that
+    // run-order flap was the q103 2/1/1-vs-2/1/2/1 and the q142 ±1
+    // cross-scale allowlist entry. State machine: skip tree lines under
+    // an "== Initial Plan ==" heading; a final-plan heading, a details
+    // block, or a subquery section header ends the skip.
+    val treeScanRe = "Scan parquet\\s*\\((\\d+)\\)".r
+    val detailHeadRe = "^\\((\\d+)\\) ".r
+    var skip = false
+    val finalIds = scala.collection.mutable.LinkedHashSet[String]()
+    formatted.linesIterator.foreach { line =>
+      if (line.contains("== Initial Plan ==")) skip = true
+      else if (line.contains("== Final Plan ==") || line.startsWith("Subquery") ||
+        line.startsWith("=====") || detailHeadRe.findFirstIn(line).isDefined)
+        skip = false
+      if (!skip && !line.startsWith("("))
+        treeScanRe.findFirstMatchIn(line).foreach(m => finalIds += m.group(1))
+    }
+    // details block per id: from "(id) Scan parquet" to the next header
+    val blockRe = "(?m)^\\((\\d+)\\) Scan parquet.*$".r
+    val starts = blockRe.findAllMatchIn(formatted)
+      .map(m => (m.group(1), m.start)).toSeq
+    val blocks: Map[String, String] = starts.map { case (id, s) =>
+      val end = "(?m)^\\(\\d+\\) ".r.findAllMatchIn(formatted)
+        .map(_.start).find(_ > s).getOrElse(formatted.length)
+      id -> formatted.substring(s, end)
+    }.toMap
+    val cells = finalIds.toSeq.flatMap(blocks.get)
+    val readCols = cells.map { b =>
+      "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(b)
+        .map(_.group(1).count(_ == ':')).getOrElse(0)
+    }
+    val pushed = cells.count(b =>
+      "PushedFilters: \\[[^\\]]".r.findFirstIn(b).isDefined)
     f"$scans | ${readCols.mkString("/")} | $pushed | $exchanges | $wsc | ${bnlj + cartesian}"
   }
 

@@ -221,6 +221,13 @@ object SparkEntry {
     "q180_kcore"             -> graft.operators.Graph.q180KCore _,
     "q181_month_rebuild"     -> graft.pipeline.Ingest.q181MonthRebuild _,
     "q182_pq_recall_audit"   -> graft.vector.Pq.q182PqRecallAudit _,
+    "q183_ivfpq"             -> graft.vector.Pq.q183IvfPq _,
+    "q184_ridge_quality"     -> graft.operators.Regression.q184RidgeQuality _,
+    "q185_dedup_yield_curve" -> ScaleOps.q185DedupYieldCurve _,
+    "q186_cms_audit"         -> TextOps.q186CmsAudit _,
+    "q187_source_similarity" -> ScaleOps.q187SourceSimilarity _,
+    "q188_vocab_concentration" -> TextOps.q188VocabConcentration _,
+    "q189_cross_source_dups" -> ScaleOps.q189CrossSourceDups _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3307,5 +3314,251 @@ object SparkEntry {
            ib.idx_before, ib.idx_before + nn.n_new AS idx_after
          FROM raws LEFT JOIN ing ON raws.source = ing.source, ib, nn
          ORDER BY raws.source""",
+    // q183: IVF-PQ — unrolled whole-vector coarse Lloyd (2 rounds, k=4,
+    // q121's rounding discipline), residuals vs the assigned coarse
+    // centroid (exact IEEE subtraction of 9-dp components), then the
+    // q172 residual-PQ chain; probe = top-2 coarse cells by 6-dp d2
+    // (ties on cl); score = qc + Σ LUT as integer-exact BIGINTs where
+    // qc = floor(q·c·1e7+0.5) and LUT partials use the FULL query
+    // subvectors; qscore = floor(t/1000+0.5)/1e4
+    "q183_ivfpq" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings),
+         cseeds AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cl, fv AS centroid
+                    FROM (SELECT id, fv FROM v ORDER BY id LIMIT 4) s),
+         cd1 AS (SELECT v.id, v.fv, c.cl,
+                 floor((list_dot_product(v.fv, v.fv) - 2*list_dot_product(v.fv, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM v, cseeds c),
+         ca1 AS (SELECT id, fv, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM cd1) t
+                WHERE rk = 1),
+         cc1 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
+                    SELECT cl, unnest(fv) AS x, unnest(generate_series(1, len(fv))) AS pos FROM ca1) u
+                  GROUP BY cl, pos) g GROUP BY cl),
+         cd2 AS (SELECT v.id, v.fv, c.cl,
+                 floor((list_dot_product(v.fv, v.fv) - 2*list_dot_product(v.fv, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM v, cc1 c),
+         ca2 AS (SELECT id, fv, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM cd2) t
+                WHERE rk = 1),
+         cc2 AS (SELECT cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
+                    SELECT cl, unnest(fv) AS x, unnest(generate_series(1, len(fv))) AS pos FROM ca2) u
+                  GROUP BY cl, pos) g GROUP BY cl),
+         cdf AS (SELECT v.id, v.fv, c.cl, c.centroid,
+                 floor((list_dot_product(v.fv, v.fv) - 2*list_dot_product(v.fv, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM v, cc2 c),
+         caf AS (SELECT id, fv, cl, centroid FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rk FROM cdf) t
+                WHERE rk = 1),
+         res0 AS (SELECT id, cl AS ccl, pos, x - centroid[pos] AS rx FROM (
+                  SELECT id, cl, centroid, unnest(fv) AS x,
+                    unnest(generate_series(1, len(fv))) AS pos FROM caf) u),
+         res AS (SELECT id, ccl, list(rx ORDER BY pos) AS rv FROM res0 GROUP BY id, ccl),
+         ss AS (SELECT unnest(generate_series(0, 3)) AS s),
+         sub AS (SELECT id, s, rv[16*s+1 : 16*s+16] AS vec FROM res, ss),
+         sd AS (SELECT id, s, vec, row_number() OVER (PARTITION BY s ORDER BY id) AS rn FROM sub),
+         pseeds AS (SELECT s, CAST(rn - 1 AS INT) AS cl, vec AS centroid FROM sd WHERE rn <= 8),
+         pd1 AS (SELECT sub.id, sub.s, sub.vec, c.cl,
+                 floor((list_dot_product(sub.vec, sub.vec) - 2*list_dot_product(sub.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM sub JOIN pseeds c USING (s)),
+         pa1 AS (SELECT id, s, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY d2, cl) AS rk FROM pd1) t
+                WHERE rk = 1),
+         pc1 AS (SELECT s, cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT s, cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
+                    SELECT s, cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM pa1) u
+                  GROUP BY s, cl, pos) g GROUP BY s, cl),
+         pd2 AS (SELECT sub.id, sub.s, sub.vec, c.cl,
+                 floor((list_dot_product(sub.vec, sub.vec) - 2*list_dot_product(sub.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM sub JOIN pc1 c USING (s)),
+         pa2 AS (SELECT id, s, vec, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY d2, cl) AS rk FROM pd2) t
+                WHERE rk = 1),
+         pc2 AS (SELECT s, cl, list(m ORDER BY pos) AS centroid FROM (
+                  SELECT s, cl, pos, floor(avg(x) * 1000000000.0 + 0.5) / 1000000000.0 AS m FROM (
+                    SELECT s, cl, unnest(vec) AS x, unnest(generate_series(1, len(vec))) AS pos FROM pa2) u
+                  GROUP BY s, cl, pos) g GROUP BY s, cl),
+         pdc AS (SELECT sub.id, sub.s, c.cl,
+                 floor((list_dot_product(sub.vec, sub.vec) - 2*list_dot_product(sub.vec, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+                FROM sub JOIN pc2 c USING (s) WHERE sub.id >= 10),
+         codes AS (SELECT id, s, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY d2, cl) AS rk FROM pdc) t
+                WHERE rk = 1),
+         qp AS (SELECT v.id AS qid, c.cl,
+                 floor((list_dot_product(v.fv, v.fv) - 2*list_dot_product(v.fv, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid)) * 1000000.0 + 0.5) / 1000000.0 AS d2,
+                 CAST(floor(list_dot_product(v.fv, c.centroid) * 10000000.0 + 0.5) AS BIGINT) AS qc
+                FROM v, cc2 c WHERE v.id < 10),
+         pr AS (SELECT qid, cl, qc FROM (
+                  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, cl) AS rk FROM qp) t
+                WHERE rk <= 2),
+         qsub AS (SELECT id AS qid, s, fv[16*s+1 : 16*s+16] AS vec FROM v, ss WHERE id < 10),
+         lut AS (SELECT q.qid, q.s, c.cl,
+                  CAST(floor(list_dot_product(q.vec, c.centroid) * 10000000.0 + 0.5) AS BIGINT) AS p
+                 FROM qsub q JOIN pc2 c USING (s)),
+         cellc AS (SELECT id, ccl FROM res WHERE id >= 10),
+         sc AS (SELECT pr.qid, cellc.id AS nid, CAST(pr.qc + sum(lut.p) AS BIGINT) AS t
+                FROM cellc JOIN pr ON pr.cl = cellc.ccl
+                JOIN codes ON codes.id = cellc.id
+                JOIN lut ON lut.qid = pr.qid AND lut.s = codes.s AND lut.cl = codes.cl
+                GROUP BY pr.qid, cellc.id, pr.qc),
+         r AS (SELECT qid, nid, floor(t / 1000.0 + 0.5) / 10000.0 AS qscore,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY floor(t / 1000.0 + 0.5) / 10000.0 DESC, nid ASC) AS rank
+               FROM sc)
+         SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, qscore
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q184: closed-form ridge (normal equations) fitting the q16
+    // quality score (bp) from token + punctuation counts — Gram sums
+    // as exact BIGINTs (order-free), then the FIXED-order 3×3 Cramer
+    // expansion over doubles (token-for-token the Scala expression, so
+    // the IEEE determinants are bit-identical), weights halfUp 9 dp,
+    // pred = floor(w·x + 0.5) as BIGINT
+    "q184_ridge_quality" ->
+      """WITH s AS (SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE len(regexp_extract_all(trim(text), '\S+')) END AS DOUBLE) AS n_words,
+           CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+           CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that)\b')) AS DOUBLE) AS n_stop
+         FROM documents),
+         q AS (SELECT doc_id, n_words, n_punct, floor((
+           least(n_chars / 500.0, 1.0)
+           + (1.0 - least(n_punct / greatest(n_words, 1.0) * 2.0, 1.0))
+           + least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0)
+           + CASE WHEN n_chars / greatest(n_words, 1.0) >= 3.0
+                   AND n_chars / greatest(n_words, 1.0) <= 10.0 THEN 1.0 ELSE 0.5 END
+           ) / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality
+         FROM s),
+         f AS (SELECT doc_id, CAST(n_words AS BIGINT) AS x1, CAST(n_punct AS BIGINT) AS x2,
+                 CAST(floor(quality * 10000.0 + 0.5) AS BIGINT) AS y
+               FROM q),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+                 CAST(sum(x1*x1) AS BIGINT) AS s11, CAST(sum(x1*x2) AS BIGINT) AS s12,
+                 CAST(sum(x2*x2) AS BIGINT) AS s22,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x1*y) AS BIGINT) AS s1y, CAST(sum(x2*y) AS BIGINT) AS s2y
+               FROM f),
+         gd AS (SELECT CAST(n AS DOUBLE) AS n,
+                 CAST(sx1 AS DOUBLE) AS sx1, CAST(sx2 AS DOUBLE) AS sx2,
+                 CAST(s11 AS DOUBLE) + 1000.0 AS a22, CAST(s12 AS DOUBLE) AS s12,
+                 CAST(s22 AS DOUBLE) + 1000.0 AS a33,
+                 CAST(sy AS DOUBLE) AS sy,
+                 CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y
+               FROM g),
+         dets AS (SELECT
+             n * (a22 * a33 - s12 * s12) - sx1 * (sx1 * a33 - s12 * sx2) + sx2 * (sx1 * s12 - a22 * sx2) AS det,
+             sy * (a22 * a33 - s12 * s12) - sx1 * (s1y * a33 - s12 * s2y) + sx2 * (s1y * s12 - a22 * s2y) AS det0,
+             n * (s1y * a33 - s12 * s2y) - sy * (sx1 * a33 - s12 * sx2) + sx2 * (sx1 * s2y - s1y * sx2) AS det1,
+             n * (a22 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2) + sy * (sx1 * s12 - a22 * sx2) AS det2
+           FROM gd),
+         wts AS (SELECT
+             floor(det0 / det * 1000000000.0 + 0.5) / 1000000000.0 AS w0,
+             floor(det1 / det * 1000000000.0 + 0.5) / 1000000000.0 AS w1,
+             floor(det2 / det * 1000000000.0 + 0.5) / 1000000000.0 AS w2
+           FROM dets)
+         SELECT f.doc_id, f.x1 AS n_words, f.x2 AS n_punct, f.y AS quality_bp,
+           CAST(floor(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + 0.5) AS BIGINT) AS pred_bp,
+           f.y - CAST(floor(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + 0.5) AS BIGINT) AS resid_bp
+         FROM f, wts w ORDER BY f.doc_id""",
+    // q185: τ-sweep yield curve over q24's exact-Jaccard pairs —
+    // all-pairs oracle (the Spark side's df-capped index is
+    // candidate-exact, same contract as q24), thresholds in basis
+    // points, dropped = distinct doc_b (min-id keeper at pair grain),
+    // zero-rows kept via left join
+    "q185_dedup_yield_curve" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                      for i in generate_series(1, len(ws)-2)]) END AS s
+                FROM w),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE len(a.s) > 0 AND len(b.s) > 0),
+         t AS (SELECT unnest([5000, 6000, 7000, 8000, 9000]) AS tau_bp),
+         sel AS (SELECT t.tau_bp, p.doc_a, p.doc_b FROM p JOIN t
+                 ON p.jaccard >= CAST(t.tau_bp AS DOUBLE) / 10000.0),
+         st AS (SELECT tau_bp, count(*) AS n_pairs,
+                  count(DISTINCT doc_b) AS n_docs_dropped
+                FROM sel GROUP BY tau_bp)
+         SELECT CAST(t.tau_bp AS INT) AS tau_bp,
+           CAST(coalesce(st.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(st.n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped
+         FROM t LEFT JOIN st USING (tau_bp) ORDER BY tau_bp""",
+    // q186: Count-Min accuracy audit — sketch = d=4 × w=256 bucket
+    // counts (md5 hex pair → 0..255, the established md5 idiom; Spark
+    // spells it conv(substr(md5,1,2),16,10), value-identical), exact
+    // top-20 by q102's conventions, estimate = min over the 4 rows
+    "q186_cms_audit" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+               FROM documents),
+         f AS (SELECT w, count(*) AS cnt FROM w WHERE w <> '' GROUP BY w),
+         js AS (SELECT unnest([1, 2, 3, 4]) AS j),
+         fb AS (SELECT f.w, f.cnt, js.j,
+                  (strpos('0123456789abcdef', substr(md5('cms' || CAST(js.j AS VARCHAR) || ':' || f.w), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5('cms' || CAST(js.j AS VARCHAR) || ':' || f.w), 2, 1)) - 1) AS b
+                FROM f, js),
+         sk AS (SELECT j, b, CAST(sum(cnt) AS BIGINT) AS c FROM fb GROUP BY j, b),
+         t AS (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rank
+               FROM f),
+         top AS (SELECT * FROM t WHERE rank <= 20),
+         est AS (SELECT top.rank, top.w, top.cnt, min(sk.c) AS cms_est
+                 FROM top JOIN fb ON fb.w = top.w
+                          JOIN sk ON sk.j = fb.j AND sk.b = fb.b
+                 GROUP BY top.rank, top.w, top.cnt)
+         SELECT CAST(rank AS INT) AS rank, w AS word, cnt,
+           cms_est, cms_est - cnt AS overcount
+         FROM est ORDER BY rank""",
+    // q187: per-source mean-embedding cosine matrix — centroids are
+    // EXACT (float-sourced double sums), cosine = q28's round-4
+    // spelling over list_dot_product, unordered pairs by source name
+    "q187_source_similarity" ->
+      """WITH e AS (SELECT d.source AS g, CAST(e.embedding AS DOUBLE[]) AS fv
+                FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         u AS (SELECT g, unnest(fv) AS x, unnest(generate_series(1, len(fv))) AS pos FROM e),
+         m AS (SELECT g, pos, avg(x) AS m FROM u GROUP BY g, pos),
+         c AS (SELECT g, list(m ORDER BY pos) AS c FROM m GROUP BY g)
+         SELECT a.g AS source_a, b.g AS source_b,
+           round(list_dot_product(a.c, b.c)
+             / (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))), 4) AS cos_sim
+         FROM c a JOIN c b ON a.g < b.g
+         ORDER BY source_a, source_b""",
+    // q188: per-source Herfindahl + TTR over q102's token convention —
+    // all-BIGINT (counts, squares, ×10⁴ floor-div), order-free
+    "q188_vocab_concentration" ->
+      """WITH w AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+               FROM documents),
+         c AS (SELECT source, w, count(*) AS c FROM w WHERE w <> '' GROUP BY source, w),
+         s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(c*c) AS BIGINT) AS sum_c2
+               FROM c GROUP BY source)
+         SELECT source, n_tokens, n_types,
+           (sum_c2 * 10000) // (n_tokens * n_tokens) AS herfindahl_bp,
+           (n_types * 10000) // n_tokens AS ttr_bp
+         FROM s ORDER BY source""",
+    // q189: cross-source exact-dup matrix over the q23 canonical
+    // fingerprint — shared-fp count + implied doc-pair count via the
+    // integer cross-multiply (no pair enumeration)
+    "q189_cross_source_dups" ->
+      """WITH f AS (SELECT source,
+           md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
+         FROM documents),
+         c AS (SELECT fp, source, count(*) AS c FROM f GROUP BY fp, source)
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fps,
+           CAST(sum(a.c * b.c) AS BIGINT) AS n_doc_pairs
+         FROM c a JOIN c b ON a.fp = b.fp AND a.source < b.source
+         GROUP BY a.source, b.source
+         ORDER BY source_a, source_b""",
   )
 }

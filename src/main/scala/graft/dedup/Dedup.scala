@@ -309,6 +309,43 @@ object Dedup {
     withHot.select("doc_a", "na", "doc_b", "nb", "inter")
   }
 
+  /** Dedup-threshold yield curve — the datasheet row a 100 TB dedup
+    * run is TUNED from: for each τ in `tausBp` (basis points), how
+    * many near-dup pairs fire and how many documents the min-id-keeper
+    * rule would drop. One `jaccardPairs` pass at the LOOSEST τ does
+    * all the candidate generation and exact verification; the sweep
+    * itself is a broadcast cross join of the (already pair-bounded)
+    * result against a |tausBp|-row literal frame plus one keyed
+    * aggregate — five thresholds cost one dedup run, not five.
+    * "Dropped" = appears as doc_b (the non-minimum side) of some
+    * qualifying pair, the q89 keeper convention at pair grain (the
+    * transitive-cluster count is q104's job; this curve is the cheap
+    * upper-bound sweep used to PICK τ before running components).
+    */
+  def dedupYieldCurve(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, tausBp: Seq[Int] = Seq(5000, 6000, 7000, 8000, 9000),
+                      maxDf: Int = 256): DataFrame = {
+    require(tausBp.nonEmpty, "dedupYieldCurve: empty threshold list")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tauMin = tausBp.min.toDouble / 10000.0
+    val pairs = jaccardPairs(docs, idCol, textCol, n, tauMin, maxDf)
+    val taus = tausBp.map(t => Tuple1(t)).toDF("tau_bp")
+    val stats = pairs.crossJoin(broadcast(taus))
+      .filter(col("jaccard") >= col("tau_bp").cast("double") / 10000.0)
+      .groupBy("tau_bp")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_dropped"))
+    // stats is bounded at |tausBp| rows by construction — pin the
+    // broadcast so the closing join plans identically at every scale
+    // (left to AQE it flapped 10↔11 exchanges between sf0.01 and sf0.1)
+    taus.join(broadcast(stats), Seq("tau_bp"), "left_outer")
+      .select(col("tau_bp").cast("int").as("tau_bp"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"))
+      .orderBy("tau_bp")
+  }
+
   /** Exact n-gram containment pairs: c(A→B) = |Sa ∩ Sb| / |Sa| ≥
     * `threshold` over distinct word n-gram shingles — the DIRECTIONAL
     * near-dup relation (A is mostly contained in B: quotes, excerpts,

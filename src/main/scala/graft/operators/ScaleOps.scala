@@ -23,6 +23,56 @@ object ScaleOps {
   def q24NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", 3, 0.8)
 
+  /** q185: the τ-sweep datasheet over the q24 pair machinery — pair
+    * counts and keeper-rule doc drops at 0.50/0.60/0.70/0.80/0.90,
+    * from ONE candidate+verify pass at τ=0.50.
+    */
+  def q185DedupYieldCurve(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupYieldCurve(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** q189: cross-source exact-duplicate matrix — q187's centroid view
+    * answers "which source pairs are semantically close"; this answers
+    * the exact-dup half with the q23 canonical fingerprint: per source
+    * pair, how many fingerprints collide and how many document PAIRS
+    * that implies (Σ over shared fps of cnt_a·cnt_b — the integer
+    * cross-multiply, no pair enumeration). Mirror feeds show up as a
+    * hot row here before any pairwise dedup is paid. Scale: one
+    * (fp, source) groupBy (map-side combine), then a self-join keyed
+    * on fp whose per-key expansion is bounded by |sources|²; the
+    * corpus-growing side is PINNED shuffle-hash (no AQE broadcast
+    * flips at any scale).
+    */
+  def q189CrossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .select(col("source"), Dedup.canonicalFingerprint(col("text")).as("fp"))
+      .groupBy("fp", "source").agg(count(lit(1)).as("c"))
+    val a = cnt.select(col("fp"), col("source").as("source_a"), col("c").as("ca"))
+    val b = cnt.select(col("fp"), col("source").as("source_b"), col("c").as("cb"))
+    a.join(b.hint("shuffle_hash"), Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_fps"),
+        sum(col("ca") * col("cb")).as("n_doc_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q187: per-source mean-embedding cosine matrix — which source
+    * pairs run semantically hot (mirror/overlap feeds) before paying
+    * document-grain near-dup across them. The doc→source join is the
+    * only corpus-width stage; everything after operates on |sources|
+    * rows.
+    */
+  def q187SourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val e = Tables.embeddings(spark, dir)
+    VectorOps.centroidSimilarityMatrix(
+      e.join(d, e("vec_id") === d("doc_id"))
+        .select(col("source"), col("embedding")),
+      "source", "embedding")
+      .select(col("group_a").as("source_a"), col("group_b").as("source_b"),
+        col("cos_sim"))
+  }
+
   /** MinHash+LSH candidates verified with exact Jaccard — equals q24
     * whenever LSH recall holds (per-pair miss ~2.2e-4 at the j = 0.8
     * boundary, ~3e-8 by j ≥ 0.9 — see Dedup.minhashLshPairs), hence

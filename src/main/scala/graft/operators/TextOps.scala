@@ -193,6 +193,87 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Count-Min Sketch over the token stream, built the Spark-native
+    * way: the d×w sketch IS a (row, bucket)-keyed count aggregate —
+    * map-side combined, mergeable across partitions/batches by
+    * construction (sum of counts), never a per-executor mutable
+    * matrix. Buckets come from md5 (identical UTF-8 bytes → identical
+    * hex both engines, the q118/q128 idiom), two hex chars → 256
+    * buckets per row. Returns (j, b, c) — d·w rows, the whole sketch
+    * a few KB no matter the corpus size.
+    */
+  def countMinSketch(words: DataFrame, wordCol: String, d: Int): DataFrame = {
+    val jb = (1 to d).map { j =>
+      struct(lit(j).as("j"),
+        conv(substring(md5(concat(lit(s"cms$j:"), col(wordCol))), 1, 2), 16, 10)
+          .cast("int").as("b"))
+    }
+    words.select(explode(array(jb: _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** q186: CMS accuracy audit — the exact top-20 tokens (q102's token
+    * and ranking conventions) against their Count-Min estimates
+    * (d=4 × w=256), with the per-token overcount. The CMS guarantee
+    * (est ≥ true always; est ≤ true + εN w.h.p.) becomes a TRACKED
+    * hash-checked row like q142/q182's recall audits, instead of a
+    * comment. Scale: the sketch build is the token-grain aggregate the
+    * stream already pays for heavy hitters; the audit adds one
+    * broadcast join of 20·d rows against the 1024-row sketch.
+    */
+  def q186CmsAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val words = Tables.widen(Tables.documents(spark, dir))
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val sketch = countMinSketch(words, "w", d)
+    val top = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("w").asc)))
+    val jb = (1 to d).map { j =>
+      struct(lit(j).as("j"),
+        conv(substring(md5(concat(lit(s"cms$j:"), col("w"))), 1, 2), 16, 10)
+          .cast("int").as("b"))
+    }
+    top.select(col("rank"), col("w"), col("cnt"),
+        explode(array(jb: _*)).as("jb"))
+      .join(broadcast(sketch),
+        col("jb.j") === col("j") && col("jb.b") === col("b"))
+      .groupBy("rank", "w", "cnt")
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("rank"), col("w").as("word"), col("cnt"),
+        col("cms_est"), (col("cms_est") - col("cnt")).as("overcount"))
+      .orderBy("rank")
+  }
+
+  /** q188: per-source vocabulary concentration — the diversity
+    * datasheet next to q177's Zipf slope: Herfindahl index over token
+    * shares (Σcᵢ²/N², basis points; high = a few tokens dominate =
+    * boilerplate/templated source) and the type-token ratio. All
+    * integer arithmetic end to end (counts, squares, the ×10⁴ div) —
+    * order-free and hash-exact at any parallelism. LONG bound: the
+    * ×10⁴ cross-multiply is exact while a source's Σcᵢ² ≤ 9.2e14
+    * (≈3e7 tokens in the fully-degenerate one-token source); beyond
+    * that spell the ratios in DECIMAL(38,0) (q147's pattern). Scale:
+    * one (source, token) groupBy with map-side combine, then a
+    * |sources|-row aggregate.
+    */
+  def q188VocabConcentration(spark: SparkSession, dir: String): DataFrame =
+    Tables.widen(Tables.documents(spark, dir))
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("sum_c2 * 10000 div (n_tokens * n_tokens)").as("herfindahl_bp"),
+        expr("n_types * 10000 div n_tokens").as("ttr_bp"))
+      .orderBy("source")
+
   /** Corpus bigram-LM perplexity per document — the CCNet/KenLM-style
     * quality signal next to q16's surface score and q97's compression
     * ratio: text whose transitions diverge from the corpus model scores

@@ -121,7 +121,12 @@ object Events {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
     val firstWk = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-    ev.distinct().join(firstWk, "user_id")
+    // user-grain aggregate joined back to user-grain rows: both sides
+    // grow with the user population, so broadcasting firstWk is only
+    // ever an AQE small-fixture artifact (it flapped the exchange count
+    // 6↔7 run-to-run at the SAME scale in the round-12 audits) — pin
+    // the 100 TB-honest shuffle-hash strategy (q174/q178's rule)
+    ev.distinct().join(firstWk.hint("shuffle_hash"), "user_id")
       .withColumn("week_offset",
         (datediff(col("wk"), col("cohort_wk")) / lit(7)).cast("int"))
       .groupBy("cohort_wk", "week_offset")

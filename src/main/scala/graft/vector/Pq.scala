@@ -144,14 +144,14 @@ object Pq {
     PqModel(m, dsub, books)
   }
 
-  /** (id, codes array<int>) — per-subspace nearest-codebook-entry ids,
-    * argmin math identical to `kmeansTrain`'s assignment (6-dp-rounded
-    * squared L2, ties → lowest cluster id). One narrow projection; the
-    * model ships as ONE SparkContext broadcast, not a closure payload.
+  /** The per-row PQ assignment UDF both `pqEncode` and `ivfPqEncode`
+    * apply — per subspace, the 6-dp-rounded squared-L2 argmin over the
+    * codebook (ties → lowest cluster id), bit-identical to
+    * `kmeansTrain`'s assignment. The model ships as ONE SparkContext
+    * broadcast, not a closure payload.
     */
-  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
-               model: PqModel): DataFrame = {
-    val spark = vecs.sparkSession
+  private def encodeUdf(spark: SparkSession,
+                        model: PqModel): org.apache.spark.sql.expressions.UserDefinedFunction = {
     // flatten to primitives for the tight loop: per subspace, the
     // cluster ids, centroid rows, and centroid self-dots
     val cls = model.books.map(_.map(_._1))
@@ -163,7 +163,7 @@ object Pq {
     })
     val dsub = model.dsub
     val bc = spark.sparkContext.broadcast((cls, cs, ccs))
-    val enc = udf { (vec: Array[Double]) =>
+    udf { (vec: Array[Double]) =>
       val (bCls, bCs, bCcs) = bc.value
       val out = new Array[Int](bCs.length)
       var s = 0
@@ -188,6 +188,15 @@ object Pq {
       }
       out
     }
+  }
+
+  /** (id, codes array<int>) — per-subspace nearest-codebook-entry ids,
+    * argmin math identical to `kmeansTrain`'s assignment (6-dp-rounded
+    * squared L2, ties → lowest cluster id). One narrow projection.
+    */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame = {
+    val enc = encodeUdf(vecs.sparkSession, model)
     vecs.select(col(idCol).as("id"),
       enc(col(vecCol).cast("array<double>")).as("codes"))
   }
@@ -362,5 +371,195 @@ object Pq {
         when(col("n_pairs") === 0L, lit(0L))
           .otherwise(expr("n_hits * 10000 div n_pairs")))
       .orderBy("method")
+  }
+
+  // ===== IVF-PQ: residual product quantization inside a coarse =====
+  // ===== inverted index — the canonical billion-vector layout   =====
+
+  /** Coarse quantizer + per-subspace residual codebooks. Driver-held:
+    * kCoarse·dim + m·ksub·dsub doubles (KBs at any sane config).
+    */
+  final case class IvfPqModel(coarse: Array[(Int, Vector[Double])],
+                              pq: PqModel)
+
+  /** (id, cl, rvec) — each vector's nearest coarse centroid (6-dp
+    * squared-L2 argmin, ties → lowest cluster id, `kmeansTrain`'s
+    * exact discipline) and its RESIDUAL against that centroid. One
+    * narrow stateless projection; the coarse model ships as one
+    * SparkContext broadcast. Residual components are single IEEE
+    * subtractions of 9-dp-rounded centroid components from the
+    * float-sourced input doubles — bit-identical on any engine, so the
+    * downstream PQ chain stays hash-exact cross-engine.
+    */
+  def ivfPqResiduals(vecs: DataFrame, idCol: String, vecCol: String,
+                     coarse: Array[(Int, Vector[Double])]): DataFrame = {
+    val spark = vecs.sparkSession
+    val cls = coarse.map(_._1)
+    val cs = coarse.map(_._2.toArray)
+    val ccs = cs.map { c =>
+      var cc = 0.0; var i = 0
+      while (i < c.length) { cc += c(i) * c(i); i += 1 }
+      cc
+    }
+    val bc = spark.sparkContext.broadcast((cls, cs, ccs))
+    val resid = udf { (vec: Array[Double]) =>
+      val (bCls, bCs, bCcs) = bc.value
+      var vv = 0.0
+      var i = 0
+      while (i < vec.length) { vv += vec(i) * vec(i); i += 1 }
+      var bd = Double.PositiveInfinity
+      var bcI = Int.MaxValue
+      var bj = -1
+      var j = 0
+      while (j < bCs.length) {
+        val c = bCs(j)
+        var d = 0.0; var i2 = 0
+        while (i2 < c.length) { d += vec(i2) * c(i2); i2 += 1 }
+        val d2 = math.floor((vv - 2.0 * d + bCcs(j)) * 1e6 + 0.5) / 1e6
+        if (d2 < bd || (d2 == bd && bCls(j) < bcI)) { bd = d2; bcI = bCls(j); bj = j }
+        j += 1
+      }
+      val c = bCs(bj)
+      val rv = new Array[Double](vec.length)
+      var k = 0
+      while (k < vec.length) { rv(k) = vec(k) - c(k); k += 1 }
+      (bcI, rv)
+    }
+    vecs.select(col(idCol).as("id"),
+        resid(col(vecCol).cast("array<double>")).as("r"))
+      .select(col("id"), col("r._1").as("cl"), col("r._2").as("rvec"))
+  }
+
+  /** Train the IVF-PQ index: a whole-vector coarse Lloyd fit
+    * (`VectorOps.kmeansTrain` — same seeds/rounding discipline), then
+    * `pqTrain` over the RESIDUALS vec − coarse[cl]. Residual PQ is why
+    * IVF-PQ beats flat PQ at equal code budget: residuals concentrate
+    * near the origin, so the same ksub spends its resolution on a much
+    * smaller ball (FAISS's IVFPQ layout). Cost: (coarseIters + 1 +
+    * pqIters) corpus scans, all map-side; every model artifact is
+    * driver-KB-sized.
+    */
+  def ivfPqTrain(vecs: DataFrame, idCol: String, vecCol: String,
+                 kCoarse: Int, coarseIters: Int,
+                 m: Int, ksub: Int, pqIters: Int): IvfPqModel = {
+    val coarse = VectorOps.kmeansTrain(vecs, idCol, vecCol, kCoarse, coarseIters)
+    val resid = ivfPqResiduals(vecs, idCol, vecCol, coarse)
+    IvfPqModel(coarse, pqTrain(resid, "id", "rvec", m, ksub, pqIters))
+  }
+
+  /** (id, cl, codes) — the inverted-list layout: coarse cell id plus
+    * the m-byte residual code. At 100 TB this is THE scan face: write
+    * it partitioned by `cl` and a probe touches only nProbe/kCoarse of
+    * the files (partition pruning does the inverted-index read for
+    * free); the float vectors never travel.
+    */
+  def ivfPqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+                  model: IvfPqModel): DataFrame = {
+    val enc = encodeUdf(vecs.sparkSession, model.pq)
+    ivfPqResiduals(vecs, idCol, vecCol, model.coarse)
+      .select(col("id"), col("cl"), enc(col("rvec")).as("codes"))
+  }
+
+  /** IVF-PQ ADC top-k: each query probes its `nProbe` nearest coarse
+    * cells (6-dp squared-L2 ascending, ties → lowest cl — the argmin
+    * ranking extended to rank-nProbe) and scores ONLY rows in those
+    * cells. Score decomposition: q·x ≈ q·c(cl) + q·decode(codes) =
+    * one per-(query,cell) constant + m LUT lookups, all integer-exact:
+    * qc = floor(q·c·1e7+0.5) and LUT partials floor(q_sub·cent·1e7+0.5)
+    * as LONGs, qscore = floor(t/1000+0.5)/1e4 — the LUT uses the FULL
+    * query subvectors (not residuals), which is what makes one LUT per
+    * query serve every probed cell. Scale: the probe pairs frame is
+    * |queries|·nProbe rows broadcast against the code table — with the
+    * code table partitioned by cl this is partition-pruned to the
+    * probed lists; top-k via the bounded aggregator so only
+    * |queries|·k rows shuffle. Query side bounded by `MaxProbeRows`.
+    */
+  def ivfPqTopK(queries: DataFrame, encoded: DataFrame, qId: String,
+                vecCol: String, model: IvfPqModel,
+                nProbe: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val dsub = model.pq.dsub
+    val m = model.pq.m
+    require(model.pq.books.nonEmpty && model.pq.books.forall(_.nonEmpty),
+      "ivfPqTopK: empty residual codebook")
+    val ksub = model.pq.books.map(_.map(_._1).max + 1).max
+    val qRows = queries
+      .select(col(qId).cast("long").as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .limit(MaxProbeRows + 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.length <= MaxProbeRows,
+      s"ivfPqTopK: probe set exceeds the bounded-broadcast contract " +
+        s"($MaxProbeRows rows) — swap the sides or batch the probe set")
+    val cCls = model.coarse.map(_._1)
+    val cCs = model.coarse.map(_._2.toArray)
+    val cCcs = cCs.map { c =>
+      var cc = 0.0; var i = 0
+      while (i < c.length) { cc += c(i) * c(i); i += 1 }
+      cc
+    }
+    // (query_id, cl, qc): the probed cells with their q·c constants
+    val probePairs: Seq[(Long, Int, Long)] = qRows.toSeq.flatMap { case (qid, qv) =>
+      var vv = 0.0
+      var i = 0
+      while (i < qv.length) { vv += qv(i) * qv(i); i += 1 }
+      val scored = cCls.indices.map { j =>
+        val c = cCs(j)
+        var d = 0.0; var i2 = 0
+        while (i2 < c.length) { d += qv(i2) * c(i2); i2 += 1 }
+        val d2 = math.floor((vv - 2.0 * d + cCcs(j)) * 1e6 + 0.5) / 1e6
+        (d2, cCls(j), math.floor(d * 1e7 + 0.5).toLong)
+      }
+      scored.sortBy(t => (t._1, t._2)).take(nProbe)
+        .map { case (_, cl, qc) => (qid, cl, qc) }
+    }
+    val luts: Map[Long, Array[Long]] = qRows.map { case (qid, qv) =>
+      val lut = new Array[Long](m * ksub)
+      var s = 0
+      while (s < m) {
+        val off = s * dsub
+        model.pq.books(s).foreach { case (cl, cent) =>
+          var d = 0.0; var i = 0
+          while (i < dsub) { d += qv(off + i) * cent(i); i += 1 }
+          lut(s * ksub + cl) = math.floor(d * 1e7 + 0.5).toLong
+        }
+        s += 1
+      }
+      qid -> lut
+    }.toMap
+    val bc = spark.sparkContext.broadcast(luts)
+    val score = udf { (qid: Long, qc: Long, cds: Array[Int]) =>
+      val lut = bc.value(qid)
+      var t = qc
+      var s = 0
+      while (s < cds.length) { t += lut(s * ksub + cds(s)); s += 1 }
+      math.floor(t / 1000.0 + 0.5) / 10000.0
+    }
+    import spark.implicits._
+    val probes = probePairs.toDF("query_id", "cl", "qc")
+    encoded.join(broadcast(probes), Seq("cl"))
+      .select(col("query_id"), col("id").cast("long").as("neighbor_id"),
+        score(col("query_id"), col("qc"), col("codes")).as("qscore"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topK(k)(
+        col("qscore"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s._2").as("neighbor_id"), col("s._1").as("qscore"))
+  }
+
+  /** q183: IVF-PQ ADC top-5 over the embeddings table — 4 coarse cells
+    * (2 Lloyd rounds), residual PQ m=4/ksub=8 (2 rounds), probe 2 of 4
+    * cells; queries vec_id<10, corpus ≥10 (the q28/q172 split). The
+    * model trains on the full table, as q172's flat-PQ does.
+    */
+  def q183IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+    val model = ivfPqTrain(e, "vec_id", "embedding", 4, 2, 4, 8, 2)
+    val encoded = ivfPqEncode(e.filter(col("vec_id") >= 10), "vec_id", "embedding", model)
+    ivfPqTopK(e.filter(col("vec_id") < 10), encoded, "vec_id", "embedding",
+      model, 2, 5)
+      .orderBy("query_id", "rank")
   }
 }

