@@ -228,6 +228,11 @@ object SparkEntry {
     "q187_source_similarity" -> ScaleOps.q187SourceSimilarity _,
     "q188_vocab_concentration" -> TextOps.q188VocabConcentration _,
     "q189_cross_source_dups" -> ScaleOps.q189CrossSourceDups _,
+    "q190_bloom_decontam"    -> ScaleOps.q190BloomDecontam _,
+    "q191_semdedup"          -> ScaleOps.q191SemDedup _,
+    "q192_partition_histogram" -> graft.operators.Planning.q192PartitionHistogram _,
+    "q193_vocab_minhash"     -> TextOps.q193VocabMinhashOverlap _,
+    "q194_spectral_power"    -> graft.vector.Spectral.q194SpectralPower _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3560,5 +3565,137 @@ object SparkEntry {
          FROM c a JOIN c b ON a.fp = b.fp AND a.source < b.source
          GROUP BY a.source, b.source
          ORDER BY source_a, source_b""",
+    // q190: bloom decontamination audit — bit positions from the
+    // ('0x'||substr(md5('bl{j}:'||g),1,5))::BIGINT idiom (Spark spells
+    // it conv(substr(md5,1,5),16,10), value-identical); a doc n-gram is
+    // a bloom hit iff ALL THREE positions land in the benchmark's
+    // position set — the relational statement of "all bits set"
+    "q190_bloom_decontam" ->
+      """WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         sh AS (SELECT doc_id, source, CASE WHEN len(ws) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+                                      for i in generate_series(1, len(ws)-4)]) END AS s
+                FROM w),
+         bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
+         bp AS (SELECT DISTINCT ('0x' || substr(md5('bl' || CAST(j AS VARCHAR) || ':' || g), 1, 5))::BIGINT % 1048576 AS p
+                FROM bg, generate_series(1, 3) t(j)),
+         cg AS (SELECT doc_id, source, CAST(len(s) AS BIGINT) AS n_ngrams, unnest(s) AS g
+                FROM sh WHERE source <> 'src0'),
+         h AS (SELECT doc_id, source, n_ngrams,
+                 (('0x' || substr(md5('bl1:' || g), 1, 5))::BIGINT % 1048576 IN (SELECT p FROM bp)
+              AND ('0x' || substr(md5('bl2:' || g), 1, 5))::BIGINT % 1048576 IN (SELECT p FROM bp)
+              AND ('0x' || substr(md5('bl3:' || g), 1, 5))::BIGINT % 1048576 IN (SELECT p FROM bp)) AS hit,
+                 g IN (SELECT g FROM bg) AS ex
+               FROM cg)
+         SELECT doc_id, source, n_ngrams,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+           CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits
+         FROM h GROUP BY doc_id, source, n_ngrams
+         HAVING sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0
+         ORDER BY doc_id""",
+    // q191: SemDeDup — label-mean centroids + nearest-centroid
+    // assignment are q29's proven chain; the within-cluster pair scan
+    // uses q28's round-4 cosine spelling, keeper = argmax cos then min
+    // id (the min(struct) aggregate's order, replayed as row_number)
+    "q191_semdedup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ci AS (SELECT label, unnest(generate_series(1, 64)) AS i, v FROM e),
+         cent AS (SELECT label, i, avg(v[i]) AS m FROM ci GROUP BY label, i),
+         centv AS (SELECT label, list(m ORDER BY i) AS ce FROM cent GROUP BY label),
+         asg AS (SELECT vec_id, v, label AS cl FROM (
+             SELECT e.vec_id, e.v, centv.label,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.v, centv.ce) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(centv.ce, centv.ce))), 4) DESC,
+                 centv.label ASC) AS pr
+             FROM e, centv) WHERE pr = 1),
+         p AS (SELECT a.cl, a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+               FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+         f AS (SELECT cl, id_a, id_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bp
+               FROM p WHERE cos >= 0.35),
+         r AS (SELECT cl, id_b, id_a, cos_bp,
+                 row_number() OVER (PARTITION BY cl, id_b ORDER BY cos_bp DESC, id_a ASC) AS rk,
+                 count(*) OVER (PARTITION BY cl, id_b) AS n
+               FROM f)
+         SELECT CAST(cl AS INT) AS cluster, id_b AS dropped_id, id_a AS keeper_id,
+           CAST(n AS BIGINT) AS n_dups, cos_bp AS best_cos_bp
+         FROM r WHERE rk = 1 ORDER BY dropped_id""",
+    // q192: hash-partition imbalance at P=32 over the documents table's
+    // candidate shuffle keys; buckets via the 4-hex-char md5 idiom,
+    // fp = q23/q189's canonical fingerprint spelling
+    "q192_partition_histogram" ->
+      """WITH k AS (
+           SELECT 'fp' AS kname,
+             md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS kval
+           FROM documents
+           UNION ALL SELECT 'lang', lang FROM documents
+           UNION ALL SELECT 'source', source FROM documents),
+         c AS (SELECT kname, kval, count(*) AS c FROM k GROUP BY kname, kval),
+         b AS (SELECT kname, ('0x' || substr(md5(kval), 1, 4))::BIGINT % 32 AS b, sum(c) AS bc
+               FROM c GROUP BY kname, b),
+         s1 AS (SELECT kname, CAST(sum(c) AS BIGINT) AS n_rows,
+                  CAST(count(*) AS BIGINT) AS n_keys, CAST(max(c) AS BIGINT) AS top_key_rows
+                FROM c GROUP BY kname),
+         s2 AS (SELECT kname, CAST(max(bc) AS BIGINT) AS max_bucket_rows FROM b GROUP BY kname)
+         SELECT s1.kname AS key_col, n_rows, n_keys, top_key_rows, max_bucket_rows,
+           max_bucket_rows * 32 * 10000 // greatest(n_rows, 1) AS imbalance_bp,
+           top_key_rows * 10000 // greatest(n_rows, 1) AS top_key_share_bp
+         FROM s1 JOIN s2 USING (kname) ORDER BY key_col""",
+    // q193: source-vocabulary MinHash-64 overlap audit — tokens follow
+    // the q102/q188 convention; signature slot j = min over the vocab of
+    // the 12-hex-char md5 value (48 bits), estimate = matching slots/64
+    "q193_vocab_minhash" ->
+      """WITH w AS (SELECT source AS g, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+               FROM documents),
+         v AS (SELECT DISTINCT g, w FROM w WHERE w <> ''),
+         sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+         ix AS (SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS n_inter
+                FROM v a JOIN v b ON a.w = b.w AND a.g < b.g GROUP BY a.g, b.g),
+         mh AS (SELECT g, j, min(('0x' || substr(md5('mh' || CAST(j AS VARCHAR) || ':' || w), 1, 12))::BIGINT) AS m
+                FROM v, generate_series(1, 64) t(j) GROUP BY g, j),
+         mm AS (SELECT a.g AS ga, b.g AS gb,
+                  CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS matches
+                FROM mh a JOIN mh b ON a.j = b.j AND a.g < b.g GROUP BY a.g, b.g),
+         p AS (SELECT a.g AS ga, b.g AS gb, a.n AS n_a, b.n AS n_b
+               FROM sz a JOIN sz b ON a.g < b.g)
+         SELECT ga AS source_a, gb AS source_b, n_a, n_b,
+           coalesce(ix.n_inter, 0) AS n_inter,
+           coalesce(ix.n_inter, 0) * 10000 // greatest(n_a + n_b - coalesce(ix.n_inter, 0), 1) AS exact_j_bp,
+           coalesce(mm.matches, 0) * 10000 // 64 AS est_j_bp,
+           coalesce(mm.matches, 0) * 10000 // 64
+             - coalesce(ix.n_inter, 0) * 10000 // greatest(n_a + n_b - coalesce(ix.n_inter, 0), 1) AS err_bp
+         FROM p LEFT JOIN ix USING (ga, gb) LEFT JOIN mm USING (ga, gb)
+         ORDER BY source_a, source_b""",
+    // q194: exact-integer Gram + fixed-point power iteration, every step
+    // replayed (12 unrolled w/m/v CTE triples built by q194OracleSteps;
+    // truncating // matches BigInt division toward zero)
+    "q194_spectral_power" ->
+      (s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS fv FROM embeddings),
+         q AS (SELECT [CAST(floor(fv[i] * 1000 + 0.5) AS BIGINT) for i in generate_series(1, 16)] AS q FROM e),
+         g AS MATERIALIZED (SELECT i, j, CAST(sum(q[i] * q[j]) AS HUGEINT) AS g
+               FROM q, generate_series(1, 16) t1(i), generate_series(1, 16) t2(j)
+               GROUP BY i, j),
+         v0 AS (SELECT unnest(generate_series(1, 16)) AS i, CAST(10000 AS HUGEINT) AS v),
+         """ + q194OracleSteps(12) + """
+         ray AS (SELECT (SELECT sum(g.g * a.v * b.v) FROM g JOIN v12 a ON g.i = a.i JOIN v12 b ON g.j = b.i)
+                   // greatest((SELECT sum(v * v) FROM v12), 1) AS r)
+         SELECT CAST(d.i AS INT) AS pos, CAST(d.g AS BIGINT) AS g_diag,
+           CAST(v12.v AS BIGINT) AS loading_fp, CAST(ray.r AS BIGINT) AS rayleigh_fp
+         FROM g d JOIN v12 ON v12.i = d.i CROSS JOIN ray
+         WHERE d.i = d.j ORDER BY pos"""),
   )
+
+  /** The unrolled fixed-point power-iteration CTE triples for q194's
+    * oracle: step t computes w_t = G·v_{t-1}, m_t = max|w_t| (≥1), and
+    * v_t = (w_t · 10⁴) // m_t — the exact statements Spectral
+    * .powerIteration executes in BigInt.
+    */
+  private def q194OracleSteps(iters: Int): String =
+    (1 to iters).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT g.i, sum(g.g * v${t - 1}.v) AS w FROM g JOIN v${t - 1} ON g.j = v${t - 1}.i GROUP BY g.i),
+         m$t AS (SELECT greatest(max(abs(w)), 1) AS m FROM w$t),
+         v$t AS MATERIALIZED (SELECT i, (w * 10000) // m AS v FROM w$t, m$t),"""
+    }.mkString("\n         ")
 }

@@ -897,4 +897,64 @@ object Dedup {
       .select((col("id") / nBlocks).cast("int").as("blk_a"),
         pmod(col("id"), lit(nBlocks)).cast("int").as("blk_b"))
       .filter(col("blk_a") <= col("blk_b"))
+
+  /** Group-level MinHash set-overlap audit — the sketch answer to "how
+    * much do these corpus slices overlap" next to its exact truth. Per
+    * group (source, shard, snapshot …), the signature is `perms`
+    * single-hash minima over the group's distinct item set: min() is
+    * associative/commutative and map-side combines, so the whole
+    * signature pass is ONE bounded aggregate over the corpus — the
+    * mergeable-sketch property (a shard's signature mins merge into the
+    * total's by another min, the HLL/CMS argument). The estimator is the
+    * classic one-permutation-per-slot form: Ĵ = |{j : minₐ(j)=min_b(j)}|
+    * / perms, with stderr ≈ √(J(1−J)/perms) ≈ 6 %-points at perms=64 —
+    * the audit columns put the realized error next to the estimate
+    * (q142/q182/q186's estimate-vs-exact pattern). Exact truth: the
+    * item-keyed self-join (per-item expansion ≤ |groups|², the q189
+    * bound; corpus-growing sides pinned shuffle-hash). The full pair
+    * frame comes from the |groups|-row size table via a constant-key
+    * broadcast equi-join (hash join, not BNLJ — q187's rule). Hash:
+    * 12 md5 hex chars (48 bits — collision-free in practice and exactly
+    * reproducible as `('0x'||substr(md5(...),1,12))::BIGINT`).
+    *
+    * Output per unordered pair: (group_a, group_b, n_a, n_b, n_inter,
+    * exact_j_bp, est_j_bp, err_bp) — all integer basis points.
+    */
+  def groupSetMinhashOverlap(items: DataFrame, groupCol: String,
+                             itemCol: String, perms: Int): DataFrame = {
+    val it = items.select(col(groupCol).as("grp"), col(itemCol).as("item"))
+      .distinct()
+    val mins = (1 to perms).map(j =>
+      min(conv(substring(md5(concat(lit(s"mh$j:"), col("item"))), 1, 12), 16, 10)
+        .cast("long")).as(s"m$j"))
+    val sk = it.groupBy("grp")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("grp"), array((1 to perms).map(j => col(s"m$j")): _*).as("sig"))
+    val sizes = it.groupBy("grp").agg(count(lit(1)).as("n"))
+    val inter = it.select(col("grp").as("ga"), col("item"))
+      .join(it.select(col("grp").as("gb"), col("item")).hint("shuffle_hash"),
+        Seq("item"))
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("n_inter"))
+    val pairs = sizes.select(col("grp").as("ga"), col("n").as("n_a"), lit(1).as("one"))
+      .join(broadcast(sizes.select(col("grp").as("gb"), col("n").as("n_b"),
+        lit(1).as("one"))), Seq("one"))
+      .filter(col("ga") < col("gb"))
+      .drop("one")
+    pairs
+      .join(broadcast(sk.select(col("grp").as("ga"), col("sig").as("sig_a"))), Seq("ga"))
+      .join(broadcast(sk.select(col("grp").as("gb"), col("sig").as("sig_b"))), Seq("gb"))
+      .join(inter, Seq("ga", "gb"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("matches",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("n_a"), col("n_b"), col("n_inter"),
+        expr("n_inter * 10000 div greatest(n_a + n_b - n_inter, 1)")
+          .as("exact_j_bp"),
+        expr(s"matches * 10000 div $perms").as("est_j_bp"))
+      .withColumn("err_bp", col("est_j_bp") - col("exact_j_bp"))
+      .orderBy("group_a", "group_b")
+  }
 }

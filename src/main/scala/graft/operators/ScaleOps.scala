@@ -56,6 +56,36 @@ object ScaleOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** q190: Bloom-filter decontamination audit — flag corpus documents
+    * sharing word-5-grams with the src0 "benchmark" feed via a 2²⁰-bit
+    * k=3 broadcast bloom (the production path: no benchmark join on
+    * the corpus side), with the exact-join truth kept in-row as the
+    * audit column. See [[graft.dedup.Bloom]] for the mergeable-bitset
+    * scale contract and the FP math.
+    */
+  def q190BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.widen(Tables.documents(spark, dir))
+    graft.dedup.Bloom.bloomDecontam(
+      docs.filter(col("source") =!= "src0"), "doc_id", "text",
+      docs.filter(col("source") === "src0"), "text",
+      n = 5, keep = Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_ngrams"),
+        col("n_bloom_hits"), col("n_exact_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** q191: SemDeDup — semantic near-dup removal scoped to embedding
+    * clusters (label-mean centroid assignment, the q29 cluster model;
+    * production swaps in a kmeansAssign codebook at k≈√N). τ = 0.35 on
+    * the isotropic fixture ≈ the 99.9th within-cluster percentile, so
+    * drops are the genuinely-entangled tail, not half the corpus.
+    */
+  def q191SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.widen(Tables.embeddings(spark, dir))
+    VectorOps.semDedup(
+      VectorOps.ivfAssign(e, "vec_id", "embedding", "label", 1), 0.35)
+  }
+
   /** q187: per-source mean-embedding cosine matrix — which source
     * pairs run semantically hot (mirror/overlap feeds) before paying
     * document-grain near-dup across them. The doc→source join is the
@@ -533,10 +563,19 @@ object ScaleOps {
         greatest(exact.cast("double") * 0.05, lit(2.0))
     val d = Tables.documents(spark, dir).select(col("lang"),
       md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+    // |langs|-row sketch table, materialized EAGERLY: it feeds both the
+    // per-lang rows and the union-merge, and leaving it as a shared
+    // lazy subtree made the final plan depend on whether AQE's runtime
+    // exchange reuse won the race between the two consumers (codegen
+    // span count flapped 7↔6 in full-catalog audits — the q24/q103
+    // order-dependence class, reuse-timing flavor). Checkpointing the
+    // metadata-sized table is also the honest 100 TB shape: the corpus
+    // pass happens once, both consumers read |langs| rows.
     val per = d.groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
       countDistinct(col("fp")).as("ndv_exact"),
       hll_sketch_agg(col("fp"), lit(12)).as("sk"))
+      .localCheckpoint(true)
     val langRows = per.select(col("lang"), col("n_docs"), col("ndv_exact"),
       tol(hll_sketch_estimate(col("sk")), col("ndv_exact")).as("hll_ok"))
     val allRow = d.agg(count(lit(1)).as("n_docs"),

@@ -274,6 +274,25 @@ object TextOps {
         expr("n_types * 10000 div n_tokens").as("ttr_bp"))
       .orderBy("source")
 
+  /** q193: source-vocabulary overlap, MinHash-64 estimate vs exact —
+    * the sketch-grade answer to "which corpus slices share a language
+    * surface" (q187 asks it of embeddings, q189 of whole-document
+    * fingerprints; this asks it of token VOCABULARIES, where overlap is
+    * dense and the sketch actually earns its keep). Tokens follow the
+    * q102/q188 convention (lower, trim, \s+ split, empty dropped). See
+    * [[graft.dedup.Dedup.groupSetMinhashOverlap]] for the mergeable-
+    * sketch contract and the estimator error bound.
+    */
+  def q193VocabMinhashOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.groupSetMinhashOverlap(
+      Tables.widen(Tables.documents(spark, dir))
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= ""),
+      "source", "w", 64)
+      .withColumnRenamed("group_a", "source_a")
+      .withColumnRenamed("group_b", "source_b")
+
   /** Corpus bigram-LM perplexity per document — the CCNet/KenLM-style
     * quality signal next to q16's surface score and q97's compression
     * ratio: text whose transitions diverge from the corpus model scores

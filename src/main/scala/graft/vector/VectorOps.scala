@@ -1253,4 +1253,48 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cos", "tier")
       .orderBy("query_id", "neighbor_id")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
+    * corpus scale = cluster the embedding space, then pay pairwise
+    * cosine ONLY within clusters — the cluster key turns the quadratic
+    * all-pairs into a keyed self-join whose per-key expansion is
+    * bounded by cluster size. Input is any (id, vec, nv, cl) assignment
+    * frame (`ivfAssign` output — label-mean centroids for the catalog
+    * row, `kmeansAssign` for a trained codebook); a document is DROPPED
+    * when some earlier same-cluster document sits at cosine ≥ tau, and
+    * the reported keeper is the argmax-cosine earliest such document
+    * (min(struct) aggregate — no window over a possibly-hot cluster).
+    *
+    * Scale contract: cluster count must grow with the corpus (the
+    * k≈√N regime of `kmeansTrain`, or a per-cluster size cap with
+    * re-splitting) so per-cluster pair work stays bounded — with
+    * cluster size ≤ B the join expands to ≤ N·B/2 rows, linear in N
+    * at fixed B. The self-join is PINNED shuffle-hash: both sides are
+    * corpus-growing, so an AQE broadcast flip would be a lie at scale.
+    *
+    * Output: (cluster, dropped_id, keeper_id, n_dups, best_cos_bp).
+    */
+  def semDedup(assigned: DataFrame, tau: Double): DataFrame = {
+    val a = assigned.select(col("cl"), col("id").as("id_a"),
+      col("vec").as("va"), col("nv").as("na"))
+    val b = assigned.select(col("cl"), col("id").as("id_b"),
+      col("vec").as("vb"), col("nv").as("nb"))
+    a.join(b.hint("shuffle_hash"), Seq("cl"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= tau)
+      // round-4 cosine ×10⁴ is integer-valued; floor(+0.5) recovers the
+      // exact basis points (the q191 oracle's spelling, digit-identical)
+      .withColumn("cos_bp", floor(col("cos") * 10000 + 0.5).cast("long"))
+      .groupBy(col("cl"), col("id_b"))
+      .agg(count(lit(1)).as("n_dups"),
+        min(struct((lit(10000L) - col("cos_bp")).as("neg"),
+          col("id_a").as("a"))).as("best"))
+      .select(col("cl").cast("int").as("cluster"),
+        col("id_b").as("dropped_id"),
+        col("best.a").as("keeper_id"),
+        col("n_dups"),
+        (lit(10000L) - col("best.neg")).as("best_cos_bp"))
+      .orderBy("dropped_id")
+  }
 }

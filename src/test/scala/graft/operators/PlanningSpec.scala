@@ -46,4 +46,43 @@ class PlanningSpec extends SparkSpec {
     assert(got("orders_lineitem") == ol)
     assert(got("customer_orders") == co)
   }
+
+  test("partitionHistogram: constant key = structural worst case") {
+    import spark.implicits._
+    // one key value → everything lands in one bucket: imbalance is the
+    // full fan-in P×10⁴, top-key share the whole table
+    val df = (1 to 96).map(i => ("only", i)).toDF("k", "x")
+    val row = Planning.partitionHistogram(df, Seq("k" -> col("k")), 32).head()
+    assert(row.getAs[Long]("n_rows") === 96L)
+    assert(row.getAs[Long]("n_keys") === 1L)
+    assert(row.getAs[Long]("max_bucket_rows") === 96L)
+    assert(row.getAs[Long]("imbalance_bp") === 320000L)
+    assert(row.getAs[Long]("top_key_share_bp") === 10000L)
+  }
+
+  test("partitionHistogram: near-unique key approaches uniform load") {
+    import spark.implicits._
+    val df = (1 to 4096).map(i => (s"id-$i", i)).toDF("k", "x")
+    val row = Planning.partitionHistogram(df, Seq("k" -> col("k")), 32).head()
+    assert(row.getAs[Long]("n_keys") === 4096L)
+    // ideal load 128/bucket; md5 uniformity keeps the hottest bucket
+    // within ~±30% of ideal at this N (binomial tail ≪ 1e-6 beyond)
+    val imb = row.getAs[Long]("imbalance_bp")
+    assert(imb >= 10000L && imb < 13500L, s"imbalance_bp=$imb")
+  }
+
+  test("q192 row invariants on the fixture: fp uniform, source/lang hot") {
+    val rows = Planning.q192PartitionHistogram(spark, sfDir).collect()
+      .map(r => r.getAs[String]("key_col") -> r).toMap
+    assert(rows.keySet === Set("fp", "lang", "source"))
+    // the near-unique fingerprint shuffles FAR more evenly than the
+    // 5-value lang key — the exact decision the datasheet exists for
+    assert(rows("fp").getAs[Long]("imbalance_bp")
+      < rows("lang").getAs[Long]("imbalance_bp"))
+    assert(rows("lang").getAs[Long]("n_keys") <= 8L)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("imbalance_bp") >= 10000L)
+      assert(r.getAs[Long]("top_key_share_bp") <= 10000L)
+    }
+  }
 }
