@@ -233,6 +233,9 @@ object SparkEntry {
     "q192_partition_histogram" -> graft.operators.Planning.q192PartitionHistogram _,
     "q193_vocab_minhash"     -> TextOps.q193VocabMinhashOverlap _,
     "q194_spectral_power"    -> graft.vector.Spectral.q194SpectralPower _,
+    "q195_exact_median"      -> graft.operators.Quantiles.q195ExactMedian _,
+    "q196_transition_matrix" -> Events.q196TransitionMatrix _,
+    "q197_cms_stream"        -> Events.q197CmsStream _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -245,7 +248,7 @@ object SparkEntry {
     // chain's single final SELECT.
     val pqChain = baseOracleSql("q175_pq_two_stage")
       .split("(?m)^\\s*SELECT qid AS query_id")(0)
-    baseOracleSql + ("q182_pq_recall_audit" -> (pqChain +
+    baseOracleSql ++ continuationOracleSql + ("q182_pq_recall_audit" -> (pqChain +
       """, two AS (SELECT qid, nid FROM r WHERE rank <= 5),
          adc AS (SELECT qid, nid FROM (
                   SELECT qid, nid, row_number() OVER (PARTITION BY qid
@@ -3685,6 +3688,48 @@ object SparkEntry {
            CAST(v12.v AS BIGINT) AS loading_fp, CAST(ray.r AS BIGINT) AS rayleigh_fp
          FROM g d JOIN v12 ON v12.i = d.i CROSS JOIN ray
          WHERE d.i = d.j ORDER BY pos"""),
+  )
+
+  /** q195–q197 oracles (appended via ++ to keep the literal map below
+    * the 254-entry tuple arity ceiling well in the future — and because
+    * q195's oracle is the DEFINITIONAL order statistic the radix path
+    * must equal, worth calling out):
+    */
+  private def continuationOracleSql: Map[String, String] = Map(
+    // q195: the k-th smallest scaled value per group, stated as the
+    // definition (row_number over a full sort) — the radix-select
+    // result must hash-match the definitional order statistic
+    "q195_exact_median" ->
+      """WITH e AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS sv FROM events),
+         n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY event_type),
+         r AS (SELECT event_type, sv,
+                 row_number() OVER (PARTITION BY event_type ORDER BY sv) AS rn
+               FROM e)
+         SELECT r.event_type, n.n, (n.n + 1) // 2 AS k, r.sv AS median_scaled
+         FROM r JOIN n USING (event_type) WHERE r.rn = (n.n + 1) // 2
+         ORDER BY event_type""",
+    // q196: per-user lead() transitions, row-conditional probability bp
+    "q196_transition_matrix" ->
+      """WITH t AS (SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+               FROM events),
+         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+               FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+         s AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY from_type)
+         SELECT c.from_type, c.to_type, c.n, c.n * 10000 // s.n_from AS p_bp
+         FROM c JOIN s USING (from_type) ORDER BY from_type, to_type""",
+    // q197: the streaming-maintained CMS must equal the batch sketch —
+    // q186's sk CTE verbatim (the '0x' spelling of the same md5 pair)
+    "q197_cms_stream" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+               FROM documents),
+         f AS (SELECT w FROM w WHERE w <> ''),
+         js AS (SELECT unnest([1, 2, 3, 4]) AS j),
+         fb AS (SELECT js.j,
+                  ('0x' || substr(md5('cms' || CAST(js.j AS VARCHAR) || ':' || f.w), 1, 2))::BIGINT AS b
+                FROM f, js)
+         SELECT CAST(j AS INT) AS j, CAST(b AS INT) AS b, CAST(count(*) AS BIGINT) AS c
+         FROM fb GROUP BY j, b ORDER BY j, b""",
   )
 
   /** The unrolled fixed-point power-iteration CTE triples for q194's

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EXACT order statistics at corpus scale without a global sort: MSB-first
+  * radix selection. A full `ORDER BY` of 100 TB exists only to read one row
+  * per group; approximate sketches (q159's GK rule, `approxQuantile`) trade
+  * the exactness away. Radix select keeps exactness and pays 8 bounded
+  * aggregation passes instead of a terabyte shuffle:
+  *
+  *   per byte level (MSB→LSB): count rows per (group, byte) under the
+  *   group's established prefix — a ≤256·|groups|-row aggregate with full
+  *   map-side combine — then walk the cumulative counts on the driver to
+  *   pick each group's byte and descend. After 8 rounds the k-th smallest
+  *   64-bit value is determined EXACTLY, at any parallelism, with no
+  *   assumptions about ties or distribution.
+  *
+  * Driver state is 256·|groups| longs per round (the bounded-model rule);
+  * the data-side work is 8 narrow scans + keyed aggregates — at 1000
+  * executors each pass is embarrassingly parallel and nothing corpus-sized
+  * ever shuffles (the q140 two-level-prefix-scan argument, applied to
+  * selection). Signed order is preserved by the usual two's-complement
+  * trick: u = v XOR Long.MinValue makes unsigned byte order equal signed
+  * value order.
+  */
+object Quantiles {
+
+  /** k-th smallest (1-based, `kFor(n)` per group) of a LONG value column,
+    * exactly, per group. Returns (group, n, k, kth) — one row per group.
+    */
+  def radixSelectKth(df: DataFrame, groupCol: String, value: Column,
+                     kFor: Long => Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).cast("string").as("g"),
+      value.cast("long").bitwiseXOR(lit(Long.MinValue)).as("u"))
+    val sizes = base.groupBy("g").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(sizes.nonEmpty, "radixSelectKth on an empty frame")
+    var remaining = sizes.map { case (g, n) =>
+      val k = kFor(n)
+      require(k >= 1 && k <= n, s"k=$k outside [1, $n] for group $g")
+      g -> k
+    }
+    var prefix = sizes.keys.map(_ -> 0L).toMap
+    for (level <- 7 to 0 by -1) {
+      val shift = level * 8
+      val pfxDf = prefix.toSeq.toDF("g", "pfx")
+      // rows still matching the group's established high bytes, counted
+      // by their next byte; level 7 has no established bytes yet (a >>>
+      // of 64 would be a no-op shift in the JVM, so it is special-cased
+      // out rather than relied on)
+      val inPrefix =
+        if (level == 7) lit(true)
+        else shiftrightunsigned(col("u"), shift + 8) === col("pfx")
+      val counts = base.join(broadcast(pfxDf), Seq("g"))
+        .filter(inPrefix)
+        .groupBy(col("g"),
+          // pmod, not %: at level 0 the unshifted u keeps its sign bit
+          // and % would hand back a negative "byte"
+          pmod(shiftrightunsigned(col("u"), shift), lit(256L)).as("byte"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (g, rows) =>
+          g -> rows.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1)
+        }
+      prefix = prefix.map { case (g, p) =>
+        var k = remaining(g)
+        var chosen = -1L
+        for ((b, c) <- counts(g) if chosen < 0) {
+          if (k <= c) chosen = b else k -= c
+        }
+        assert(chosen >= 0, s"radix walk exhausted for group $g")
+        remaining += g -> k
+        g -> ((p << 8) | chosen)
+      }
+    }
+    val rows = sizes.toSeq.sorted.map { case (g, n) =>
+      (g, n, kFor(n), prefix(g) ^ Long.MinValue)
+    }
+    rows.toDF("g", "n", "k", "kth")
+  }
+
+  /** Registered form (q195): the exact (lower) median of the scaled event
+    * value per event type — k = (n+1)/2, values in exact hundredths
+    * (`floor(value·100 + 0.5)`, the cross-engine half-up). The oracle is
+    * a plain row_number selection, so the radix path is hash-checked
+    * against the definitional order statistic.
+    */
+  def q195ExactMedian(spark: SparkSession, dir: String): DataFrame =
+    radixSelectKth(
+      Tables.events(spark, dir),
+      "event_type",
+      floor(col("value") * 100 + 0.5),
+      n => (n + 1) / 2)
+      .select(col("g").as("event_type"), col("n"), col("k"),
+        col("kth").as("median_scaled"))
+      .orderBy("event_type")
+}

@@ -1261,4 +1261,68 @@ object Events {
         col("m.signup_id"), col("m.s_tss"))
       .orderBy("purchase_id")
   }
+
+  /** q196: first-order Markov transition matrix over per-user event
+    * sequences — the behavioral-analytics datasheet next to q76's funnel:
+    * for every (from, to) event-type pair, the transition count and its
+    * row-conditional probability in basis points. Scale: the lead()
+    * window partitions by user (per-key state bounded by one user's
+    * history — the q35 sessionize shape), the transition count is a
+    * \|types\|²-bounded groupBy with map-side combine, and the row
+    * totals join is broadcast at \|types\| rows. Integer end to end.
+    */
+  def q196TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val cnt = t.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("from_type").agg(sum("n").as("n_from"))
+    cnt.join(broadcast(tot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 10000 div n_from").as("p_bp"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** q197: Count-Min sketch maintained INCREMENTALLY by Structured
+    * Streaming — the streaming face of q186's batch sketch. The (j, b)
+    * count aggregate IS the sketch, so a complete-mode streaming
+    * aggregation over the document stream keeps it current per
+    * micro-batch with state bounded at d·w rows — the mergeable-sketch
+    * property (CmsSpec's additivity) is exactly what makes the
+    * incremental path exact, not approximate-on-top-of-approximate.
+    * The registered result is the final 1024-row sketch itself,
+    * hash-checked against the SAME DuckDB sketch CTE as q186 — a
+    * streaming query with a REAL SQL oracle (the q33/q70 twins prove
+    * equivalence in specs; this one proves it in the driver's gate).
+    * Sink: memory table (d·w rows — driver-bounded by construction);
+    * the fixed query name is dropped and re-registered per call.
+    */
+  def q197CmsStream(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val schema = Tables.documents(spark, dir).schema
+    val words = Tables.streamTable(spark, dir, "documents", schema)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val jb = (1 to d).map { j =>
+      struct(lit(j).as("j"),
+        conv(substring(md5(concat(lit(s"cms$j:"), col("w"))), 1, 2), 16, 10)
+          .cast("int").as("b"))
+    }
+    val sketch = words.select(explode(array(jb: _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val name = "q197_cms_stream_sink"
+    spark.catalog.dropTempView(name) // idempotent re-runs (bench reps)
+    val sq = sketch.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    spark.table(name).orderBy("j", "b")
+  }
 }

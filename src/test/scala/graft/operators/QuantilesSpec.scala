@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins radixSelectKth against the definitional order statistic (sort +
+  * index) on fixtures with negatives, duplicates, and skew; asserts
+  * partition independence and the k-bounds guard.
+  */
+class QuantilesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def brute(vals: Seq[Long], k: Int): Long = vals.sorted.apply(k - 1)
+
+  private def runKth(rows: Seq[(String, Long)], kFor: Long => Long) =
+    Quantiles.radixSelectKth(rows.toDF("g", "v"), "g", col("v"), kFor)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+
+  test("matches sort-based kth on negatives, ties, and skew") {
+    // deterministic pseudo-random longs spanning signs and magnitudes
+    val vals = (1 to 501).map(i =>
+      graft.functions.SplitMix.mix64(i.toLong) % 1000000L)
+    val tied = Seq.fill(40)(-7L) ++ Seq.fill(40)(7L)
+    val rows = vals.map(("a", _)) ++ tied.map(("b", _)) ++ Seq(("c", 42L))
+    for (kf <- Seq[Long => Long](n => (n + 1) / 2, n => 1L, n => n)) {
+      val got = runKth(rows, kf)
+      assert(got("a") === brute(vals, kf(vals.size).toInt))
+      assert(got("b") === brute(tied, kf(tied.size).toInt))
+      assert(got("c") === 42L)
+    }
+  }
+
+  test("partition-count independent") {
+    val rows = (1 to 300).map(i => (s"g${i % 3}", (i * 37 % 101).toLong))
+    val one = Quantiles.radixSelectKth(
+      rows.toDF("g", "v").repartition(1), "g", col("v"), n => (n + 1) / 2)
+      .collect().map(_.toSeq)
+    val many = Quantiles.radixSelectKth(
+      rows.toDF("g", "v").repartition(13), "g", col("v"), n => (n + 1) / 2)
+      .collect().map(_.toSeq)
+    assert(one.toSeq === many.toSeq)
+  }
+
+  test("extreme longs survive the unsigned mapping") {
+    val rows = Seq(("x", Long.MinValue), ("x", -1L), ("x", 0L),
+      ("x", 1L), ("x", Long.MaxValue))
+    assert(runKth(rows, n => (n + 1) / 2)("x") === 0L)
+    assert(runKth(rows, _ => 1L)("x") === Long.MinValue)
+    assert(runKth(rows, _ => 5L)("x") === Long.MaxValue)
+  }
+
+  test("k outside [1, n] fails loudly") {
+    intercept[IllegalArgumentException] {
+      runKth(Seq(("g", 1L), ("g", 2L)), _ => 3L)
+    }
+  }
+
+  test("q195 equals the full-sort median on the fixture") {
+    val got = Quantiles.q195ExactMedian(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val exp = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("sv"))
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) =>
+        val vs = rs.map(_.getLong(1)).sorted
+        t -> vs(((vs.length + 1) / 2) - 1)
+      }
+    assert(got === exp)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, explode, lower, split, trim}
 
 /** The streaming twins must reproduce their batch (oracle-checked) forms. */
 class EventsSpec extends SparkSpec {
@@ -669,5 +670,45 @@ class EventsSpec extends SparkSpec {
       }
     }
     assert(rows.exists(_._5.isEmpty), "history before any purchase must stay null")
+  }
+
+  test("transition matrix: counts and row probabilities match a brute walk") {
+    val rows = Events.q196TransitionMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // brute: per user, sort by (ts, event_id), count adjacent pairs
+    val pairs: Seq[(String, String)] = graft.Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "event_type").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.sql.Timestamp](2).getTime, r.getString(3)))
+      .groupBy(_._1).values.toSeq
+      .flatMap { h =>
+        val types = h.sortBy(e => (e._3, e._2)).map(_._4)
+        types.zip(types.drop(1))
+      }
+    val brute = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.view.mapValues(_._1).toMap === brute)
+    // row-conditional probabilities: integer bp of n over the from-total
+    val fromTot = brute.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    rows.foreach { case ((f, t), (n, pBp)) =>
+      assert(pBp === n * 10000 / fromTot(f), s"($f,$t)")
+    }
+    // every from-row's probabilities sum to ~10000 (floor rounding slack
+    // bounded by the row's pair count)
+    rows.groupBy(_._1._1).foreach { case (f, m) =>
+      val s = m.values.map(_._2).sum
+      assert(s <= 10000L && s > 10000L - m.size, s"row $f sums to $s")
+    }
+  }
+
+  test("streaming CMS equals the batch sketch row-for-row") {
+    val streamed = Events.q197CmsStream(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val words = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val batch = graft.operators.TextOps.countMinSketch(words, "w", 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
   }
 }
