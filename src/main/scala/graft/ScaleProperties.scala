@@ -56,6 +56,19 @@ import org.apache.spark.sql.functions._
   *      rerank ≥ raw ADC, both above measured deterministic floors on
   *      the isotropic (worst-case) fixture at 200k codes.
   *
+  *  Round-12 continuation operators:
+  *   P16 q190 bloom decontamination: zero false negatives on every
+  *      row at 500k docs, and the flagged-with-exact-hits set equal to
+  *      an independent semi-join recount of truly contaminated docs.
+  *   P17 q191 SemDeDup in the √N regime: kmeansTrain at k=⌈√N⌉ over
+  *      the 200k vectors (the documented cluster-size contract, not
+  *      the fixture's 10-label convenience), then semDedup — every
+  *      drop at best_cos_bp ≥ τ·10⁴ with an earlier keeper, bounded
+  *      per-cluster pair mass.
+  *   P18 q195/q198 radix selection: the 8-pass radix median and MAD
+  *      equal the definitional per-group sort order statistic at 10M
+  *      events (the sort is the referee, paid once here).
+  *
   * Usage: runMain graft.ScaleProperties [sfDir=/tmp/sf10] [out=SCALEPROPS_sf10.md]
   */
 object ScaleProperties {
@@ -429,6 +442,113 @@ object ScaleProperties {
     pass(f"P15 IVF-PQ at ${enc183.count()} codes: re-fit deterministic, rank shape 1..5 " +
       f"at every probe, recall monotone in nProbe (probe-1 $r1%.3f ≤ probe-2 $r2%.3f/probe-all " +
       f"$r4%.3f vs exact top-5) (${t183}%.1f s)")
+
+    spark.catalog.clearCache()
+
+    // ---------- q190: Bloom decontamination at 100× ----------
+    // The contract production leans on when it drops the exact join:
+    // no false negatives, on every row, at 500k docs — plus an
+    // INDEPENDENT semi-join recount of the truly contaminated doc set,
+    // which must equal the audit's exact-hit rows exactly.
+    report ++= "\n## q190 — Bloom decontamination no-false-negatives at 100×\n\n"
+    t0 = System.nanoTime()
+    val a190 = graft.operators.ScaleOps.q190BloomDecontam(spark, dir)
+      .select("n_bloom_hits", "n_exact_hits").collect()
+    val fn190 = a190.count(r => r.getLong(1) > r.getLong(0))
+    require(fn190 == 0, s"P16 false negatives: $fn190 rows with exact > bloom")
+    val docs190 = graft.Tables.widen(graft.Tables.documents(spark, dir))
+    val bench190 = docs190.filter(col("source") === "src0")
+      .select(explode(graft.dedup.Dedup.wordShingles(col("text"), 5)).as("g"))
+      .distinct()
+    val exact190 = docs190.filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.wordShingles(col("text"), 5)).as("g"))
+      .join(bench190, Seq("g"), "leftsemi")
+      .select("doc_id").distinct().count()
+    val flagged190 = a190.count(_.getLong(1) > 0L)
+    require(flagged190.toLong == exact190,
+      s"P16 exact-hit rows $flagged190 != independent contaminated-doc recount $exact190")
+    val t190 = (System.nanoTime() - t0) / 1e9
+    pass(f"P16 bloom decontamination: ${a190.length} flagged docs at 500k corpus, " +
+      f"0 false negatives, exact-hit rows $flagged190 == independent recount (${t190}%.1f s)")
+    spark.catalog.clearCache()
+
+    // ---------- q191: SemDeDup at 100× in the √N regime ----------
+    // The catalog row's 10-label assignment is a fixture convenience;
+    // the operator's documented contract is cluster-size control via
+    // k≈√N. Train a real codebook at k=⌈√200k⌉=448 (2 Lloyd rounds —
+    // the shape, not the best fit), assign, semDedup, and assert drop
+    // semantics + bounded per-cluster pair mass.
+    report ++= "\n## q191 — SemDeDup at 100× (k=√N codebook)\n\n"
+    t0 = System.nanoTime()
+    val e191 = graft.Tables.widen(graft.Tables.embeddings(spark, dir))
+    val k191 = math.ceil(math.sqrt(e191.count().toDouble)).toInt
+    val cent191 = graft.vector.VectorOps.kmeansTrain(
+      e191, "vec_id", "embedding", k191, 2)
+    val asg191 = graft.vector.VectorOps.kmeansAssign(
+      e191, "vec_id", "embedding", cent191)
+    val maxCluster = asg191.groupBy("cl").count()
+      .agg(max("count")).head().getLong(0)
+    require(maxCluster <= 40L * (e191.count() / k191),
+      s"P17 degenerate clustering: hottest cluster $maxCluster rows")
+    val assigned191 = e191
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("nv", graft.vector.VectorOps.l2Norm(col("vec")))
+      .join(asg191.select(col("id"), col("cl")), Seq("id"))
+    val drops191 = graft.vector.VectorOps.semDedup(assigned191, 0.35)
+      .select("dropped_id", "keeper_id", "best_cos_bp").collect()
+    require(drops191.nonEmpty, "P17 zero drops at τ=0.35 over 200k vectors")
+    require(drops191.forall(r => r.getLong(2) >= 3500L),
+      "P17 drop below the τ floor")
+    require(drops191.forall(r => r.getLong(1) < r.getLong(0)),
+      "P17 keeper not earlier than its dropped doc")
+    val t191 = (System.nanoTime() - t0) / 1e9
+    pass(f"P17 SemDeDup at k=$k191 over ${e191.count()} vectors: " +
+      f"${drops191.length} drops, all ≥ 3500 bp with earlier keepers, " +
+      f"hottest cluster $maxCluster rows (${t191}%.1f s)")
+    spark.catalog.clearCache()
+
+    // ---------- q195/q198: radix selection vs the definitional sort at 100× ----------
+    report ++= "\n## q195/q198 — radix order statistics at 100×\n\n"
+    t0 = System.nanoTime()
+    val got195 = graft.operators.Quantiles.q195ExactMedian(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("sv"))
+    val wRef = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("sv")
+    val ref195 = ev
+      .withColumn("rn", row_number().over(wRef))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select("event_type", "sv").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(got195 == ref195,
+      s"P18 radix median != sort median: $got195 vs $ref195")
+    val mad198 = graft.operators.Quantiles.q198MadOutliers(spark, dir)
+      .select("event_type", "mad_scaled").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val medDf = {
+      import spark.implicits._
+      ref195.toSeq.toDF("event_type", "med")
+    }
+    val refMad = ev
+      .join(broadcast(medDf), Seq("event_type"))
+      .select(col("event_type"), abs(col("sv") - col("med")).as("d"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type").orderBy("d")))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select("event_type", "d").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(mad198 == refMad, s"P18 radix MAD != sort MAD: $mad198 vs $refMad")
+    val t195 = (System.nanoTime() - t0) / 1e9
+    pass(f"P18 radix selection at ${ev.count()} events: median and MAD equal " +
+      f"the per-group sort order statistic for all ${got195.size} groups (${t195}%.1f s)")
 
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       report.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))

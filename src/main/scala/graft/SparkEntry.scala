@@ -236,6 +236,8 @@ object SparkEntry {
     "q195_exact_median"      -> graft.operators.Quantiles.q195ExactMedian _,
     "q196_transition_matrix" -> Events.q196TransitionMatrix _,
     "q197_cms_stream"        -> Events.q197CmsStream _,
+    "q198_mad_outliers"      -> graft.operators.Quantiles.q198MadOutliers _,
+    "q199_zonemap_prune"     -> graft.operators.LakeLayout.q199ZonemapPrune _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3730,6 +3732,47 @@ object SparkEntry {
                 FROM f, js)
          SELECT CAST(j AS INT) AS j, CAST(b AS INT) AS b, CAST(count(*) AS BIGINT) AS c
          FROM fb GROUP BY j, b ORDER BY j, b""",
+    // q198: median and MAD stated definitionally (two nested row_number
+    // order statistics), fences at median ± 5·max(MAD, 1)
+    "q198_mad_outliers" ->
+      """WITH e AS (SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+         n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY g),
+         r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM e),
+         med AS (SELECT r.g, n.n, r.v AS median_scaled
+                 FROM r JOIN n USING (g) WHERE r.rn = (n.n + 1) // 2),
+         d AS (SELECT e.g, abs(e.v - med.median_scaled) AS dv FROM e JOIN med USING (g)),
+         rd AS (SELECT g, dv, row_number() OVER (PARTITION BY g ORDER BY dv) AS rn FROM d),
+         mad AS (SELECT rd.g, rd.dv AS mad_scaled
+                 FROM rd JOIN n USING (g) WHERE rd.rn = (n.n + 1) // 2),
+         f AS (SELECT med.g, med.n, med.median_scaled, mad.mad_scaled,
+                 5 * greatest(mad.mad_scaled, 1) AS fence
+               FROM med JOIN mad USING (g)),
+         o AS (SELECT f.g, CAST(sum(CASE WHEN abs(e.v - f.median_scaled) > f.fence
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+               FROM e JOIN f USING (g) GROUP BY f.g)
+         SELECT f.g AS event_type, f.n, f.median_scaled, f.mad_scaled,
+           o.n_outliers, o.n_outliers * 10000 // f.n AS outlier_bp
+         FROM f JOIN o USING (g) ORDER BY event_type""",
+    // q199: zone-map pruning under the arrival vs value-clustered file
+    // cuts — per file min/max/rows/matches, then the read decision
+    "q199_zonemap_prune" ->
+      """WITH l AS (
+           SELECT 'arrival' AS layout, doc_id // 64 AS file_id, n_chars AS v FROM documents
+           UNION ALL
+           SELECT 'clustered', n_chars // 32, n_chars FROM documents),
+         pf AS (SELECT layout, file_id, CAST(count(*) AS BIGINT) AS nr,
+                  min(v) AS min_v, max(v) AS max_v,
+                  CAST(sum(CASE WHEN v BETWEEN 220 AND 260 THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+                FROM l GROUP BY layout, file_id),
+         ag AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+                  CAST(sum(CASE WHEN max_v >= 220 AND min_v <= 260 THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+                  CAST(sum(CASE WHEN max_v >= 220 AND min_v <= 260 THEN nr ELSE 0 END) AS BIGINT) AS rows_scanned,
+                  CAST(sum(n_match) AS BIGINT) AS rows_matched
+                FROM pf GROUP BY layout)
+         SELECT layout, n_files, files_read, rows_scanned, rows_matched,
+           (n_files - files_read) * 10000 // greatest(n_files, 1) AS prune_bp,
+           rows_scanned * 100 // greatest(rows_matched, 1) AS amplification_x100
+         FROM ag ORDER BY layout""",
   )
 
   /** The unrolled fixed-point power-iteration CTE triples for q194's

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -92,6 +92,59 @@ object LakeLayout {
       .agg(count(lit(1)).as("n_files"),
         sum(col("max_x") - col("min_x") + 1).as("sum_x_span"),
         sum(col("max_y") - col("min_y") + 1).as("sum_y_span"))
+      .orderBy("layout")
+  }
+
+  /** Zone-map (min/max statistics) pruning effectiveness under a given
+    * file layout: derive a deterministic file assignment, compute each
+    * file's value zone, and measure what a `value BETWEEN lo AND hi`
+    * scan must actually read — files hit, rows scanned, rows matched,
+    * and the scan amplification (rows scanned per row matched, ×100).
+    * This is THE number that decides a clustering rewrite: parquet/
+    * Iceberg/Delta skip a file iff its zone misses the predicate, so
+    * prune_bp under the CURRENT layout vs a candidate clustered layout
+    * is the rewrite's measured benefit, computed from one metadata-
+    * sized aggregate per layout — never a dry-run scan. (Complements
+    * `zorderStats`, which scores multi-column locality; this prices a
+    * single-predicate scan in rows.)
+    */
+  def zoneMapEffect(df: DataFrame, layout: String, fileId: Column,
+                    value: Column, lo: Long, hi: Long): DataFrame = {
+    val perFile = df
+      .select(fileId.cast("long").as("file_id"), value.cast("long").as("v"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("rows"), min("v").as("min_v"), max("v").as("max_v"),
+        sum(when(col("v").between(lo, hi), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("read", col("max_v") >= lo && col("min_v") <= hi)
+    perFile.agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("read"), 1L).otherwise(0L)).as("files_read"),
+        sum(when(col("read"), col("rows")).otherwise(0L)).as("rows_scanned"),
+        sum(col("n_match")).as("rows_matched"))
+      .select(lit(layout).as("layout"), col("n_files"), col("files_read"),
+        col("rows_scanned"), col("rows_matched"),
+        expr("(n_files - files_read) * 10000 div greatest(n_files, 1)")
+          .as("prune_bp"),
+        expr("rows_scanned * 100 div greatest(rows_matched, 1)")
+          .as("amplification_x100"))
+  }
+
+  /** Registered form (q199): the clustering-benefit datasheet for a
+    * `n_chars BETWEEN 220 AND 260` scan over documents, under (a) the
+    * arrival layout — files cut by doc_id ranges, values scattered, so
+    * zones are wide and nothing prunes — and (b) a value-clustered
+    * layout — files cut by n_chars range (what a sorted/clustered
+    * rewrite produces) with tight zones. Value-range file cuts, not
+    * global-rank cuts: a clustered WRITE is a range partitioning, and
+    * range cuts need no global row_number (the q140 single-reducer
+    * rule).
+    */
+  def q199ZonemapPrune(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    zoneMapEffect(docs, "arrival", expr("doc_id div 64"),
+        col("n_chars"), 220L, 260L)
+      .unionByName(zoneMapEffect(docs, "clustered", expr("n_chars div 32"),
+        col("n_chars"), 220L, 260L))
       .orderBy("layout")
   }
 

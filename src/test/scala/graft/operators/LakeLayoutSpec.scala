@@ -82,4 +82,38 @@ class LakeLayoutSpec extends SparkSpec {
     // rowmajor: files (5*256+3)/1024=1, (6*256+3)/1024=1, (250*256+250)/1024=62
     assert(stats("rowmajor") == (2L, (2L + 1L), (1L + 1L)))
   }
+
+  test("zoneMapEffect: hand fixture — scattered zones read everything, clustered zones prune") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    // values 0..99 in two layouts: scattered = round-robin over 4 files
+    // (every zone spans ~the full range → all read), clustered = value
+    // quartiles (only the file holding [25,49] is read)
+    val df = (0L to 99L).map(v => (v, v)).toDF("id", "v")
+    val scattered = LakeLayout.zoneMapEffect(
+      df, "scattered", expr("id % 4"), col("v"), 30L, 40L).head()
+    assert(scattered.getAs[Long]("n_files") === 4L)
+    assert(scattered.getAs[Long]("files_read") === 4L)
+    assert(scattered.getAs[Long]("rows_scanned") === 100L)
+    assert(scattered.getAs[Long]("rows_matched") === 11L)
+    assert(scattered.getAs[Long]("prune_bp") === 0L)
+    val clustered = LakeLayout.zoneMapEffect(
+      df, "clustered", expr("v div 25"), col("v"), 30L, 40L).head()
+    assert(clustered.getAs[Long]("files_read") === 1L)
+    assert(clustered.getAs[Long]("rows_scanned") === 25L)
+    assert(clustered.getAs[Long]("rows_matched") === 11L)
+    assert(clustered.getAs[Long]("prune_bp") === 7500L)
+    // amplification: 25 rows scanned for 11 matched = 227 (×100, floor)
+    assert(clustered.getAs[Long]("amplification_x100") === 227L)
+  }
+
+  test("q199 on the fixture: clustered layout strictly dominates arrival") {
+    val rows = LakeLayout.q199ZonemapPrune(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (a, c) = (rows("arrival"), rows("clustered"))
+    // same query, same truth: matched rows identical across layouts
+    assert(a.getAs[Long]("rows_matched") === c.getAs[Long]("rows_matched"))
+    assert(c.getAs[Long]("prune_bp") >= a.getAs[Long]("prune_bp"))
+    assert(c.getAs[Long]("amplification_x100") <= a.getAs[Long]("amplification_x100"))
+  }
 }

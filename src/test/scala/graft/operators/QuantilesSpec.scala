@@ -56,6 +56,24 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("q198 MAD outliers: fences and counts match a brute computation") {
+    val got = Quantiles.q198MadOutliers(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val byType = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("sv"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    byType.foreach { case (t, vs) =>
+      val med = vs((vs.length + 1) / 2 - 1)
+      val devs = vs.map(v => math.abs(v - med)).sorted
+      val mad = devs((devs.length + 1) / 2 - 1)
+      val fence = 5L * math.max(mad, 1L)
+      val n = vs.count(v => math.abs(v - med) > fence).toLong
+      assert(got(t) === ((med, mad, n)), s"type $t")
+    }
+  }
+
   test("q195 equals the full-sort median on the fixture") {
     val got = Quantiles.q195ExactMedian(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap
