@@ -1,14 +1,103 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
 
 /** Benchmark main: runs every registered query at the driver-set scale
   * factor on local[32] and prints ONE JSON line with per-query seconds.
+  *
+  * TIMEOUT-PROOF BY CONSTRUCTION (round-12 verdict item 1): round 12's
+  * official artifact was rc=124 with `parsed: null` because this main
+  * wrote `bench.json` and printed the compact line only AFTER ~800
+  * query executions — a driver-side `timeout` kill lost every byte of
+  * data the run had already produced. Three defenses now make a killed
+  * bench still yield a parseable artifact:
+  *
+  *  1. `bench.json` is flushed after EVERY query via write-temp +
+  *     ATOMIC_MOVE, so the on-disk artifact is always complete JSON for
+  *     the queries finished so far (`"partial": true` until the run
+  *     ends normally).
+  *  2. A JVM shutdown hook prints the compact stdout line with whatever
+  *     completed (plus `"partial":true`) — `timeout`'s SIGTERM runs
+  *     hooks, so even the stdout-tail capture gets data from a killed
+  *     run.
+  *  3. A soft wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_S`, default
+  *     900 s) degrades gracefully instead of dying mid-catalog: past
+  *     35% of the budget the sf0.001 warmup pass stops (remaining
+  *     queries run cold — their medians absorb it at reps≥3 and the
+  *     per-query `runs` arrays make it visible); past 75% remaining
+  *     queries drop to 1 rep (recorded — each query's `runs` array
+  *     carries its actual rep count); past 100% remaining queries are
+  *     listed in `"skipped"` and the run wraps up with whatever it has.
+  *
+  * BOX CALIBRATION (round-12 verdict item 2): the committed band
+  * (`BENCH_BAND.json`) holds quiet-box medians, but rounds get judged
+  * on boxes up to ~4× slower, where every row "breaches" and the band
+  * degenerates into archaeology. At bench start a fixed CPU-bound
+  * calibration suite (the band file's `calibration_queries`) runs
+  * 3 reps each after its own warmup; the per-query medians land in
+  * `bench.json` under `"calibration"` and the median ratio vs the
+  * band's committed medians is emitted as `"box_factor"` (floored at
+  * 1.0 — a fast box must NEVER loosen the band). BenchBandSpec scales
+  * the band by the same ratio, capped, so the spec asserts on any box
+  * while a genuine single-query regression (which moves one ratio, not
+  * the median of five) still fails.
   */
 object Bench {
+
+  /** Median with even-count averaging (sorted(n/2) alone would silently
+    * pick the upper-middle).
+    */
+  private def medianOf(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  private def fmt(d: Double): String = f"$d%.3f"
+
+  private def fmtShort(d: Double): String = {
+    val s = f"$d%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    if (s.isEmpty) "0" else s
+  }
+
+  // minimal extractor for the committed band file — no library dep
+  private def bandMedians(): Map[String, Double] = {
+    val f = new java.io.File("BENCH_BAND.json")
+    if (!f.exists) return Map.empty
+    val json = scala.io.Source.fromFile(f, "UTF-8").mkString
+    "\"medians\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(json).map(_.group(1))
+      .map { body =>
+        "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+  }
+
+  private def bandCalibrationQueries(): Seq[String] = {
+    val f = new java.io.File("BENCH_BAND.json")
+    if (!f.exists) return DefaultCalibration
+    val json = scala.io.Source.fromFile(f, "UTF-8").mkString
+    "\"calibration_queries\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(json).map(_.group(1))
+      .map("\"([^\"]+)\"".r.findAllMatchIn(_).map(_.group(1)).toSeq)
+      .filter(_.nonEmpty)
+      .getOrElse(DefaultCalibration)
+  }
+
+  /** CPU-bound, low-variance rows (BPE loops, perplexity, shingle spans,
+    * kmeans) — chosen so the ratio measures the BOX, not I/O weather.
+    */
+  val DefaultCalibration: Seq[String] = Seq(
+    "q103_lm_perplexity", "q112_bpe_train", "q116_dup_spans",
+    "q120_bpe_encode", "q121_kmeans")
+
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900").toDouble
+    require(budget > 0, s"SPARK_GRAFT_BENCH_BUDGET_S must be positive, got $budget")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -25,123 +114,256 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // JVM + Janino-codegen warmup: run every query once on the smallest
-    // fixture so measured times reflect steady-state execution (generated
-    // class compilation dominates first runs — 19 s vs 2.7 s observed on
-    // the shingle-join query), not class loading
-    selected.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
-      spark.catalog.clearCache() // operator-internal caches must not pile up
-    }
-    // a crashed query must never be mistaken for a fast one: each entry
-    // records {seconds, ok}, failures are listed by name in the JSON line
-    // and echoed (with the exception) on stderr.
-    // MEDIAN OF 3: this VM's run-to-run wall-time variance is 1.5-2x
-    // (round 3's official single-run artifact "regressed" 22 queries
-    // that an immediate re-run erased) — each query runs `reps` times
-    // and the official per-query number is the median; raw runs stay in
-    // the JSON so variance is visible, not discarded.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-    val results = selected.map { case (name, fn) =>
-      val runs = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
-            false
-        }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // clear operator-internal caches AFTER timing: a query pays for
-        // its own caching, but 71 queries' dead cache entries must not
-        // GC-thrash the queries that follow (measured: ~1.5x slowdown)
-        spark.catalog.clearCache()
-        (elapsed, ok)
-      }
-      // true median: average the two middle elements when reps is even
-      // (sorted(reps/2) alone would silently pick the upper-middle)
-      val sorted = runs.map(_._1).sorted
-      val median =
-        if (reps % 2 == 1) sorted(reps / 2)
-        else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
-      (name, median, runs)
-    }
-    // the round-6 artifact lost half the catalog: the single stdout JSON
-    // line (medians + raw runs for 152 queries) exceeded the driver's
-    // tail capture, so BENCH_r06.json recorded "parsed": null and only
-    // q70-q99 survived in the tail. Two changes keep every query:
-    //  - stdout gets ONE compact medians-only line (3-decimal seconds,
-    //    ~3.5 KB for the full catalog) so the tail capture holds it all;
-    //  - the full artifact (raw per-rep runs included) is written to
-    //    bench.json in the working directory for round-over-round diffs.
-    def fmt(d: Double): String = f"$d%.3f"
-    // STDOUT BYTE BUDGET (round-10 fix): the driver's artifact keeps the
-    // last ~2.1 KB of stdout INCLUDING sbt's trailing "[success] ..."
-    // line (~75 B). Round 9's compact line ("qNN" keys, 3-decimal
-    // values) was ~2.18 KB at 165 queries, so its first ~14 entries fell
-    // off the front and BENCH_r09.json recorded "parsed": null. The
-    // stdout map now uses the bare query NUMBER as key ("104") and
-    // 2-decimal trailing-zero-stripped seconds ("0.46", "2.4"), with the
-    // sf shortened to its basename — 1.77 KB at 165 queries, ~1.92 KB
-    // projected at 180, inside the window with margin. bench.json
-    // (written below) keeps full names, 3-decimal medians, and raw
-    // per-rep runs; BENCH_rN.json must parse standalone without it.
-    def fmtShort(d: Double): String = {
-      val s = f"$d%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-      if (s.isEmpty) "0" else s
-    }
-    val shortName: Map[String, String] = {
-      val pref = results.map { case (k, _, _) =>
-        k -> k.split("_")(0).stripPrefix("q")
-      }.toMap
-      val collide = pref.values.groupBy(identity).collect {
-        case (p, occ) if occ.size > 1 => p
-      }.toSet
-      pref.map { case (k, p) => k -> (if (collide(p)) k else p) }
-    }
-    val raw = results.map { case (k, _, runs) =>
-      "\"" + k + "\":[" + runs.map(r => fmt(r._1)).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    // a query that failed on ANY rep is reported failed
-    val failedNames = results.collect { case (k, _, runs) if runs.exists(!_._2) => k }
-    val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val nFailed = failedNames.size
-    if (nFailed > 0)
-      System.err.println(s"[bench] $nFailed quer${if (nFailed == 1) "y" else "ies"} FAILED")
-    val total = results.map(_._2).sum
-    val qsFull = results.map { case (k, m, _) => "\"" + k + "\":" + fmt(m) }
-      .mkString("{", ",", "}")
+
+    // ---- run state, shared with the artifact writer and shutdown hook
+    val results = mutable.ArrayBuffer[(String, Double, Seq[(Double, Boolean)])]()
+    val skipped = mutable.ArrayBuffer[String]()
+    val calibration = mutable.LinkedHashMap[String, Double]()
+    @volatile var boxFactor: Option[Double] = None
+    @volatile var finishedNormally = false
     val sfShort = sfDir.stripSuffix("/").split("/").last
-    // SELF-GUARDING byte budget (round-11 item: BENCH_r11 "parsed" was
-    // null because the 180-query compact line overran the 2000-byte
-    // window by the width of sbt's [success] line — now suppressed via
-    // showSuccess := false, but the guard must not depend on that):
-    // build the compact line at 2-decimal precision; if the catalog has
-    // grown it past the budget, degrade ≥1 s values to 1 decimal (their
-    // precision lives in bench.json anyway), and as a last resort every
-    // value to 1 decimal. Loudly impossible to overrun silently.
-    def fmtCoarse(d: Double): String =
-      if (d >= 1.0) fmtShort(math.rint(d * 10) / 10) else fmtShort(d)
-    def fmt1(d: Double): String = fmtShort(math.rint(d * 10) / 10)
-    def compactLine(fv: Double => String): String = {
-      val qs = results.map { case (k, m, _) => "\"" + shortName(k) + "\":" + fv(m) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmtShort(total)},"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed,"sf":"$sfShort"}"""
-    }
-    val budget = 1900
-    val compact = Seq(fmtShort _, fmtCoarse _, fmt1 _).map(compactLine)
-      .find(_.length <= budget)
-      .getOrElse {
-        System.err.println("[bench] compact line exceeds the stdout tail " +
-          "budget even at 1-decimal precision — driver parse WILL truncate")
-        compactLine(fmt1)
+
+    type QFn = (SparkSession, String) => org.apache.spark.sql.DataFrame
+
+    def runOnce(name: String, fn: QFn): (Double, Boolean) = {
+      val s0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+          false
       }
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"runs":$raw,"reps":$reps,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}"""
-    println(compact)
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sec = (System.nanoTime() - s0) / 1e9
+      // clear operator-internal caches AFTER timing: a query pays for
+      // its own caching, but 199 queries' dead cache entries must not
+      // GC-thrash the queries that follow (measured: ~1.5x slowdown)
+      spark.catalog.clearCache()
+      (sec, ok)
+    }
+
+    // ---- full artifact (raw per-rep runs included), atomically replaced
+    // after every query so a killed run still leaves complete JSON
+    def writeArtifact(partial: Boolean): Unit = {
+      val snap = results.synchronized { results.toVector }
+      val qsFull = snap.map { case (k, m, _) => "\"" + k + "\":" + fmt(m) }
+        .mkString("{", ",", "}")
+      val raw = snap.map { case (k, _, runs) =>
+        "\"" + k + "\":[" + runs.map(r => fmt(r._1)).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val failedNames = snap.collect { case (k, _, runs) if runs.exists(!_._2) => k }
+      val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val skip = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val cal = calibration.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val bf = boxFactor.map(v => s""","box_factor":${fmt(v)}""").getOrElse("")
+      val total = snap.map(_._2).sum
+      val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":$qsFull,"runs":$raw,"reps":$reps,"failed":$failed,""" +
+        s""""n_failed":${failedNames.size},"skipped":$skip,""" +
+        s""""partial":$partial,"calibration":$cal$bf,""" +
+        s""""elapsed_s":${fmt(elapsed)},"sf":"$sfDir"}"""
+      // synchronized + unique tmp: the shutdown hook and the main loop
+      // can both be in here during a kill — two writers sharing one tmp
+      // path made the hook's ATOMIC_MOVE throw NoSuchFileException and
+      // its catch-all then swallowed the compact-line prints too
+      Bench.synchronized {
+        val dir = java.nio.file.Paths.get(".").toAbsolutePath
+        val tmp = dir.resolve(s"bench.json.tmp.${Thread.currentThread().getId}")
+        java.nio.file.Files.write(tmp, full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, dir.resolve("bench.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+    // ---- compact stdout line under the driver's ~2 KB tail budget.
+    // STDOUT BYTE BUDGET (round-10 fix): keys are the bare query NUMBER,
+    // values 2-decimal trailing-zero-stripped; if the catalog outgrows
+    // the budget, ≥1 s values degrade to 1 decimal, then everything does
+    // (full precision lives in bench.json). Loudly impossible to overrun
+    // silently.
+    def compactLine(partial: Boolean): String = {
+      val snap = results.synchronized { results.toVector }
+      val shortName: Map[String, String] = {
+        val pref = snap.map { case (k, _, _) =>
+          k -> k.split("_")(0).stripPrefix("q")
+        }.toMap
+        val collide = pref.values.groupBy(identity).collect {
+          case (p, occ) if occ.size > 1 => p
+        }.toSet
+        pref.map { case (k, p) => k -> (if (collide(p)) k else p) }
+      }
+      val failedNames = snap.collect { case (k, _, runs) if runs.exists(!_._2) => k }
+      val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = snap.map(_._2).sum
+      def fmtCoarse(d: Double): String =
+        if (d >= 1.0) fmtShort(math.rint(d * 10) / 10) else fmtShort(d)
+      def fmt1(d: Double): String = fmtShort(math.rint(d * 10) / 10)
+      val part = if (partial) s""","partial":true,"n_skipped":${skipped.size}""" else ""
+      val bf = boxFactor.map(v => s""","box_factor":${fmtShort(v)}""").getOrElse("")
+      def line(fv: Double => String, include: Set[String]): String = {
+        val qs = snap.collect { case (k, m, _) if include(k) =>
+          "\"" + shortName(k) + "\":" + fv(m)
+        }.mkString("{", ",", "}")
+        val omitted = snap.size - include.size
+        val om = if (omitted > 0) s""","n_omitted":$omitted""" else ""
+        s"""{"metric":"total","value":${fmtShort(total)},"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed$om$part$bf,"sf":"$sfShort"}"""
+      }
+      val cap = 1900
+      val allNames = snap.map(_._1).toSet
+      Seq(fmtShort _, fmtCoarse _, fmt1 _).map(line(_, allNames)).find(_.length <= cap)
+        .getOrElse {
+          // the catalog outgrew the tail window even at 1-decimal
+          // precision (204 queries ≈ 2.2 KB): drop the LIGHTEST rows —
+          // the heavy rows are the performance signal, and every median
+          // (full precision, raw reps) is in bench.json regardless —
+          // until the line fits, recording how many were omitted.
+          val byWeight = snap.sortBy { case (_, m, _) => -m }.map(_._1)
+          (snap.size to 1 by -1).iterator
+            .map(k => line(fmt1, byWeight.take(k).toSet))
+            .find(_.length <= cap)
+            .getOrElse(line(fmt1, Set(byWeight.head)))
+        }
+    }
+
+    // a `timeout`-killed JVM still runs shutdown hooks: print the
+    // compact line for whatever completed so the driver's stdout-tail
+    // parse gets data even when the process dies mid-catalog. The JVM
+    // does NOT stop the main thread while hooks run (and Spark's own
+    // shutdown hook tears executors down concurrently), so the hook
+    // first asks the bench loop to stop, gives the in-flight query a
+    // bounded window to finish, and only then emits — otherwise the
+    // printed line races the loop and undercounts what the artifact
+    // later holds (observed: hook printed 0 queries, artifact had 3).
+    @volatile var stopRequested = false
+    val loopDone = new java.util.concurrent.CountDownLatch(1)
+    // RAW file descriptors, not System.out/err: sbt swaps both streams
+    // for its own buffered log machinery, which stops draining once a
+    // TERM lands — println output from a shutdown hook is silently
+    // dropped (observed repeatedly). Spark's own "killed SparkContext"
+    // log4j lines DO survive a kill for exactly this reason: the console
+    // appender holds the real fd. Writing straight to
+    // FileDescriptor.out/err reaches the driver's combined tail capture
+    // no matter what sbt's streams are doing.
+    def rawPrint(line: String): Unit =
+      Seq(java.io.FileDescriptor.out, java.io.FileDescriptor.err).foreach { fd =>
+        try {
+          val ps = new java.io.PrintStream(new java.io.FileOutputStream(fd), true)
+          ps.println(line); ps.flush()
+        } catch { case _: Throwable => () }
+      }
+    // The kill window is NOT ours to schedule in: once the TERM lands,
+    // sbt/Spark shutdown machinery can halt the JVM within milliseconds
+    // of the run task returning (observed: a hook parked in a 20 s
+    // quiesce await was halted before waking). So the hook emits a
+    // best-effort snapshot line IMMEDIATELY, then waits briefly for the
+    // in-flight query to quiesce and emits the final state; whichever
+    // lines make it out, the LAST parseable one in the tail is the most
+    // complete, and the incrementally-flushed bench.json on disk is
+    // always whole regardless.
+    val hook = new Thread(() => {
+      if (!finishedNormally) {
+        try {
+          stopRequested = true
+          rawPrint(compactLine(partial = true))
+          if (loopDone.await(10, java.util.concurrent.TimeUnit.SECONDS)) {
+            try writeArtifact(partial = true) catch { case _: Throwable => () }
+            if (!finishedNormally) rawPrint(compactLine(partial = true))
+          }
+        } catch { case _: Throwable => () }
+      }
+    }, "bench-partial-artifact")
+    Runtime.getRuntime.addShutdownHook(hook)
+    writeArtifact(partial = true) // artifact exists from second zero
+
+    // ---- warmup (JVM + Janino codegen): run each query once on the
+    // smallest fixture so measured times reflect steady-state execution
+    // (generated-class compilation dominates first runs — 19 s vs 2.7 s
+    // observed on the shingle-join query). Calibration queries warm
+    // FIRST so the calibration phase below always measures steady
+    // state; past 35% of the budget the rest of the warmup is dropped
+    // (those queries run cold; reported per-query runs keep that
+    // honest, and partial-but-real data beats an rc=124 artifact).
+    val calNames = bandCalibrationQueries()
+    val warmupOrder = selected.sortBy { case (n, _) => (!calNames.contains(n), n) }
+    var warmupsDropped = 0
+    warmupOrder.foreach { case (name, fn) =>
+      if (!stopRequested && (elapsed <= budget * 0.35 || calNames.contains(name))) {
+        try fn(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      } else warmupsDropped += 1
+    }
+    if (warmupsDropped > 0)
+      System.err.println(s"[bench] budget pressure: dropped warmup for $warmupsDropped queries")
+
+    // ---- calibration phase: fixed suite, 3 reps at the bench SF
+    val calSel = selected.filter { case (n, _) => calNames.contains(n) }
+    calSel.foreach { case (name, fn) =>
+      if (!stopRequested) {
+        val runs = (1 to 3).map(_ => runOnce(name, fn))
+        if (runs.forall(_._2)) calibration(name) = medianOf(runs.map(_._1))
+      }
+    }
+    val band = bandMedians()
+    val ratios = calibration.toSeq.collect {
+      case (q, sec) if band.contains(q) && band(q) > 0 => sec / band(q)
+    }
+    if (ratios.nonEmpty && sfShort == "sf0.1") {
+      // floor 1.0: a fast box must never LOOSEN the committed band.
+      // sf0.1 only: the band's medians are sf0.1 numbers, so a ratio
+      // computed at any other scale would be meaningless.
+      boxFactor = Some(math.max(1.0, medianOf(ratios)))
+      System.err.println(f"[bench] calibration box_factor=${boxFactor.get}%.2f " +
+        f"(${ratios.size} queries, elapsed ${elapsed}%.0f s of $budget%.0f s budget)")
+    }
+    writeArtifact(partial = true)
+
+    // ---- timed catalog. MEDIAN OF 3: this VM's run-to-run wall-time
+    // variance is 1.5-2x (round 3's official single-run artifact
+    // "regressed" 22 queries an immediate re-run erased) — each query
+    // runs `reps` times and the official number is the median; raw runs
+    // stay in bench.json so variance is visible, not discarded. Under
+    // budget pressure reps degrade 3→1 (recorded per query by the runs
+    // array length); past the budget queries are SKIPPED and named.
+    selected.foreach { case (name, fn) =>
+      if (stopRequested || elapsed >= budget) {
+        skipped += name
+      } else {
+        val r = if (elapsed >= budget * 0.75) 1 else reps
+        val runs = (1 to r).map(_ => runOnce(name, fn))
+        // a query that "failed" because the kill tore its executors down
+        // mid-flight is noise, not signal — count it skipped, not failed
+        if (stopRequested && runs.exists(!_._2)) skipped += name
+        else {
+          val med = medianOf(runs.map(_._1))
+          results.synchronized { results += ((name, med, runs)) }
+          writeArtifact(partial = true)
+        }
+      }
+    }
+    loopDone.countDown()
+    if (skipped.nonEmpty)
+      System.err.println(s"[bench] budget exhausted: ${skipped.size} queries skipped: " +
+        skipped.mkString(", "))
+    val failedNames = results.collect { case (k, _, runs) if runs.exists(!_._2) => k }
+    if (failedNames.nonEmpty)
+      System.err.println(s"[bench] ${failedNames.size} quer" +
+        s"${if (failedNames.size == 1) "y" else "ies"} FAILED")
+
+    val partial = skipped.nonEmpty
+    writeArtifact(partial)
+    val line = compactLine(partial)
+    println(line)
+    System.out.flush()
+    // a killed run's main thread can still get here (the loop drains in
+    // ms once stopRequested flips) — but sbt's swapped stdout is already
+    // dead, so the raw-fd copy is what actually reaches the tail capture
+    if (stopRequested) rawPrint(line)
+    finishedNormally = true
+    try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: Throwable => () }
     spark.stop()
-    if (nFailed > 0) sys.exit(1)
+    if (failedNames.nonEmpty) sys.exit(1)
   }
 }

@@ -48,4 +48,30 @@ object TempDirs {
     rm(p.toFile)
     Files.createDirectories(p)
   }
+
+  private lazy val fastRoot: Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm)) {
+      val p = Files.createTempDirectory(shm, "graft_session_")
+      hookInstalled
+      dirs.add(p)
+      p
+    } else sessionRoot
+  }
+
+  /** Like [[scratch]] but on tmpfs (/dev/shm) when available — for
+    * HARNESS I/O whose cost must not be booked against the operator
+    * being measured (round-12 verdict item 7: q197's streaming
+    * checkpoint is per-rep metadata churn, ~3 s of fsync-bound disk
+    * I/O per bench rep on a slow box, against a ~1 s operator). Same
+    * per-name clear-on-call contract and shutdown cleanup as scratch;
+    * falls back to the disk scratch root when /dev/shm is absent.
+    * Only for small metadata (streaming checkpoints/offsets), never
+    * for materialized data: tmpfs is RAM.
+    */
+  def fastScratch(name: String): Path = {
+    val p = fastRoot.resolve(name)
+    rm(p.toFile)
+    Files.createDirectories(p)
+  }
 }

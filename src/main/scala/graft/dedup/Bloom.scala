@@ -48,10 +48,31 @@ object Bloom {
 
   /** The j-th bit position of n-gram column `g` (j in 1..k), as a Spark
     * expression — value-identical to DuckDB's
-    * `('0x'||substr(md5('bl{j}:'||g),1,5))::BIGINT % mBits`.
+    * `('0x'||substr(md5('bl{j}:'||g),1,w))::BIGINT % mBits` where w is
+    * the hex-slice width derived below.
+    *
+    * The slice width is DERIVED from mBits (round-12 ADVICE): a fixed
+    * 5-hex-char slice addresses only 2²⁰ bits, so any caller scaling m
+    * past that (the documented production path) would silently fold the
+    * whole filter into its first 2²⁰ bits, collapsing the advertised
+    * false-positive rate. `hexChars` picks the smallest slice whose
+    * 16^w space covers mBits (w=5 for the 2²⁰ default — bit-identical
+    * to every committed oracle), capped at 12 chars (2⁴⁸ bits = 32 TiB
+    * of filter, far past any driver-holdable bitset) with a loud
+    * require rather than a silent wrap.
     */
+  def hexChars(mBits: Int): Int = {
+    require(mBits > 0, s"mBits must be positive, got $mBits")
+    // integer-exact: smallest w with 16^w >= mBits (floating log would
+    // round 16^5 to w=6 on a bad ulp and silently change every oracle)
+    val bits = 32 - Integer.numberOfLeadingZeros(mBits - 1) // ceil(log2 mBits)
+    val w = ((bits + 3) / 4).max(1)
+    require(w <= 12, s"mBits=$mBits needs a >48-bit hash slice — not supported")
+    w
+  }
+
   def bloomPosition(g: Column, j: Int, mBits: Int): Column =
-    conv(substring(md5(concat(lit(s"bl$j:"), g)), 1, 5), 16, 10)
+    conv(substring(md5(concat(lit(s"bl$j:"), g)), 1, hexChars(mBits)), 16, 10)
       .cast("long") % mBits
 
   /** All k positions as an array column. */

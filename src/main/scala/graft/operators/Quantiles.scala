@@ -34,8 +34,15 @@ object Quantiles {
                      kFor: Long => Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(groupCol).cast("string").as("g"),
-      value.cast("long").bitwiseXOR(lit(Long.MinValue)).as("u"))
+    // Null values are EXCLUDED up front (round-12 ADVICE): a null value
+    // yields a null u that was counted in the group size but landed in a
+    // null byte bucket, so the driver-side walk NPE'd instead of failing
+    // cleanly. Dropping nulls gives SQL aggregate semantics — the k-th
+    // order statistic of the NON-NULL values, groups with only nulls
+    // disappear — which is exactly what the `median(...)` oracle computes.
+    val base = df.filter(value.isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        value.cast("long").bitwiseXOR(lit(Long.MinValue)).as("u"))
     val sizes = base.groupBy("g").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(sizes.nonEmpty, "radixSelectKth on an empty frame")

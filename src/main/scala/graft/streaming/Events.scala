@@ -1316,10 +1316,18 @@ object Events {
       .agg(count(lit(1)).as("c"))
     val name = "q197_cms_stream_sink"
     spark.catalog.dropTempView(name) // idempotent re-runs (bench reps)
+    // checkpoint on tmpfs (round-12 verdict item 7): the checkpoint here
+    // is pure harness metadata (offsets + commit log for a one-shot
+    // AvailableNow run over a static fixture — the sketch state itself is
+    // the 1024-row complete-mode aggregate), and on disk its fsync churn
+    // dominated the bench row ~3:1. A production incremental deployment
+    // keeps its checkpoint durable; a per-rep throwaway one does not.
+    val ckpt = graft.TempDirs.fastScratch("q197_cms_stream_ckpt")
     val sq = sketch.writeStream
       .outputMode(OutputMode.Complete())
       .format("memory")
       .queryName(name)
+      .option("checkpointLocation", ckpt.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
       .start()
     sq.awaitTermination()

@@ -72,4 +72,35 @@ class BloomSpec extends SparkSpec {
       agg.reduce(agg.zero, m.toLong)
     }
   }
+
+  test("hex-slice width is derived from mBits (round-12 ADVICE)") {
+    // the committed-oracle default stays EXACTLY 5 chars (20 bits)
+    assert(Bloom.hexChars(Bloom.DefaultMBits) === 5)
+    assert(Bloom.hexChars(1) === 1)
+    assert(Bloom.hexChars(16) === 1)          // 16^1 = 16 positions, exact cover
+    assert(Bloom.hexChars(17) === 2)
+    assert(Bloom.hexChars(1 << 20) === 5)
+    assert(Bloom.hexChars((1 << 20) + 1) === 6)
+    assert(Bloom.hexChars(1 << 24) === 6)
+    assert(Bloom.hexChars(1 << 28) === 7)
+  }
+
+  test("a scaled-up filter addresses its whole space, not the first 2^20 bits") {
+    // pre-fix, any mBits > 2^20 silently hashed into [0, 2^20): every
+    // word at index >= 2^20/64 stayed zero and the FP rate collapsed.
+    val big = 1 << 22
+    val grams = (1 to 2000).map(i => s"scale-$i")
+    val bits = Bloom.bloomBuild(grams.toDF("g"), "g", mBits = big)
+    assert(bits.length === big / 64)
+    val upper = bits.drop((1 << 20) / 64)
+    assert(upper.exists(_ != 0L),
+      "no bit set beyond 2^20 — hash slice is not covering mBits")
+    // and the no-false-negative contract holds at the scaled size: every
+    // built gram probes positive through the same position derivation
+    val probe = Bloom.bloomHitUdf(spark, bits, big)
+    val hits = grams.toDF("g")
+      .select(probe(Bloom.bloomPositions(col("g"), Bloom.DefaultK, big)).as("hit"))
+      .filter(!col("hit")).count()
+    assert(hits === 0L)
+  }
 }

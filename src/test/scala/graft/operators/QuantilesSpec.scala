@@ -56,6 +56,22 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("null values are excluded, SQL-aggregate style (round-12 ADVICE)") {
+    // pre-fix: a null value was counted in the group size but hashed
+    // into a null byte bucket, and the driver walk NPE'd. Now nulls
+    // drop up front: the median is over NON-null values (what the
+    // `median()` oracle computes) and all-null groups disappear.
+    val rows = Seq(("a", java.lang.Long.valueOf(10L)),
+      ("a", null.asInstanceOf[java.lang.Long]),
+      ("a", java.lang.Long.valueOf(20L)),
+      ("a", java.lang.Long.valueOf(30L)),
+      ("b", null.asInstanceOf[java.lang.Long]))
+    val got = Quantiles.radixSelectKth(
+      rows.toDF("g", "v"), "g", col("v"), n => (n + 1) / 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got === Map("a" -> ((3L, 20L)))) // n=3 non-null, median 20; "b" gone
+  }
+
   test("q198 MAD outliers: fences and counts match a brute computation") {
     val got = Quantiles.q198MadOutliers(spark, sfDir).collect()
       .map(r => r.getString(0) ->
