@@ -238,6 +238,16 @@ object SparkEntry {
     "q197_cms_stream"        -> Events.q197CmsStream _,
     "q198_mad_outliers"      -> graft.operators.Quantiles.q198MadOutliers _,
     "q199_zonemap_prune"     -> graft.operators.LakeLayout.q199ZonemapPrune _,
+    // q200-q204 (round-12 verdict item 5): replica-0 stratum twins of
+    // the five operators whose FULL sf10 oracles are CTE-infeasible —
+    // identical to their parents on the driver fixtures (every id is
+    // below ReplicaZeroBound there; StratumSpec asserts equality), and
+    // the hash-checkable original-sf0.1 slice on the ScaleUp fixtures.
+    "q200_containment_stratum" -> ScaleOps.q200ContainmentStratum _,
+    "q201_triangle_stratum"    -> graft.operators.Graph.q201TriangleStratum _,
+    "q202_ivfpq_stratum"       -> graft.vector.Pq.q202IvfPqStratum _,
+    "q203_yield_stratum"       -> ScaleOps.q203YieldStratum _,
+    "q204_semdedup_stratum"    -> ScaleOps.q204SemdedupStratum _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -250,7 +260,28 @@ object SparkEntry {
     // chain's single final SELECT.
     val pqChain = baseOracleSql("q175_pq_two_stage")
       .split("(?m)^\\s*SELECT qid AS query_id")(0)
-    baseOracleSql ++ continuationOracleSql + ("q182_pq_recall_audit" -> (pqChain +
+    // q200-q204 derive from their parents' ORACLES too (same no-drift
+    // argument as q182): the stratum oracle is the parent CTE with the
+    // replica-0 predicate injected at its single table-scan site. Each
+    // parent SQL references its source table exactly once, and the
+    // require below makes a silent non-injection (e.g. after a parent
+    // rewrite) a loud construction failure, not a weakened oracle.
+    val all = baseOracleSql ++ continuationOracleSql
+    def stratum(parent: String): String = {
+      val sql = all(parent)
+      val s = sql
+        .replace("FROM documents)", "FROM documents WHERE doc_id < 100000000)")
+        .replace("FROM embeddings)", "FROM embeddings WHERE vec_id < 100000000)")
+      require(s != sql, s"stratum injection found no table-scan site in $parent's oracle")
+      s
+    }
+    all +
+      ("q200_containment_stratum" -> stratum("q165_containment_pairs")) +
+      ("q201_triangle_stratum" -> stratum("q173_triangle_count")) +
+      ("q202_ivfpq_stratum" -> stratum("q183_ivfpq")) +
+      ("q203_yield_stratum" -> stratum("q185_dedup_yield_curve")) +
+      ("q204_semdedup_stratum" -> stratum("q191_semdedup")) +
+      ("q182_pq_recall_audit" -> (pqChain +
       """, two AS (SELECT qid, nid FROM r WHERE rank <= 5),
          adc AS (SELECT qid, nid FROM (
                   SELECT qid, nid, row_number() OVER (PARTITION BY qid

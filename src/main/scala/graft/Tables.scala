@@ -178,6 +178,16 @@ object Tables {
     if (fs.getFileStatus(path).isDirectory) rs.parquet(path.toString)
     else rs.option("pathGlobFilter", s"$name.parquet").parquet(dir)
   }
+  /** Replica-0 id bound of the ScaleUp fixtures (ScaleUp.IdShift): ids
+    * below it are the ORIGINAL driver-fixture rows; replica i>0 shifts
+    * by i·10⁸. The q200–q204 stratum queries (round-12 verdict item 5)
+    * filter on it so their all-pairs DuckDB oracles stay feasible at
+    * /tmp/sf10 — on the driver fixtures every id is below the bound, so
+    * each stratum query is IDENTICAL to its parent there (asserted by
+    * StratumSpec) and the filter only engages on scaled fixtures.
+    */
+  val ReplicaZeroBound: Long = 100000000L
+
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 

@@ -922,8 +922,17 @@ object Dedup {
     */
   def groupSetMinhashOverlap(items: DataFrame, groupCol: String,
                              itemCol: String, perms: Int): DataFrame = {
+    // materialized ONCE: three branches (signatures, sizes, the exact
+    // intersection self-join) consume the distinct'd (grp, item) set.
+    // Un-checkpointed, each branch recomputes the corpus-wide distinct
+    // (3× the dominant scan+shuffle at 100 TB), and AQE's opportunistic
+    // stage reuse between the duplicate subtrees is TIMING-dependent —
+    // the audited final plan flapped 18↔19 exchanges run-to-run
+    // (round-13 plan-audit flap, same class as round-12's q142). One
+    // eager local checkpoint makes the plan a function of the query
+    // alone and pays the distinct exactly once.
     val it = items.select(col(groupCol).as("grp"), col(itemCol).as("item"))
-      .distinct()
+      .distinct().localCheckpoint()
     val mins = (1 to perms).map(j =>
       min(conv(substring(md5(concat(lit(s"mh$j:"), col("item"))), 1, 12), 16, 10)
         .cast("long")).as(s"m$j"))

@@ -88,9 +88,15 @@ object Graph {
     * document frequency 2..5 (df-capped inverted index — q24's
     * discipline bounds postings and pair fan-out by construction).
     */
-  private[graft] def lineGraphEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def lineGraphEdges(spark: SparkSession, dir: String): DataFrame =
+    lineGraphEdgesOf(Tables.documents(spark, dir))
+
+  /** Docs-frame form so the sf10 stratum query (q201) can build the
+    * induced sub-corpus graph through the identical operator body.
+    */
+  private[graft] def lineGraphEdgesOf(documents: DataFrame): DataFrame = {
     val maxDf = 5
-    val docLines = Tables.documents(spark, dir)
+    val docLines = documents
       .select(col("doc_id"),
         explode(graft.text.Chunker.wordChunks(col("text"), 5)).as("line"))
       .distinct()
@@ -195,12 +201,40 @@ object Graph {
     * broadcasts the assignment, and the per-cluster argmax is one
     * partial-aggregable max_by over at most cluster_size rows per key.
     */
-  def q105ClusterKeepers(spark: SparkSession, dir: String): DataFrame = {
+  /** Broadcast bound for the assignment side of q105 (round-12 verdict
+    * item 6): "only linked docs appear" is the contract, but a
+    * pathologically duplicate-heavy corpus could grow linked-doc
+    * assignments past what a driver can broadcast. 50M rows × ~16 B/row
+    * ≈ 800 MB — the loud edge of a 4 GB-driver broadcast. Above it the
+    * join falls back to shuffle-hash (same result, one extra exchange
+    * on the corpus side) instead of OOMing the driver — the same
+    * guarded-bounded-model discipline as the ADC probe caps.
+    */
+  val MaxBroadcastAssignments: Long = 50000000L
+
+  def q105ClusterKeepers(spark: SparkSession, dir: String): DataFrame =
+    clusterKeepers(spark, dir, MaxBroadcastAssignments)
+
+  /** Bound-parameterized body so GraphSpec can force the over-bound
+    * shuffle-hash path on fixture data and assert result equality.
+    */
+  private[graft] def clusterKeepers(spark: SparkSession, dir: String,
+                                    maxBroadcast: Long): DataFrame = {
     val clusters = clusterAssignments(spark, dir)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-    docs.join(broadcast(clusters), Seq("doc_id"))
+    // the CC output is localCheckpoint-backed, so this count reads the
+    // materialized labels — it does NOT re-run label propagation
+    val nAssign = clusters.count()
+    val joined =
+      if (nAssign <= maxBroadcast) docs.join(broadcast(clusters), Seq("doc_id"))
+      else {
+        spark.sparkContext.setJobDescription(
+          s"q105: $nAssign assignments exceed broadcast bound $maxBroadcast — shuffle-hash fallback")
+        docs.join(clusters.hint("shuffle_hash"), Seq("doc_id"))
+      }
+    joined
       .groupBy("root")
       .agg(count(lit(1)).as("n_docs"),
         max(struct(col("n_tokens").as("t"), (-col("doc_id")).as("negid"))).as("best"),
@@ -282,6 +316,20 @@ object Graph {
   /** q173: triangle counts of the q104 shared-line dup graph. */
   def q173TriangleCount(spark: SparkSession, dir: String): DataFrame =
     triangleCounts(lineGraphEdges(spark, dir))
+      .select(col("v").as("doc_id"), col("n_triangles"))
+      .orderBy("doc_id")
+
+  /** q201 (round-12 verdict item 5): q173 over the replica-0 induced
+    * sub-corpus — identical to q173 on the driver fixtures (all ids
+    * below the bound; StratumSpec asserts), the original-sf0.1 slice on
+    * ScaleUp fixtures, where the full line-graph + triangle DuckDB CTE
+    * is feasible (measured 36 s at /tmp/sf10). Lines, df caps, and
+    * edges all derive from the FILTERED corpus — induced-subgraph
+    * semantics on both engines.
+    */
+  def q201TriangleStratum(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(lineGraphEdgesOf(
+      Tables.documents(spark, dir).filter(col("doc_id") < Tables.ReplicaZeroBound)))
       .select(col("v").as("doc_id"), col("n_triangles"))
       .orderBy("doc_id")
 

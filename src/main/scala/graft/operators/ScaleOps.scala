@@ -86,6 +86,36 @@ object ScaleOps {
       VectorOps.ivfAssign(e, "vec_id", "embedding", "label", 1), 0.35)
   }
 
+  /** q200/q203/q204 (round-12 verdict item 5): replica-0 stratum twins
+    * of the three pair-quadratic operators whose full sf10 oracles are
+    * CTE-infeasible (q165's all-pairs containment, q185's all-pairs
+    * τ-sweep, q191's 2e9-pair within-cluster scan). Each runs the SAME
+    * operator body over `id < Tables.ReplicaZeroBound` — on the driver
+    * fixtures that is the whole table (stratum ≡ parent, asserted by
+    * StratumSpec), on the ScaleUp fixtures it is exactly the original
+    * sf0.1 rows, where the DuckDB replay is feasible (measured at
+    * /tmp/sf10: 116 s / 22 s / 1 s) — converting the five families'
+    * sf10 property evidence into hash evidence. The filter is a plain
+    * parquet-pushed predicate; everything downstream is the parent's
+    * plan.
+    */
+  def q200ContainmentStratum(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(
+      Tables.documents(spark, dir).filter(col("doc_id") < Tables.ReplicaZeroBound),
+      "doc_id", "text", 3, 0.9)
+
+  def q203YieldStratum(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupYieldCurve(
+      Tables.documents(spark, dir).filter(col("doc_id") < Tables.ReplicaZeroBound),
+      "doc_id", "text")
+
+  def q204SemdedupStratum(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.widen(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < Tables.ReplicaZeroBound)
+    VectorOps.semDedup(
+      VectorOps.ivfAssign(e, "vec_id", "embedding", "label", 1), 0.35)
+  }
+
   /** q187: per-source mean-embedding cosine matrix — which source
     * pairs run semantically hot (mirror/overlap feeds) before paying
     * document-grain near-dup across them. The doc→source join is the

@@ -554,8 +554,22 @@ object Pq {
     * cells; queries vec_id<10, corpus ≥10 (the q28/q172 split). The
     * model trains on the full table, as q172's flat-PQ does.
     */
-  def q183IvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = graft.Tables.embeddings(spark, dir)
+  def q183IvfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqOn(graft.Tables.embeddings(spark, dir))
+
+  /** q202 (round-12 verdict item 5): q183 over the replica-0 stratum —
+    * identical to q183 on the driver fixtures (all ids below the bound;
+    * StratumSpec asserts), the original-sf0.1 2000-vector slice on
+    * ScaleUp fixtures, where the full unrolled IVF-PQ DuckDB replay is
+    * feasible (measured 6.6 s at /tmp/sf10). Training, encode, and ADC
+    * all run on the filtered frame — the whole model derives from the
+    * stratum on both engines.
+    */
+  def q202IvfPqStratum(spark: SparkSession, dir: String): DataFrame =
+    ivfPqOn(graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < graft.Tables.ReplicaZeroBound))
+
+  private def ivfPqOn(e: DataFrame): DataFrame = {
     val model = ivfPqTrain(e, "vec_id", "embedding", 4, 2, 4, 8, 2)
     val encoded = ivfPqEncode(e.filter(col("vec_id") >= 10), "vec_id", "embedding", model)
     ivfPqTopK(e.filter(col("vec_id") < 10), encoded, "vec_id", "embedding",

@@ -32,7 +32,13 @@ class ConcurrentStressSpec extends SparkSpec {
     "q38_retrieval", "q146_semantic_dedup",
     // round-10 divergence class: session-conf-scoped optimizer flags
     // (q157/q159) racing exact aggregates (q143 was the victim)
-    "q143_ab_funnel", "q157_ndv_autoapprox", "q159_percentile_autoapprox")
+    "q143_ab_funnel", "q157_ndv_autoapprox", "q159_percentile_autoapprox",
+    // round-12 additions (round-12 verdict item 3): driver-coordinated
+    // loops (radix select's per-level count maps, spectral's Gram
+    // collect) and the streaming CMS's fixed memory-sink view name +
+    // session-scoped tmpfs checkpoint — exactly the shared-mutable-name
+    // class this harness exists to catch across threads
+    "q194_spectral_power", "q195_exact_median", "q197_cms_stream")
 
   test("state-heavy queries diverge nowhere under 4-thread concurrency") {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
