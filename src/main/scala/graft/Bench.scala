@@ -22,13 +22,32 @@ import scala.collection.mutable
   *     hooks, so even the stdout-tail capture gets data from a killed
   *     run.
   *  3. A soft wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_S`, default
-  *     900 s) degrades gracefully instead of dying mid-catalog: past
-  *     35% of the budget the sf0.001 warmup pass stops (remaining
-  *     queries run cold — their medians absorb it at reps≥3 and the
-  *     per-query `runs` arrays make it visible); past 75% remaining
-  *     queries drop to 1 rep (recorded — each query's `runs` array
-  *     carries its actual rep count); past 100% remaining queries are
-  *     listed in `"skipped"` and the run wraps up with whatever it has.
+  *     900 s) degrades gracefully instead of dying mid-catalog.
+  *
+  * BREADTH BEFORE DEPTH (round-13 verdict item 1): round 13's official
+  * artifact was parseable but covered only 26 of 203 queries — the old
+  * policy spent warmup + 3 reps per query IN CATALOG ORDER, so on a
+  * 4.4×-slow box the budget died in the q1xx range and 87% of the
+  * catalog got no official number. The timed phase is now pass-
+  * structured: pass 1 runs EVERY query once (one rep each, full
+  * catalog coverage), passes 2..reps add one rep per query with
+  * whatever budget remains (each query's actual rep count is visible
+  * as its `runs` array length). A budget only large enough for one
+  * pass now yields 100% coverage at 1 rep instead of 13% at 3.
+  *
+  * INLINE BLIP ADJUDICATION (same verdict item): a row whose running
+  * median lands ≥4× over the box-scaled band — the q117=83.6 s class
+  * round 13's official artifact preserved with no rerun row — is
+  * re-measured ISOLATED immediately, while budget remains, not only in
+  * a post-catalog sweep the budget may never reach. Marginal breaches
+  * (the BandSpec 1.35× tier) wait for that post-catalog backstop,
+  * which runs with the end-of-run recalibrated box factor: ordinary
+  * in-run pressure puts ~half the catalog 1.4-2× over a start-
+  * calibrated band, and adjudicating all of it inline ate the breadth
+  * budget this reorder exists to protect. Per round-13 ADVICE, the
+  * recorded rerun value is the MEDIAN of the isolated re-measurements,
+  * not the min — min-of-min gave a genuine ~1.4× regression three
+  * chances to slip under the band by lucky minimum.
   *
   * BOX CALIBRATION (round-12 verdict item 2): the committed band
   * (`BENCH_BAND.json`) holds quiet-box medians, but rounds get judged
@@ -41,21 +60,117 @@ import scala.collection.mutable
   * `"calibration"`, and the median ratio vs the band's committed
   * medians is emitted as `"box_factor"` (floored at 1.0 — a fast box
   * must NEVER loosen the band). BenchBandSpec scales the band by the
-  * same ratio, capped at 5×. Rows that still breach the scaled band
-  * are re-measured isolated (up to twice, min kept, recorded under
-  * `"rerun"`) — the automated form of round 12's by-hand blip
-  * adjudication. A genuine single-query regression moves one ratio,
-  * not the median of five, and stays slow isolated — it still fails.
+  * same ratio, capped at 5×. A genuine single-query regression moves
+  * one ratio, not the median of five, and stays slow isolated — it
+  * still fails.
+  *
+  * ENGINE-REGRESSION TRIANGULATION (round-13 ADVICE, medium): the
+  * calibration suite is built from catalog queries, so a uniform
+  * engine-wide regression (a codegen/config change slowing EVERY query
+  * ~equally) inflates box_factor and loosens the whole band — the gate
+  * was structurally blind to global slowdowns. Two extra yardsticks
+  * run at bench start and end: `cpuBaseline()` — a pure-JVM xorshift
+  * loop, moves only with CPU steal — lands as `"cpu_seconds"` (MAX of
+  * phases: worst observed steal); `syntheticProbe()` — an I/O-free
+  * spark.range pipeline, moves with steal AND engine regressions but
+  * not I/O weather — lands as `"synthetic_seconds"` (MIN of phases: a
+  * regression is a code property present in every sample, noise is
+  * transient).
+  * Round-14 measurement showed why BOTH are needed: an end-of-run
+  * page-cache/disk degradation took the catalog factor to 3.78× while
+  * the CPU loop sat at 1.09×, so catalog-vs-cpu alone cannot tell I/O
+  * weather from an engine regression. BenchBandSpec compares the
+  * factors (committed baselines `cpu_baseline_s`/`synthetic_baseline_s`
+  * in the band file): synthetic≫cpu fails as an engine regression;
+  * catalog≫synthetic is honest I/O weather and scales the band as
+  * before.
   */
 object Bench {
 
   /** Median with even-count averaging (sorted(n/2) alone would silently
     * pick the upper-middle).
     */
-  private def medianOf(xs: Seq[Double]): Double = {
+  def medianOf(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.size
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** One engine-independent CPU sample: `threads` JVM threads each run a
+    * fixed xorshift64*-style loop to a blackhole; returns wall seconds.
+    * Multithreaded so core oversubscription / steal shows up, not just
+    * single-core speed. Deterministic work — the only variable is the box.
+    */
+  def cpuBaselineOnce(threads: Int = 8, itersPerThread: Long = 150000000L): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { t =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var acc = 0L
+        var i = 0L
+        while (i < itersPerThread) {
+          x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+          acc += x * 0x2545F4914F6CDD1DL
+          i += 1
+        }
+        sink.addAndGet(acc)
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    require(sink.get != 0L, "cpu baseline blackhole") // keep the loop alive
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Min of 3 samples: scheduling noise only ADDS time to a fixed
+    * workload, so the min is the cleanest estimate of the box's current
+    * speed. Phases keep the MAX of these mins (same drift rule as the
+    * query calibration).
+    */
+  def cpuBaseline(): Double = (1 to 3).map(_ => cpuBaselineOnce()).min
+
+  /** Engine-sensitive, I/O-FREE probe: a fixed `spark.range` pipeline
+    * (projection, two hash aggregations, a shuffle join, a sort) over
+    * generated data — no parquet, no filesystem. Round-14 measurement
+    * showed the catalog-query calibration conflates three causes it
+    * cannot separate: CPU steal, I/O weather (page-cache eviction on a
+    * shared disk inflated the end-of-run catalog factor to 3.78× while
+    * the pure-CPU loop sat at 1.09×), and genuine engine regressions.
+    * This probe removes the I/O axis: it moves with CPU steal (like
+    * `cpuBaseline`) and with engine-wide regressions (unlike
+    * `cpuBaseline`), so BenchBandSpec can compare the two factors and
+    * flag an engine regression without false-failing on I/O weather.
+    */
+  def syntheticProbeOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // per-row work must DOMINATE scheduler/shuffle overhead (measured:
+    // 4M and 16M light rows both took ~0.47 s — overhead-bound, so a
+    // compute-path regression would barely move it): chained sha2 over
+    // a per-row-unique string is ~90% of the wall here
+    val n = spark.range(0L, 8000000L, 1L, 32)
+      .selectExpr("id % 9973 AS k", "CAST(id % 31 AS DOUBLE) AS v",
+        "sha2(sha2(sha2(CAST(id AS STRING), 256), 256), 256) AS s")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("v").as("sv"),
+        org.apache.spark.sql.functions.max("s").as("ms"))
+      .selectExpr("k % 97 AS k2", "sv", "length(ms) AS lm")
+      .groupBy("k2")
+      .agg(org.apache.spark.sql.functions.sum("sv").as("sv2"),
+        org.apache.spark.sql.functions.sum("lm").as("lm2"))
+      .orderBy("k2")
+      .count()
+    require(n == 97L, s"synthetic probe returned $n groups, expected 97")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Median of 3 (not min): unlike the allocation-free CPU loop, the
+    * probe schedules real tasks, so its noise is two-sided-ish; the
+    * median matches how the catalog queries themselves are measured.
+    */
+  def syntheticProbe(spark: SparkSession): Double = {
+    val xs = (1 to 3).map(_ => syntheticProbeOnce(spark))
+    medianOf(xs)
   }
 
   private def fmt(d: Double): String = f"$d%.3f"
@@ -129,12 +244,21 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
 
-    // ---- run state, shared with the artifact writer and shutdown hook
-    val results = mutable.ArrayBuffer[(String, Double, Seq[(Double, Boolean)])]()
+    // ---- run state, shared with the artifact writer and shutdown hook.
+    // ALL mutations and cross-map reads go through Bench.synchronized
+    // (round-13 ADVICE: the hook iterating calibration/rerun while the
+    // main thread mutates them could throw ConcurrentModificationException
+    // inside writeArtifact and silently abandon the final write).
+    val runsBy = mutable.LinkedHashMap[String, Vector[(Double, Boolean)]]()
     val skipped = mutable.ArrayBuffer[String]()
     val calibration = mutable.LinkedHashMap[String, Double]()
-    val rerun = mutable.LinkedHashMap[String, Double]()
+    // name -> isolated re-measurement medians (each entry = median of
+    // `reps` isolated runs); the artifact's "rerun" value is the MEDIAN
+    // of these, the raw list ships under "rerun_runs" as the ledger
+    val rerunRuns = mutable.LinkedHashMap[String, Vector[Double]]()
     @volatile var boxFactor: Option[Double] = None
+    @volatile var cpuSeconds: Option[Double] = None
+    @volatile var synthSeconds: Option[Double] = None
     @volatile var finishedNormally = false
     val sfShort = sfDir.stripSuffix("/").split("/").last
 
@@ -149,47 +273,55 @@ object Bench {
       }
       val sec = (System.nanoTime() - s0) / 1e9
       // clear operator-internal caches AFTER timing: a query pays for
-      // its own caching, but 199 queries' dead cache entries must not
+      // its own caching, but 200 queries' dead cache entries must not
       // GC-thrash the queries that follow (measured: ~1.5x slowdown)
       spark.catalog.clearCache()
       (sec, ok)
     }
 
+    def medianFor(runs: Vector[(Double, Boolean)]): Double = medianOf(runs.map(_._1))
+    def rerunMedian(name: String): Option[Double] =
+      Bench.synchronized { rerunRuns.get(name).map(medianOf) }
+
     // ---- full artifact (raw per-rep runs included), atomically replaced
     // after every query so a killed run still leaves complete JSON
-    def writeArtifact(partial: Boolean): Unit = {
-      val snap = results.synchronized { results.toVector }
-      val qsFull = snap.map { case (k, m, _) => "\"" + k + "\":" + fmt(m) }
+    def writeArtifact(partial: Boolean): Unit = Bench.synchronized {
+      val snap = runsBy.toVector // (name, runs) in first-completion order
+      val qsFull = snap.map { case (k, r) => "\"" + k + "\":" + fmt(medianFor(r)) }
         .mkString("{", ",", "}")
-      val raw = snap.map { case (k, _, runs) =>
-        "\"" + k + "\":[" + runs.map(r => fmt(r._1)).mkString(",") + "]"
+      val raw = snap.map { case (k, r) =>
+        "\"" + k + "\":[" + r.map(x => fmt(x._1)).mkString(",") + "]"
       }.mkString("{", ",", "}")
-      val failedNames = snap.collect { case (k, _, runs) if runs.exists(!_._2) => k }
+      val failedNames = snap.collect { case (k, r) if r.exists(!_._2) => k }
       val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
       val skip = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val cal = calibration.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val rr = rerun.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      val rr = rerunRuns.map { case (k, v) => "\"" + k + "\":" + fmt(medianOf(v)) }
         .mkString("{", ",", "}")
+      val rrRaw = rerunRuns.map { case (k, v) =>
+        "\"" + k + "\":[" + v.map(fmt).mkString(",") + "]"
+      }.mkString("{", ",", "}")
       val bf = boxFactor.map(v => s""","box_factor":${fmt(v)}""").getOrElse("")
-      val total = snap.map(_._2).sum
+      val cpu = cpuSeconds.map(v => s""","cpu_seconds":${fmt(v)}""").getOrElse("") +
+        synthSeconds.map(v => s""","synthetic_seconds":${fmt(v)}""").getOrElse("")
+      val total = snap.map { case (_, r) => medianFor(r) }.sum
       val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""queries":$qsFull,"runs":$raw,"reps":$reps,"failed":$failed,""" +
         s""""n_failed":${failedNames.size},"skipped":$skip,""" +
-        s""""partial":$partial,"calibration":$cal,"rerun":$rr$bf,""" +
+        s""""partial":$partial,"calibration":$cal,"rerun":$rr,""" +
+        s""""rerun_runs":$rrRaw$bf$cpu,""" +
         s""""elapsed_s":${fmt(elapsed)},"sf":"$sfDir"}"""
       // synchronized + unique tmp: the shutdown hook and the main loop
       // can both be in here during a kill — two writers sharing one tmp
       // path made the hook's ATOMIC_MOVE throw NoSuchFileException and
       // its catch-all then swallowed the compact-line prints too
-      Bench.synchronized {
-        val dir = java.nio.file.Paths.get(".").toAbsolutePath
-        val tmp = dir.resolve(s"bench.json.tmp.${Thread.currentThread().getId}")
-        java.nio.file.Files.write(tmp, full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.move(tmp, dir.resolve("bench.json"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      val dir = java.nio.file.Paths.get(".").toAbsolutePath
+      val tmp = dir.resolve(s"bench.json.tmp.${Thread.currentThread().getId}")
+      java.nio.file.Files.write(tmp, full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, dir.resolve("bench.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
     // ---- compact stdout line under the driver's ~2 KB tail budget.
@@ -199,7 +331,9 @@ object Bench {
     // (full precision lives in bench.json). Loudly impossible to overrun
     // silently.
     def compactLine(partial: Boolean): String = {
-      val snap = results.synchronized { results.toVector }
+      val (snap, nSkipped) = Bench.synchronized {
+        (runsBy.toVector.map { case (k, r) => (k, medianFor(r), r) }, skipped.size)
+      }
       val shortName: Map[String, String] = {
         val pref = snap.map { case (k, _, _) =>
           k -> k.split("_")(0).stripPrefix("q")
@@ -215,7 +349,7 @@ object Bench {
       def fmtCoarse(d: Double): String =
         if (d >= 1.0) fmtShort(math.rint(d * 10) / 10) else fmtShort(d)
       def fmt1(d: Double): String = fmtShort(math.rint(d * 10) / 10)
-      val part = if (partial) s""","partial":true,"n_skipped":${skipped.size}""" else ""
+      val part = if (partial) s""","partial":true,"n_skipped":$nSkipped""" else ""
       val bf = boxFactor.map(v => s""","box_factor":${fmtShort(v)}""").getOrElse("")
       def line(fv: Double => String, include: Set[String]): String = {
         val qs = snap.collect { case (k, m, _) if include(k) =>
@@ -283,8 +417,14 @@ object Bench {
           stopRequested = true
           rawPrint(compactLine(partial = true))
           if (loopDone.await(10, java.util.concurrent.TimeUnit.SECONDS)) {
-            try writeArtifact(partial = true) catch { case _: Throwable => () }
-            if (!finishedNormally) rawPrint(compactLine(partial = true))
+            // re-check AFTER the await (round-13 ADVICE): a SIGTERM
+            // landing after the catalog loop let the hook's partial=true
+            // artifact overwrite the main thread's FINAL artifact —
+            // loopDone counts down well before finishedNormally flips
+            if (!finishedNormally) {
+              try writeArtifact(partial = true) catch { case _: Throwable => () }
+              if (!finishedNormally) rawPrint(compactLine(partial = true))
+            }
           }
         } catch { case _: Throwable => () }
       }
@@ -292,19 +432,27 @@ object Bench {
     Runtime.getRuntime.addShutdownHook(hook)
     writeArtifact(partial = true) // artifact exists from second zero
 
+    // ---- engine-independent CPU sample #1 (pure JVM, pre-Spark-warmup
+    // so it costs its ~2 s before any query state exists)
+    cpuSeconds = Some(cpuBaseline())
+
     // ---- warmup (JVM + Janino codegen): run each query once on the
     // smallest fixture so measured times reflect steady-state execution
     // (generated-class compilation dominates first runs — 19 s vs 2.7 s
     // observed on the shingle-join query). Calibration queries warm
     // FIRST so the calibration phase below always measures steady
-    // state; past 35% of the budget the rest of the warmup is dropped
-    // (those queries run cold; reported per-query runs keep that
-    // honest, and partial-but-real data beats an rc=124 artifact).
+    // state; past 22% of the budget the rest of the warmup is dropped.
+    // 22%, down from 35% (round-13 verdict item 1): on a 4.4×-slow box
+    // with the 900 s default, 35% of warmup + calibration + one breadth
+    // pass didn't fit the budget — and a query that runs COLD in pass 1
+    // self-repairs: a cold-inflated number that breaches the band gets
+    // an immediate warm isolated re-measure (the inline adjudication
+    // below), so coverage is the only thing the dropped warmup costs.
     val calNames = bandCalibrationQueries()
     val warmupOrder = selected.sortBy { case (n, _) => (!calNames.contains(n), n) }
     var warmupsDropped = 0
     warmupOrder.foreach { case (name, fn) =>
-      if (!stopRequested && (elapsed <= budget * 0.35 || calNames.contains(name))) {
+      if (!stopRequested && (elapsed <= budget * 0.22 || calNames.contains(name))) {
         try fn(spark, "/root/testdata/sf0.001").count()
         catch { case _: Throwable => () }
         spark.catalog.clearCache()
@@ -313,48 +461,139 @@ object Bench {
     if (warmupsDropped > 0)
       System.err.println(s"[bench] budget pressure: dropped warmup for $warmupsDropped queries")
 
+    // ---- synthetic engine probe #1 (I/O-free spark.range pipeline):
+    // one untimed run compiles its codegen, then the timed median
+    if (!stopRequested) {
+      try {
+        syntheticProbeOnce(spark)
+        synthSeconds = Some(syntheticProbe(spark))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] synthetic probe failed: ${e.getMessage}")
+      }
+    }
+
     // ---- calibration phase: fixed suite, 3 reps at the bench SF
     val calSel = selected.filter { case (n, _) => calNames.contains(n) }
     calSel.foreach { case (name, fn) =>
       if (!stopRequested) {
         val runs = (1 to 3).map(_ => runOnce(name, fn))
-        if (runs.forall(_._2)) calibration(name) = medianOf(runs.map(_._1))
+        if (runs.forall(_._2))
+          Bench.synchronized { calibration(name) = medianOf(runs.map(_._1)) }
       }
     }
     val band = bandMedians()
-    val ratios = calibration.toSeq.collect {
-      case (q, sec) if band.contains(q) && band(q) > 0 => sec / band(q)
-    }
-    if (ratios.nonEmpty && sfShort == "sf0.1") {
+    def computeBoxFactor(): Option[Double] = {
+      val ratios = Bench.synchronized {
+        calibration.toSeq.collect {
+          case (q, sec) if band.contains(q) && band(q) > 0 => sec / band(q)
+        }
+      }
       // floor 1.0: a fast box must never LOOSEN the committed band.
       // sf0.1 only: the band's medians are sf0.1 numbers, so a ratio
       // computed at any other scale would be meaningless.
-      boxFactor = Some(math.max(1.0, medianOf(ratios)))
-      System.err.println(f"[bench] calibration box_factor=${boxFactor.get}%.2f " +
-        f"(${ratios.size} queries, elapsed ${elapsed}%.0f s of $budget%.0f s budget)")
+      if (ratios.nonEmpty && sfShort == "sf0.1") Some(math.max(1.0, medianOf(ratios)))
+      else None
+    }
+    boxFactor = computeBoxFactor()
+    boxFactor.foreach { bf0 =>
+      System.err.println(f"[bench] calibration box_factor=$bf0%.2f " +
+        f"(elapsed $elapsed%.0f s of $budget%.0f s budget)")
     }
     writeArtifact(partial = true)
 
-    // ---- timed catalog. MEDIAN OF 3: this VM's run-to-run wall-time
-    // variance is 1.5-2x (round 3's official single-run artifact
-    // "regressed" 22 queries an immediate re-run erased) — each query
-    // runs `reps` times and the official number is the median; raw runs
-    // stay in bench.json so variance is visible, not discarded. Under
-    // budget pressure reps degrade 3→1 (recorded per query by the runs
-    // array length); past the budget queries are SKIPPED and named.
-    selected.foreach { case (name, fn) =>
-      if (stopRequested || elapsed >= budget) {
-        skipped += name
-      } else {
-        val r = if (elapsed >= budget * 0.75) 1 else reps
-        val runs = (1 to r).map(_ => runOnce(name, fn))
-        // a query that "failed" because the kill tore its executors down
-        // mid-flight is noise, not signal — count it skipped, not failed
-        if (stopRequested && runs.exists(!_._2)) skipped += name
-        else {
-          val med = medianOf(runs.map(_._1))
-          results.synchronized { results += ((name, med, runs)) }
+    // ---- breach predicates. Two tiers, learned the expensive way: the
+    // first full run with the BandSpec-exact predicate (factor 1.35)
+    // adjudicated 74 of 156 pass-1 rows — ordinary in-run pressure puts
+    // ~half the catalog 1.4-2× over a start-calibrated band, and 74 × 3
+    // isolated reps ate the breadth budget the reorder exists to protect.
+    //  - INLINE (mid-pass) fires only on the egregious blip class the
+    //    round-13 verdict named (q117 official = 12× band): ≥4× the
+    //    box-scaled median — rows whose number is useless without an
+    //    isolated re-measure and can't wait for a backstop the budget
+    //    may never reach.
+    //  - The BACKSTOP after end-of-run recalibration (box factor at the
+    //    slowest observed state) uses the BandSpec-exact predicate, so
+    //    everything BandSpec would flag gets an isolated number if any
+    //    budget remains.
+    val bandFactor = bandNumField("factor").getOrElse(1.35)
+    val bandSlack = bandNumField("abs_slack_sec").getOrElse(0.3)
+    def bestKnown(name: String, med: Double): Double =
+      rerunMedian(name).map(math.min(med, _)).getOrElse(med)
+    def breaches(name: String, med: Double): Boolean =
+      sfShort == "sf0.1" && band.get(name).exists { bm =>
+        val scale = boxFactor.map(b => math.min(5.0, b)).getOrElse(1.0)
+        val v = bestKnown(name, med)
+        v > bm * scale * bandFactor && v > bm * scale + bandSlack
+      }
+    def breachesEgregiously(name: String, med: Double): Boolean =
+      sfShort == "sf0.1" && band.get(name).exists { bm =>
+        val scale = boxFactor.map(b => math.min(5.0, b)).getOrElse(1.0)
+        val v = bestKnown(name, med)
+        v > bm * scale * 4.0 && v > bm * scale + 1.0
+      }
+    // isolated re-measure: `reps` runs back-to-back with nothing else in
+    // flight; the MEDIAN of the re-measure medians is the recorded rerun
+    // value (up to `maxRerunsPerQuery` re-measures across the whole run)
+    val maxRerunsPerQuery = 2
+    val qmap = selected.toMap
+    def adjudicate(name: String, budgetFrac: Double): Unit = {
+      val attempts = Bench.synchronized { rerunRuns.get(name).map(_.size).getOrElse(0) }
+      if (attempts < maxRerunsPerQuery && !stopRequested && elapsed < budget * budgetFrac) {
+        // re-check the budget BETWEEN reps: a persistent 80 s-class blip
+        // must not eat 3 × 80 s of breadth budget before anyone notices
+        val buf = mutable.ArrayBuffer[(Double, Boolean)]()
+        var i = 0
+        while (i < reps && !stopRequested &&
+          (i == 0 || elapsed < budget * budgetFrac)) {
+          buf += runOnce(name, qmap(name)); i += 1
+        }
+        if (buf.nonEmpty && buf.forall(_._2)) {
+          val m = medianOf(buf.map(_._1).toSeq)
+          Bench.synchronized {
+            rerunRuns(name) = rerunRuns.getOrElse(name, Vector.empty) :+ m
+          }
           writeArtifact(partial = true)
+        }
+      }
+    }
+
+    // ---- timed catalog, BREADTH FIRST. Pass 1 gives every query one
+    // rep (full coverage even on a box where one pass is all the budget
+    // buys); passes 2..reps add one rep each with remaining budget.
+    // MEDIAN OF reps: this VM's run-to-run wall-time variance is 1.5-2x
+    // (round 3's official single-run artifact "regressed" 22 queries an
+    // immediate re-run erased) — raw runs stay in bench.json so variance
+    // is visible, not discarded. Each query's actual rep count is its
+    // runs-array length. Past the budget queries are SKIPPED and named.
+    (1 to reps).foreach { pass =>
+      // leave 15% headroom after pass 1 for end-calibration + the
+      // adjudication backstop; pass 1 itself runs to the full budget —
+      // coverage beats depth beats adjudication beats nothing
+      val passCut = if (pass == 1) budget else budget * 0.85
+      selected.foreach { case (name, fn) =>
+        val already = Bench.synchronized { runsBy.get(name).map(_.size).getOrElse(0) }
+        if (already < pass) { // don't double-run after a mid-pass resume
+          if (stopRequested || elapsed >= passCut) {
+            if (pass == 1) Bench.synchronized { skipped += name }
+          } else {
+            val r = runOnce(name, fn)
+            // a query that "failed" because the kill tore its executors
+            // down mid-flight is noise, not signal — skipped, not failed
+            if (stopRequested && !r._2) {
+              if (pass == 1) Bench.synchronized { skipped += name }
+            } else {
+              val med = Bench.synchronized {
+                val v = runsBy.getOrElse(name, Vector.empty) :+ r
+                runsBy(name) = v
+                medianFor(v)
+              }
+              writeArtifact(partial = true)
+              // inline adjudication (round-13 verdict item 1): re-measure
+              // an egregiously-blipping row NOW, while budget remains —
+              // the post-catalog sweep may never run on a slow box
+              if (breachesEgregiously(name, med)) adjudicate(name, budgetFrac = 0.85)
+            }
+          }
         }
       }
     }
@@ -363,64 +602,58 @@ object Bench {
       System.err.println(s"[bench] budget exhausted: ${skipped.size} queries skipped: " +
         skipped.mkString(", "))
 
-    // SELF-ADJUDICATING pressure blips (round-13): on a slow box,
-    // full-catalog in-run pressure inflates scattered rows 10-30× —
-    // far past any scalar box factor — and isolated re-runs collapse
-    // them (the round-12 adjudication, previously done by hand in
-    // PROGRESS). Two defenses, because this box's speed DRIFTS mid-run
-    // (measured: start-calibration 1.74×, end-of-run state ~4×):
-    //  1. the calibration suite runs AGAIN here and each query keeps
-    //     its per-query MAX — the box factor reflects the slowest
-    //     observed state of the run, never just a lucky quiet start;
-    //  2. rows whose in-run median still breaches the committed
-    //     box-scaled band are re-measured ISOLATED, up to twice (a
-    //     single re-measure can itself land in a slow moment), keeping
-    //     the MINIMUM; BenchBandSpec takes the better of in-run and
-    //     re-measured. A GENUINE regression is slow in isolation at
-    //     any box state, so it still fails the band.
+    // ---- end-of-run recalibration + adjudication backstop: this box's
+    // speed DRIFTS mid-run (measured: start-calibration 1.74×, end-of-
+    // run state ~4×), so the calibration suite runs AGAIN and each query
+    // keeps its per-query MAX — the box factor reflects the slowest
+    // observed state of the run, never just a lucky quiet start. Rows
+    // still breaching the recalibrated band get their remaining isolated
+    // re-measures here. The CPU yardstick re-samples under the same MAX
+    // rule.
     if (sfShort == "sf0.1" && !stopRequested && band.nonEmpty) {
       calSel.foreach { case (name, fn) =>
         if (!stopRequested && elapsed < budget) {
           val runs = (1 to 3).map(_ => runOnce(name, fn))
           if (runs.forall(_._2)) {
             val m = medianOf(runs.map(_._1))
-            calibration(name) = math.max(calibration.getOrElse(name, 0.0), m)
-          }
-        }
-      }
-      val ratios2 = calibration.toSeq.collect {
-        case (q, sec) if band.contains(q) && band(q) > 0 => sec / band(q)
-      }
-      if (ratios2.nonEmpty) boxFactor = Some(math.max(1.0, medianOf(ratios2)))
-      val factor = bandNumField("factor").getOrElse(1.35)
-      val slack = bandNumField("abs_slack_sec").getOrElse(0.3)
-      val scale = boxFactor.map(b => math.min(5.0, b)).getOrElse(1.0)
-      val qmap = selected.toMap
-      def breaching: Vector[String] = results.toVector.collect {
-        case (k, m, _) if band.get(k).exists { bm =>
-          val v = math.min(m, rerun.getOrElse(k, m))
-          v > bm * scale * factor && v > bm * scale + slack
-        } => k
-      }
-      (1 to 2).foreach { _ =>
-        breaching.foreach { name =>
-          if (!stopRequested && elapsed < budget) {
-            val runs = (1 to reps).map(_ => runOnce(name, qmap(name)))
-            if (runs.forall(_._2)) {
-              val m = medianOf(runs.map(_._1))
-              rerun(name) = math.min(rerun.getOrElse(name, Double.MaxValue), m)
-              writeArtifact(partial = true)
+            Bench.synchronized {
+              calibration(name) = math.max(calibration.getOrElse(name, 0.0), m)
             }
           }
         }
       }
-      if (rerun.nonEmpty)
-        System.err.println(s"[bench] ${rerun.size} band-breaching rows " +
+      computeBoxFactor().foreach(bf => boxFactor = Some(bf))
+      if (!stopRequested && elapsed < budget) {
+        // cpu keeps the MAX of the phases (the steal level at its worst —
+        // it is the cross-check's denominator); the synthetic probe keeps
+        // the MIN: an engine regression is a CODE property present in
+        // every sample, so the min preserves detection while transient
+        // settle/noise spikes (measured up to 3x on this box) are
+        // suppressed instead of tripping the BandSpec assert
+        cpuSeconds = Some(math.max(cpuSeconds.getOrElse(0.0), cpuBaseline()))
+        try {
+          val syn = syntheticProbe(spark)
+          synthSeconds = Some(synthSeconds.fold(syn)(math.min(_, syn)))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] synthetic probe failed: ${e.getMessage}")
+        }
+      }
+      val stillBreaching = Bench.synchronized {
+        runsBy.toVector.collect { case (k, r) if breaches(k, medianFor(r)) => k }
+      }
+      stillBreaching.foreach { name =>
+        (1 to maxRerunsPerQuery).foreach(_ => adjudicate(name, budgetFrac = 1.0))
+      }
+      val rr = Bench.synchronized { rerunRuns.toVector }
+      if (rr.nonEmpty)
+        System.err.println(s"[bench] ${rr.size} band-breaching rows " +
           s"re-measured isolated (box_factor ${boxFactor.map(b => f"$b%.2f").getOrElse("?")}): " +
-          rerun.map { case (n, v) => f"$n=$v%.2f" }.mkString(", "))
+          rr.map { case (n, v) => f"$n=${medianOf(v)}%.2f(${v.size} attempts)" }.mkString(", "))
     }
 
-    val failedNames = results.collect { case (k, _, runs) if runs.exists(!_._2) => k }
+    val failedNames = Bench.synchronized {
+      runsBy.toVector.collect { case (k, r) if r.exists(!_._2) => k }
+    }
     if (failedNames.nonEmpty)
       System.err.println(s"[bench] ${failedNames.size} quer" +
         s"${if (failedNames.size == 1) "y" else "ies"} FAILED")

@@ -3731,9 +3731,13 @@ object SparkEntry {
   private def continuationOracleSql: Map[String, String] = Map(
     // q195: the k-th smallest scaled value per group, stated as the
     // definition (row_number over a full sort) — the radix-select
-    // result must hash-match the definitional order statistic
+    // result must hash-match the definitional order statistic. The
+    // WHERE mirrors the engine's up-front null drop (round-13 ADVICE):
+    // n counts NON-NULL values and all-null groups emit no row, on
+    // null-bearing data as well as on the (null-free) fixtures.
     "q195_exact_median" ->
-      """WITH e AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS sv FROM events),
+      """WITH e AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS sv FROM events
+                    WHERE value IS NOT NULL),
          n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY event_type),
          r AS (SELECT event_type, sv,
                  row_number() OVER (PARTITION BY event_type ORDER BY sv) AS rn
@@ -3764,9 +3768,11 @@ object SparkEntry {
          SELECT CAST(j AS INT) AS j, CAST(b AS INT) AS b, CAST(count(*) AS BIGINT) AS c
          FROM fb GROUP BY j, b ORDER BY j, b""",
     // q198: median and MAD stated definitionally (two nested row_number
-    // order statistics), fences at median ± 5·max(MAD, 1)
+    // order statistics), fences at median ± 5·max(MAD, 1). Same null
+    // filter as q195: the engine drops null values before counting.
     "q198_mad_outliers" ->
-      """WITH e AS (SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+      """WITH e AS (SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events
+                    WHERE value IS NOT NULL),
          n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY g),
          r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM e),
          med AS (SELECT r.g, n.n, r.v AS median_scaled

@@ -60,6 +60,25 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/failed.json"),
       failed.map(q).mkString("[", ",", "]"))
+    // GATE_STAMP-vs-tree verdict (round-13 verdict item 4): round 13's
+    // end-of-round snapshot scooped ungated work past the pre-commit hook
+    // and the stale stamp surfaced only via judge archaeology. Printing the
+    // one-line verdict here — and copying it into the dump — makes a stale
+    // stamp a visible red line in every round's driver artifacts. Best
+    // effort: a missing script or non-repo cwd must not fail the dump.
+    try {
+      val script = new java.io.File("tools/gate_check.sh")
+      if (script.exists) {
+        val p = new ProcessBuilder("bash", script.getPath).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        p.waitFor()
+        println(out)
+        Files.writeString(Paths.get(s"$outDir/gate_check.txt"), out + "\n")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[gate-check] unavailable: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.mkString(", ")}")

@@ -39,7 +39,9 @@ object Quantiles {
     // null byte bucket, so the driver-side walk NPE'd instead of failing
     // cleanly. Dropping nulls gives SQL aggregate semantics — the k-th
     // order statistic of the NON-NULL values, groups with only nulls
-    // disappear — which is exactly what the `median(...)` oracle computes.
+    // disappear. The q195/q198 oracles filter `value IS NOT NULL` in their
+    // first CTE (round-13 ADVICE), so their n/k and group membership agree
+    // with the engine by construction, not just on null-free fixtures.
     val base = df.filter(value.isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         value.cast("long").bitwiseXOR(lit(Long.MinValue)).as("u"))

@@ -80,16 +80,93 @@ class BenchBandSpec extends AnyFunSuite {
     info(f"box calibration: factor $boxFactor%.2f (applied $boxScale%.2f) " +
       f"from ${ratios.size} calibration queries")
 
+    // ENGINE-REGRESSION CROSS-CHECK (round-13 ADVICE, medium): the
+    // calibration suite is catalog queries, so a uniform engine-wide
+    // regression (codegen/config change slowing every query ~equally)
+    // inflates boxFactor and would loosen every band row with it — the
+    // gate was structurally blind to global slowdowns. Bench therefore
+    // times two more yardsticks and the three factors TRIANGULATE the
+    // cause (round-14 measurements on this VM):
+    //  - `cpu_seconds`: pure-JVM loop, no Spark, no I/O. Moves ONLY
+    //    with CPU steal.
+    //  - `synthetic_seconds`: fixed spark.range pipeline (codegen, two
+    //    hash aggs, shuffle, sort), no filesystem. Moves with CPU steal
+    //    AND engine regressions — but NOT with I/O weather.
+    //  - catalog boxFactor: moves with all three causes (measured: an
+    //    end-of-run page-cache/disk degradation took it to 3.78x while
+    //    cpu sat at 1.09x — so catalog-vs-cpu alone CANNOT distinguish
+    //    I/O weather from an engine regression and must not assert).
+    // catalog >> synthetic => I/O weather (honest; the band rows also
+    // read parquet, so the scale is legitimate). synthetic >> cpu =>
+    // ENGINE regression => fail. Both high together => CPU steal
+    // (honest). Estimator bias is deliberate: Bench records the MIN of
+    // the probe's two phase medians (a regression is in the code,
+    // present in every sample; settle/noise spikes — measured up to 3x
+    // on this box — are transient) against the MAX for cpu, so honest
+    // runs bias the ratio LOW. Thresholds carry the measured envelope
+    // (induced-steal syn/cpu ratio reached ~1.9); the check bounds the
+    // uniform-regression blind spot at ~2.5x rather than eliminating
+    // it — tighter bounds false-fire on this VM's sampling noise.
+    val cpuBase = numField(bandJson, "cpu_baseline_s")
+    val cpuSec = numField(bench, "cpu_seconds")
+    val synBase = numField(bandJson, "synthetic_baseline_s")
+    val synSec = numField(bench, "synthetic_seconds")
+    (cpuBase, cpuSec) match {
+      case (Some(base), Some(sec)) if base > 0 =>
+        val cpuFactor = math.max(1.0, sec / base)
+        val synFactor = for { b <- synBase; s <- synSec if b > 0 }
+          yield math.max(1.0, s / b)
+        val line = f"yardsticks: catalog $boxFactor%.2fx, synthetic " +
+          synFactor.map(f => f"$f%.2fx").getOrElse("n/a") +
+          f", cpu $cpuFactor%.2fx (catalog>>synthetic = IO weather; " +
+          "synthetic>>cpu = engine regression)"
+        info(line)
+        System.err.println(s"[band] $line")
+        synFactor.foreach { sf =>
+          assert(sf <= math.max(2.5, cpuFactor * 2.2),
+            f"the I/O-free synthetic engine probe slowed $sf%.2fx while the pure-CPU " +
+              f"yardstick moved only $cpuFactor%.2fx — neither I/O weather (the probe " +
+              f"reads no files) nor CPU steal (the loop would move too) explains this; " +
+              f"a uniform ENGINE regression is the likely cause, do not trust the " +
+              f"box-scaled band until this is explained")
+        }
+      case _ =>
+        info("no engine-regression cross-check (cpu_baseline_s or cpu_seconds missing)")
+    }
+
     val unbanded = fresh.keySet -- medians.keySet -- allow
     if (unbanded.nonEmpty)
       info(s"unbanded queries (new this round — refresh BENCH_BAND.json): " +
         unbanded.toSeq.sorted.mkString(", "))
 
     // in-run pressure blips self-adjudicate: Bench re-measures
-    // band-breaching rows ISOLATED after the catalog and records them
-    // under "rerun" — the better of the two is the row's value here
-    // (a genuine regression is slow isolated too and still fails)
+    // band-breaching rows ISOLATED (inline, right after the breaching
+    // pass, plus an end-of-run backstop) and records under "rerun" the
+    // MEDIAN of the isolated re-measurements (round-13 ADVICE: min-of-
+    // min gave a real ~1.4x regression three chances to slip under by
+    // lucky minimum). The better of in-run and rerun is the row's value
+    // here — a genuine regression is slow isolated too and still fails.
     val rr = section(bench, "rerun").map(jsonNumberMap).getOrElse(Map.empty)
+    // rerun ledger (round-13 verdict item 6): a row accepted ONLY via
+    // its isolated rerun is forgiven this round, but a query that shows
+    // up here round after round is a real contention bug, not box noise
+    // — emit the triple so the pattern is visible across rounds.
+    val forgiven = fresh.toSeq.sorted.flatMap { case (q, sec0) =>
+      medians.get(q).map(_ * boxScale) match {
+        case Some(band) if !allow(q) && rr.contains(q) &&
+          (sec0 > band * factor && sec0 > band + slack) &&
+          !(rr(q) > band * factor && rr(q) > band + slack) =>
+          Some(f"$q: in-run $sec0%.2fs, isolated-rerun ${rr(q)}%.2fs, band $band%.2fs")
+        case _ => None
+      }
+    }
+    if (forgiven.nonEmpty) {
+      val msg = "rerun ledger — rows accepted only via isolated re-measure " +
+        "(chronic entries across rounds = contention bug):\n  " + forgiven.mkString("\n  ")
+      info(msg)
+      System.err.println(s"[band] $msg")
+    }
+
     val breaches = fresh.toSeq.sortBy(_._1).flatMap { case (q, sec0) =>
       val sec = math.min(sec0, rr.getOrElse(q, sec0))
       medians.get(q).map(_ * boxScale) match {
