@@ -233,6 +233,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the JVM-wide generated-class cache defaults to 100 entries; a
+      // 204-query catalog churns it completely, so the sf0.001 warmup's
+      // compiled classes are evicted long before the timed pass reaches
+      // that query and rep 1 pays Janino again (measured: ~0.5-2 s per
+      // query — enough to 2x every sub-second band row). 5000 entries
+      // keeps every warmed class live for the whole run.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev-loop subset: SPARK_GRAFT_ONLY=q125_pagerank,... times just
@@ -279,7 +286,15 @@ object Bench {
       (sec, ok)
     }
 
-    def medianFor(runs: Vector[(Double, Boolean)]): Double = medianOf(runs.map(_._1))
+    // STEADY-STATE median: when a query has 2+ reps, rep 1 is dropped —
+    // it can still carry the sf0.1 plan's codegen compile (the sf0.001
+    // warmup can't always prime it: AQE picks different physical plans
+    // per scale, and cache eviction), and at reps=2 a cold rep 1 would
+    // contaminate the average. A single-rep query keeps its (cold-
+    // biased, honest) rep 1 — visible as a length-1 runs array; the
+    // raw array always ships every rep.
+    def medianFor(runs: Vector[(Double, Boolean)]): Double =
+      if (runs.size >= 2) medianOf(runs.tail.map(_._1)) else runs.head._1
     def rerunMedian(name: String): Option[Double] =
       Bench.synchronized { rerunRuns.get(name).map(medianOf) }
 
@@ -570,7 +585,20 @@ object Bench {
       // adjudication backstop; pass 1 itself runs to the full budget —
       // coverage beats depth beats adjudication beats nothing
       val passCut = if (pass == 1) budget else budget * 0.85
-      selected.foreach { case (name, fn) =>
+      // passes >= 2 go CHEAPEST-FIRST (by current best-known median):
+      // depth budget buys the most accuracy per second on sub-second
+      // rows, whose rep 1 is the most compile/startup-contaminated —
+      // alphabetical order left exactly the breach-prone small rows at
+      // one rep when the budget died mid-pass (observed: 82 of 204)
+      val passOrder =
+        if (pass == 1) selected
+        else {
+          val known = Bench.synchronized {
+            runsBy.map { case (k, r) => k -> medianFor(r) }.toMap
+          }
+          selected.sortBy { case (n, _) => known.getOrElse(n, Double.MaxValue) }
+        }
+      passOrder.foreach { case (name, fn) =>
         val already = Bench.synchronized { runsBy.get(name).map(_.size).getOrElse(0) }
         if (already < pass) { // don't double-run after a mid-pass resume
           if (stopRequested || elapsed >= passCut) {
