@@ -400,38 +400,59 @@ object Dedup {
     * threshold apply in the surviving space. All arithmetic is integer
     * until the final 4-dp ratio.
     *
-    * Scale: counts are groupBy aggregates (map-side combine on the zipf
-    * gram key — never a window); the pair join runs only on df-capped
-    * grams, so emission is bounded by Σ_g C(df_g, 2) ≤ maxDf/2 · Σ df_g
-    * — the q24 inverted-index bound. Two keyed fact shuffles (tf build,
-    * pair agg); the per-doc totals join back on doc-cardinality tables.
+    * Scale: per-doc tf is computed INSIDE the gram UDF (a row-local
+    * aggregation needs no shuffle; round-15), df is one groupBy with
+    * map-side combine on the zipf gram key — never a window; the pair
+    * join runs only on df-capped grams, so emission is bounded by
+    * Σ_g C(df_g, 2) ≤ maxDf/2 · Σ df_g — the q24 inverted-index bound.
+    * One keyed fact shuffle (the df/pair build, on 8-byte hashed gram
+    * keys); the per-doc totals join back on doc-cardinality tables.
     */
   def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, threshold: Double = 0.5,
                            maxDf: Int = 64): DataFrame = {
-    // multiplicity-preserving n-grams in a tight loop (the higher-order
-    // transform(sequence(...)) form is CodegenFallback — interpreted per
-    // element; same measurement as wordShingles above)
-    val gramUdf = udf { (ws: Seq[String]) =>
-      if (ws == null || ws.length < n) Array.empty[String]
+    // Per-doc TF of HASHED n-grams in one tight loop (round-15, guide
+    // §2.3/§2.4): the former explode-all-occurrences → groupBy(doc, gr)
+    // paid a full exchange of every gram OCCURRENCE (string-keyed, ~25
+    // B/gram) just to count within-doc repeats — a per-row aggregation
+    // needs no shuffle at all. The UDF emits (gram-hash, tf) pairs per
+    // document (FNV-1a folded word hashes, the q24/docShingles
+    // discipline: 8-byte keys on every downstream exchange instead of
+    // gram strings; collision odds ≈ S²/2⁶⁵ — immaterial, and the
+    // DuckDB oracle hash-match would surface one). Multiplicity is
+    // preserved exactly — tf values are what the old groupBy computed.
+    val gramTfUdf = udf { (ws: Seq[String]) =>
+      if (ws == null || ws.length < n) Array.empty[(Long, Long)]
       else {
-        val out = new Array[String](ws.length - n + 1)
+        val wh = new Array[Long](ws.length)
         var i = 0
+        while (i < ws.length) { wh(i) = fnv64(ws(i)); i += 1 }
+        val m = new java.util.HashMap[java.lang.Long, Array[Long]]()
+        i = 0
         while (i <= ws.length - n) {
-          val sb = new java.lang.StringBuilder(ws(i))
-          var j = 1
-          while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
-          out(i) = sb.toString
+          var h = 0xcbf29ce484222325L
+          var j = 0
+          while (j < n) { h ^= wh(i + j); h *= 0x100000001b3L; j += 1 }
+          val prev = m.get(h)
+          if (prev == null) m.put(h, Array(1L)) else prev(0) += 1L
+          i += 1
+        }
+        val out = new Array[(Long, Long)](m.size)
+        val it = m.entrySet().iterator()
+        i = 0
+        while (it.hasNext) {
+          val e = it.next()
+          out(i) = (e.getKey.longValue(), e.getValue()(0))
           i += 1
         }
         out
       }
     }
-    val grams = graft.Tables.widen(
+    val tf = graft.Tables.widen(
         docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
       .select(col("doc_id"),
-        explode(gramUdf(regexp_extract_all(col("txt"), lit("\\S+"), lit(0)))).as("gr"))
-    val tf = grams.groupBy("doc_id", "gr").agg(count(lit(1)).as("tf"))
+        explode(gramTfUdf(regexp_extract_all(col("txt"), lit("\\S+"), lit(0)))).as("g"))
+      .select(col("doc_id"), col("g._1").as("gr"), col("g._2").as("tf"))
     val keep = tf.groupBy("gr").agg(count(lit(1)).as("dfc"))
       .filter(col("dfc") <= maxDf).select("gr")
     // EAGER checkpoint: the capped gram table feeds the totals AND both

@@ -76,4 +76,49 @@ object BoundedCollect {
     implicit val enc: Encoder[SItem] = ExpressionEncoder()
     udaf(new BCS(cap)).apply(id, s)
   }
+
+  /** DISTINCT-aware bounded collect (round-15): a sorted distinct id set
+    * capped at `cap`, maintained inside ONE aggregation — the fused form
+    * of `.distinct()` followed by a bounded collect, which paid a full
+    * extra exchange of the exploded (id, key) rows just to dedup before
+    * the groupBy (guide §2.4: two operations keyed compatibly should
+    * share one exchange). Exactness contract: a group whose true
+    * distinct count is < cap never fills the buffer, so its set (and
+    * `size(...)`) are exact and arrival-order-independent (sorted
+    * ascending); a group with ≥ cap distinct ids saturates at `cap`
+    * members — callers use `cap = maxDf + 1` and filter
+    * `size BETWEEN 2 AND maxDf`, so saturated (hot) groups are excluded
+    * either way and WHICH cap members were retained is never observed.
+    */
+  class BCDistinct(cap: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Vector.empty
+
+    private def ins(s: Seq[Long], id: Long): Seq[Long] = {
+      var lo = 0; var hi = s.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (s(m) < id) lo = m + 1 else hi = m
+      }
+      if (lo < s.length && s(lo) == id) s        // already present
+      else if (s.length >= cap) s                // saturated (hot group)
+      else (s.take(lo) :+ id) ++ s.drop(lo)      // sorted insert
+    }
+
+    override def reduce(b: Seq[Long], id: Long): Seq[Long] = ins(b, id)
+
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      if (a.length >= cap) a
+      else b.foldLeft(a)(ins)
+
+    override def finish(r: Seq[Long]): Seq[Long] = r
+
+    override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  /** Column API: `collectDistinct(cap)(id)` → array<bigint> (sorted
+    * distinct, saturating at cap; see BCDistinct for the contract).
+    */
+  def collectDistinct(cap: Int)(id: Column): Column =
+    udaf(new BCDistinct(cap)).apply(id)
 }

@@ -36,15 +36,28 @@ object Graph {
     // a materialization pass plus the count
     var labels = e.select(col("src").as("v")).distinct()
       .withColumn("label", col("v")).localCheckpoint(false)
-    var changed = 1L
+    // convergence via the LABEL-SUM invariant (round-15, guide §1.2):
+    // both steps below only ever LOWER a vertex's label (hop takes a min
+    // including the own label; jump takes least(h, ...)), so Σ labels is
+    // strictly decreasing until the fixpoint and stationary exactly
+    // there. Comparing consecutive sums (decimal — no overflow at any
+    // vertex count) replaces the former labels-vs-next comparison join;
+    // with the hop fused to min(own ∪ neighbors) this drops each round
+    // from three joins to two (hop join + jump self-join). Per-round
+    // label states are IDENTICAL to the previous spelling — min over
+    // the same sets, same jump targets — so convergence takes the same
+    // rounds and produces the same assignment.
+    var prevSum: Option[java.math.BigDecimal] = None
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      // each vertex takes the min of its own label and its neighbors'
-      val nbrMin = e.join(labels.withColumnRenamed("v", "dst"), "dst")
-        .groupBy(col("src").as("v")).agg(min("label").as("nbr"))
-      val hopped = labels.join(nbrMin, Seq("v"))
-        .select(col("v"), col("label"),
-          least(col("label"), col("nbr")).as("h"))
+    while (!converged && i < maxIter) {
+      // hop: each vertex takes the min of its own label and its
+      // neighbors' — one join + one union'd aggregate (the own label
+      // rides the union instead of a second join)
+      val hopped = e.join(labels.withColumnRenamed("v", "dst"), "dst")
+        .select(col("src").as("v"), col("label"))
+        .union(labels)
+        .groupBy("v").agg(min("label").as("h"))
       // pointer jump (shortcutting): label(v) ← label(label(v)). A label
       // is always a vertex of v's own component (true at init, preserved
       // by both steps), so the jump stays inside the component while
@@ -53,25 +66,29 @@ object Graph {
       // difference between converging and the loud abort on deep graphs:
       // the 10x-rehearsal's sf10 line graph has diameter > 20 (random
       // shared-line edges chain), and a 100 TB web-scale dup graph does
-      // too. One extra self-join per round; the jump target always
-      // resolves (every label is a vertex and every vertex has a row),
+      // too. One self-join per round; the jump target always resolves
+      // (every label is a vertex and every vertex has a row),
       // left+coalesce only guards the invariant.
       val lookup = hopped.select(col("v").as("h"), col("h").as("jump"))
       val next = hopped.join(lookup, Seq("h"), "left")
-        .select(col("v"), col("label"),
-          least(col("h"), coalesce(col("jump"), col("h"))).as("next_label"))
+        .select(col("v"),
+          least(col("h"), coalesce(col("jump"), col("h"))).as("label"))
         .localCheckpoint(false)
-      changed = next.filter(col("next_label") =!= col("label")).count()
-      labels = next.select(col("v"), col("next_label").as("label"))
+      val sum = next.agg(
+        org.apache.spark.sql.functions.sum(col("label").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+      converged = prevSum.exists(_.compareTo(sum) == 0)
+      prevSum = Some(sum)
+      labels = next
       i += 1
     }
     e.unpersist()
     // a deep-chain graph (diameter > maxIter) must fail LOUDLY here —
     // returning unconverged labels would surface downstream as a
     // baffling oracle mismatch against the exact transitive closure
-    require(changed == 0,
+    require(converged,
       s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still changing); raise maxIter for deep graphs")
+        s"(label sum still decreasing); raise maxIter for deep graphs")
     labels
   }
 
@@ -99,13 +116,20 @@ object Graph {
     val docLines = documents
       .select(col("doc_id"),
         explode(graft.text.Chunker.wordChunks(col("text"), 5)).as("line"))
-      .distinct()
+    // ONE exchange builds the distinct df-capped postings (round-15,
+    // guide §2.4): the former `.distinct()` before the groupBy paid a
+    // full extra shuffle of the exploded (doc_id, line) rows — the
+    // biggest intermediate of the whole derivation — only to dedup
+    // within-doc repeats; BCDistinct dedups inside the same aggregation
+    // (cap = maxDf + 1, so `size` saturating at 6 identifies hot lines
+    // exactly as the true-count form did; sets below the cap are exact
+    // and sorted, and pair emission is order-insensitive membership).
     val postings = docLines
       .groupBy("line")
-      .agg(graft.functions.BoundedCollect.collect(maxDf + 1)(
-        col("doc_id"), lit(0)).as("bc"))
-      .filter(col("bc._2").between(2, maxDf))
-      .select(transform(col("bc._1"), x => x.getField("_1")).as("ids"))
+      .agg(graft.functions.BoundedCollect.collectDistinct(maxDf + 1)(
+        col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(col("ids"))
     val pairs = postings
       .select(explode(expr(
         "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)")).as("p"))
@@ -138,8 +162,10 @@ object Graph {
     * #4 next to q16's intrinsic, q103's LM, and q109's rules). Same
     * control-loop discipline as `connectedComponents`: the driver holds
     * only the iteration counter and the vertex count; each round is one
-    * contribution join + one vertex-keyed aggregation,
-    * localCheckpoint'ed. Symmetric edges mean no dangling vertices, so
+    * contribution join + one vertex-keyed aggregation, kept LAZY (one
+    * fused job materializes the rounds; every 5th round checkpoints so
+    * lineage stays bounded at large `iters`). Symmetric edges mean no
+    * dangling vertices, so
     * no lost-mass correction is needed. Cross-engine exactness: ranks
     * round to 9 dp after every update, so accumulation-order drift
     * (≤ ulps) never survives a round. The out-degree is STATIC, so it
@@ -163,7 +189,7 @@ object Graph {
       .join(deg.withColumnRenamed("v", "src"), "src")
       .repartition(col("src")).persist()
     var ranks = deg.select(col("v"), lit(1.0 / n).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = eDeg
         .join(ranks.withColumnRenamed("v", "src"), "src")
         .select(col("dst").as("v"), (col("pr") / col("deg")).as("c"))
@@ -173,7 +199,15 @@ object Graph {
         .select(col("v"),
           graft.functions.Rounding.halfUp(lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("inflow"), lit(0.0)), 9).as("pr"))
-        .localCheckpoint()
+      // LAZY rounds (round-15, guide §1.2): PageRank has no per-round
+      // convergence check, so nothing forces a materialization between
+      // rounds — the former per-round EAGER localCheckpoint serialized
+      // `iters` barrier jobs whose only job was to cut lineage that a
+      // 3-round plan does not need cut (measured at sf0.1: 5.20 s →
+      // 3.35 s for pageRank(edges, 3)). Lineage still cannot grow
+      // unboundedly for large `iters`: every 5th round checkpoints —
+      // rounds between stay one fused plan.
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     // materialize the (one row per ranked vertex) result BEFORE
     // dropping the caches — a lazy return would silently re-derive the

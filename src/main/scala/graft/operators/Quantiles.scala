@@ -10,15 +10,16 @@ import org.apache.spark.sql.functions._
   * the exactness away. Radix select keeps exactness and pays 8 bounded
   * aggregation passes instead of a terabyte shuffle:
   *
-  *   per byte level (MSB→LSB): count rows per (group, byte) under the
-  *   group's established prefix — a ≤256·|groups|-row aggregate with full
-  *   map-side combine — then walk the cumulative counts on the driver to
-  *   pick each group's byte and descend. After 8 rounds the k-th smallest
-  *   64-bit value is determined EXACTLY, at any parallelism, with no
-  *   assumptions about ties or distribution.
+  *   per 16-bit digit level (MSB→LSB): count rows per (group, digit)
+  *   under the group's established prefix — a ≤65,536·|groups|-row
+  *   aggregate with full map-side combine — then walk the cumulative
+  *   counts on the driver to pick each group's digit and descend. After
+  *   4 rounds the k-th smallest 64-bit value is determined EXACTLY, at
+  *   any parallelism, with no assumptions about ties or distribution.
   *
-  * Driver state is 256·|groups| longs per round (the bounded-model rule);
-  * the data-side work is 8 narrow scans + keyed aggregates — at 1000
+  * Driver state is 65,536·|groups| longs per round (the bounded-model
+  * rule — groups are typed keys, not corpus-grain); the data-side work
+  * is 4 narrow scans + keyed aggregates — at 1000
   * executors each pass is embarrassingly parallel and nothing corpus-sized
   * ever shuffles (the q140 two-level-prefix-scan argument, applied to
   * selection). Signed order is preserved by the usual two's-complement
@@ -29,6 +30,18 @@ object Quantiles {
 
   /** k-th smallest (1-based, `kFor(n)` per group) of a LONG value column,
     * exactly, per group. Returns (group, n, k, kth) — one row per group.
+    *
+    * Round-15 optimization (guide §1.2 "remove unnecessary passes"):
+    * 16-bit digits instead of 8-bit — 4 counting passes per selection
+    * instead of 8, i.e. half the full scans of the input at any corpus
+    * size, for a driver walk of ≤ 65,536·|groups| longs per pass (still
+    * the bounded-model class: groups are typed keys like event_type,
+    * not corpus-grain). The projected (g, u) frame is persisted for the
+    * duration of the walk — every pass after the first reads the
+    * in-memory projection instead of re-scanning parquet — and
+    * unpersisted before returning (per-invocation intermediate, nothing
+    * survives the call). Selection output is bit-identical to the 8-bit
+    * form: the same value is determined, two hex digits at a time.
     */
   def radixSelectKth(df: DataFrame, groupCol: String, value: Column,
                      kFor: Long => Long): DataFrame = {
@@ -45,52 +58,55 @@ object Quantiles {
     val base = df.filter(value.isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         value.cast("long").bitwiseXOR(lit(Long.MinValue)).as("u"))
-    val sizes = base.groupBy("g").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(sizes.nonEmpty, "radixSelectKth on an empty frame")
-    var remaining = sizes.map { case (g, n) =>
-      val k = kFor(n)
-      require(k >= 1 && k <= n, s"k=$k outside [1, $n] for group $g")
-      g -> k
-    }
-    var prefix = sizes.keys.map(_ -> 0L).toMap
-    for (level <- 7 to 0 by -1) {
-      val shift = level * 8
-      val pfxDf = prefix.toSeq.toDF("g", "pfx")
-      // rows still matching the group's established high bytes, counted
-      // by their next byte; level 7 has no established bytes yet (a >>>
-      // of 64 would be a no-op shift in the JVM, so it is special-cased
-      // out rather than relied on)
-      val inPrefix =
-        if (level == 7) lit(true)
-        else shiftrightunsigned(col("u"), shift + 8) === col("pfx")
-      val counts = base.join(broadcast(pfxDf), Seq("g"))
-        .filter(inPrefix)
-        .groupBy(col("g"),
-          // pmod, not %: at level 0 the unshifted u keeps its sign bit
-          // and % would hand back a negative "byte"
-          pmod(shiftrightunsigned(col("u"), shift), lit(256L)).as("byte"))
-        .agg(count(lit(1)).as("c"))
-        .collect()
-        .groupBy(_.getString(0))
-        .map { case (g, rows) =>
-          g -> rows.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1)
-        }
-      prefix = prefix.map { case (g, p) =>
-        var k = remaining(g)
-        var chosen = -1L
-        for ((b, c) <- counts(g) if chosen < 0) {
-          if (k <= c) chosen = b else k -= c
-        }
-        assert(chosen >= 0, s"radix walk exhausted for group $g")
-        remaining += g -> k
-        g -> ((p << 8) | chosen)
+      .persist()
+    try {
+      val sizes = base.groupBy("g").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(sizes.nonEmpty, "radixSelectKth on an empty frame")
+      var remaining = sizes.map { case (g, n) =>
+        val k = kFor(n)
+        require(k >= 1 && k <= n, s"k=$k outside [1, $n] for group $g")
+        g -> k
       }
-    }
-    val rows = sizes.toSeq.sorted.map { case (g, n) =>
-      (g, n, kFor(n), prefix(g) ^ Long.MinValue)
-    }
-    rows.toDF("g", "n", "k", "kth")
+      var prefix = sizes.keys.map(_ -> 0L).toMap
+      for (level <- 3 to 0 by -1) {
+        val shift = level * 16
+        val pfxDf = prefix.toSeq.toDF("g", "pfx")
+        // rows still matching the group's established high digits,
+        // counted by their next 16-bit digit; level 3 has no established
+        // digits yet (a >>> of 64 would be a no-op shift in the JVM, so
+        // it is special-cased out rather than relied on)
+        val inPrefix =
+          if (level == 3) lit(true)
+          else shiftrightunsigned(col("u"), shift + 16) === col("pfx")
+        val counts = base.join(broadcast(pfxDf), Seq("g"))
+          .filter(inPrefix)
+          .groupBy(col("g"),
+            // pmod, not %: at level 0 the unshifted u keeps its sign bit
+            // and % would hand back a negative "digit"
+            pmod(shiftrightunsigned(col("u"), shift), lit(65536L)).as("digit"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (g, rows) =>
+            g -> rows.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1)
+          }
+        prefix = prefix.map { case (g, p) =>
+          var k = remaining(g)
+          var chosen = -1L
+          for ((b, c) <- counts(g) if chosen < 0) {
+            if (k <= c) chosen = b else k -= c
+          }
+          assert(chosen >= 0, s"radix walk exhausted for group $g")
+          remaining += g -> k
+          g -> ((p << 16) | chosen)
+        }
+      }
+      val rows = sizes.toSeq.sorted.map { case (g, n) =>
+        (g, n, kFor(n), prefix(g) ^ Long.MinValue)
+      }
+      rows.toDF("g", "n", "k", "kth")
+    } finally base.unpersist()
   }
 
   /** Registered form (q195): the exact (lower) median of the scaled event
@@ -117,7 +133,7 @@ object Quantiles {
     * so a degenerate constant group yields fences, not a zero band).
     * Against mean/stddev fences, the median/MAD pair has a 50%
     * breakdown point — one corrupt feed cannot drag the fence. Cost at
-    * 100 TB: 16 bounded radix passes + 2 scans; nothing ever sorts.
+    * 100 TB: 8 bounded radix passes + 2 scans; nothing ever sorts.
     */
   def q198MadOutliers(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
