@@ -130,6 +130,66 @@ object Bench {
     */
   def cpuBaseline(): Double = (1 to 3).map(_ => cpuBaselineOnce()).min
 
+  /** 32-thread raw-JVM twin of the synthetic probe's dominant kernel
+    * (round-15 BandSpec repair): the same digest count the probe pays
+    * (8M rows × 3 chained sha2-256 over short strings, re-hexed between
+    * chains), on plain JVM threads at the probe's own parallelism
+    * width — no Spark, no I/O. Why it exists: the 8-thread xorshift
+    * loop cannot see differences in a box's WIDE-parallel throughput
+    * (32-way crypto+memory bandwidth), so on a box class whose 32-wide
+    * throughput differs from the baseline box the syn/cpu ratio moved
+    * ~6× with zero engine change (measured round 15: committed syn
+    * baseline 0.298 s was physically impossible on the round-15 box —
+    * the raw 32-thread kernel alone took 0.9 s). This yardstick moves
+    * with exactly the hardware the probe's kernel uses, so
+    * synthetic-vs-cpuWide isolates the ENGINE (planner, codegen,
+    * shuffle machinery) from the box. Its committed baseline is
+    * measured in the SAME run as the synthetic baseline, so the
+    * ratio-of-ratios is box-portable to first order.
+    */
+  def cpuWideOnce(threads: Int = 32, rows: Long = 8000000L): Double = {
+    val per = rows / threads
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val hexDigits = "0123456789abcdef"
+        var acc = 0L
+        var i = 0L
+        while (i < per) {
+          var b = String.valueOf(t * per + i).getBytes("UTF-8")
+          var j = 0
+          while (j < 3) {
+            b = md.digest(b)
+            val hex = new Array[Byte](b.length * 2)
+            var k = 0
+            while (k < b.length) {
+              val v = b(k) & 0xff
+              hex(2 * k) = hexDigits.charAt(v >>> 4).toByte
+              hex(2 * k + 1) = hexDigits.charAt(v & 0xf).toByte
+              k += 1
+            }
+            b = hex
+            j += 1
+          }
+          acc += b(0)
+          i += 1
+        }
+        sink.addAndGet(acc)
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    require(sink.get != 0L, "cpu-wide blackhole")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Min of 3 (like the synthetic probe's estimator — both sides of the
+    * engine-regression ratio must bias the same direction).
+    */
+  def cpuWide(): Double = (1 to 3).map(_ => cpuWideOnce()).min
+
   /** Engine-sensitive, I/O-FREE probe: a fixed `spark.range` pipeline
     * (projection, two hash aggregations, a shuffle join, a sort) over
     * generated data — no parquet, no filesystem. Round-14 measurement
@@ -258,6 +318,7 @@ object Bench {
     // inside writeArtifact and silently abandon the final write).
     val runsBy = mutable.LinkedHashMap[String, Vector[(Double, Boolean)]]()
     val skipped = mutable.ArrayBuffer[String]()
+    val capped = mutable.LinkedHashSet[String]()
     val calibration = mutable.LinkedHashMap[String, Double]()
     // name -> isolated re-measurement medians (each entry = median of
     // `reps` isolated runs); the artifact's "rerun" value is the MEDIAN
@@ -265,18 +326,45 @@ object Bench {
     val rerunRuns = mutable.LinkedHashMap[String, Vector[Double]]()
     @volatile var boxFactor: Option[Double] = None
     @volatile var cpuSeconds: Option[Double] = None
+    @volatile var cpuWideSeconds: Option[Double] = None
     @volatile var synthSeconds: Option[Double] = None
     @volatile var finishedNormally = false
     val sfShort = sfDir.stripSuffix("/").split("/").last
 
     type QFn = (SparkSession, String) => org.apache.spark.sql.DataFrame
 
-    def runOnce(name: String, fn: QFn): (Double, Boolean) = {
+    // PER-QUERY WALL CAP (round-14 verdict item 2): a single runaway row
+    // must record `capped` instead of eating the breadth budget (r13's
+    // q117 = 83.6 s and r14's q165 = 81.8 s both killed their pass). The
+    // query runs on a daemon thread under its own job group; when the
+    // cap expires the group is cancelled, the wall-at-cancel is recorded
+    // as that rep's value, and the name lands in the artifact's
+    // "capped" list — visibly an underestimate marker, not a failure
+    // (failed = exceptions, capped = cut off; exit code keys on failed).
+    def runOnce(name: String, fn: QFn,
+                capSeconds: Double = 180.0): (Double, Boolean) = {
       val s0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
-          false
+      @volatile var ok = true
+      val group = s"bench-$name-$s0"
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val th = new Thread(() => {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try fn(spark, sfDir).count()
+        catch {
+          case e: Throwable =>
+            ok = false
+            System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+        } finally { spark.sparkContext.clearJobGroup(); done.countDown() }
+      }, s"bench-run-$name")
+      th.setDaemon(true); th.start()
+      val finished = done.await(math.max(1000L, (capSeconds * 1000).toLong),
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (!finished) {
+        System.err.println(f"[bench] CAPPED $name at $capSeconds%.0f s — cancelling its jobs")
+        Bench.synchronized { capped += name }
+        spark.sparkContext.cancelJobGroup(group)
+        if (!done.await(60, java.util.concurrent.TimeUnit.SECONDS)) th.interrupt()
+        ok = true // capped is its own signal; failed means the query is broken
       }
       val sec = (System.nanoTime() - s0) / 1e9
       // clear operator-internal caches AFTER timing: a query pays for
@@ -310,6 +398,7 @@ object Bench {
       val failedNames = snap.collect { case (k, r) if r.exists(!_._2) => k }
       val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
       val skip = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val cap = capped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val cal = calibration.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val rr = rerunRuns.map { case (k, v) => "\"" + k + "\":" + fmt(medianOf(v)) }
@@ -319,11 +408,12 @@ object Bench {
       }.mkString("{", ",", "}")
       val bf = boxFactor.map(v => s""","box_factor":${fmt(v)}""").getOrElse("")
       val cpu = cpuSeconds.map(v => s""","cpu_seconds":${fmt(v)}""").getOrElse("") +
+        cpuWideSeconds.map(v => s""","cpu_wide_seconds":${fmt(v)}""").getOrElse("") +
         synthSeconds.map(v => s""","synthetic_seconds":${fmt(v)}""").getOrElse("")
       val total = snap.map { case (_, r) => medianFor(r) }.sum
       val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""queries":$qsFull,"runs":$raw,"reps":$reps,"failed":$failed,""" +
-        s""""n_failed":${failedNames.size},"skipped":$skip,""" +
+        s""""n_failed":${failedNames.size},"skipped":$skip,"capped":$cap,""" +
         s""""partial":$partial,"calibration":$cal,"rerun":$rr,""" +
         s""""rerun_runs":$rrRaw$bf$cpu,""" +
         s""""elapsed_s":${fmt(elapsed)},"sf":"$sfDir"}"""
@@ -346,8 +436,9 @@ object Bench {
     // (full precision lives in bench.json). Loudly impossible to overrun
     // silently.
     def compactLine(partial: Boolean): String = {
-      val (snap, nSkipped) = Bench.synchronized {
-        (runsBy.toVector.map { case (k, r) => (k, medianFor(r), r) }, skipped.size)
+      val (snap, nSkipped, nCapped) = Bench.synchronized {
+        (runsBy.toVector.map { case (k, r) => (k, medianFor(r), r) },
+          skipped.size, capped.size)
       }
       val shortName: Map[String, String] = {
         val pref = snap.map { case (k, _, _) =>
@@ -364,7 +455,8 @@ object Bench {
       def fmtCoarse(d: Double): String =
         if (d >= 1.0) fmtShort(math.rint(d * 10) / 10) else fmtShort(d)
       def fmt1(d: Double): String = fmtShort(math.rint(d * 10) / 10)
-      val part = if (partial) s""","partial":true,"n_skipped":$nSkipped""" else ""
+      val part = (if (partial) s""","partial":true,"n_skipped":$nSkipped""" else "") +
+        (if (nCapped > 0) s""","n_capped":$nCapped""" else "")
       val bf = boxFactor.map(v => s""","box_factor":${fmtShort(v)}""").getOrElse("")
       def line(fv: Double => String, include: Set[String]): String = {
         val qs = snap.collect { case (k, m, _) if include(k) =>
@@ -447,9 +539,19 @@ object Bench {
     Runtime.getRuntime.addShutdownHook(hook)
     writeArtifact(partial = true) // artifact exists from second zero
 
-    // ---- engine-independent CPU sample #1 (pure JVM, pre-Spark-warmup
-    // so it costs its ~2 s before any query state exists)
+    // ---- engine-independent CPU samples #1 (pure JVM, pre-Spark-warmup
+    // so they cost their ~5 s before any query state exists): the
+    // 8-thread steal detector and the 32-wide kernel twin of the
+    // synthetic probe (see cpuWideOnce — the BandSpec engine check
+    // divides the synthetic factor by the wide factor so box-class
+    // differences in wide-parallel throughput don't read as regressions)
     cpuSeconds = Some(cpuBaseline())
+    cpuWideSeconds = Some(cpuWide())
+
+    // committed band medians load before the warmup: pass 1 of the
+    // timed catalog is ordered by them (cheapest-first), and the
+    // per-query wall caps derive from them
+    val band = bandMedians()
 
     // ---- warmup (JVM + Janino codegen): run each query once on the
     // smallest fixture so measured times reflect steady-state execution
@@ -496,7 +598,6 @@ object Bench {
           Bench.synchronized { calibration(name) = medianOf(runs.map(_._1)) }
       }
     }
-    val band = bandMedians()
     def computeBoxFactor(): Option[Double] = {
       val ratios = Bench.synchronized {
         calibration.toSeq.collect {
@@ -546,6 +647,15 @@ object Bench {
         val v = bestKnown(name, med)
         v > bm * scale * 4.0 && v > bm * scale + 1.0
       }
+    // per-query wall cap (round-14 verdict item 2): 3× the box-scaled
+    // band with a 30 s floor — wide enough that no honest weather blip
+    // on a ≤5× box gets cut (the floor alone is ~7× the largest band
+    // row), tight enough that one runaway row cannot eat the pass-1
+    // budget. Unbanded queries get a generous fixed cap.
+    def capFor(name: String): Double = {
+      val scale = boxFactor.map(b => math.min(5.0, b)).getOrElse(1.0)
+      band.get(name).map(bm => math.max(30.0, bm * scale * 3.0)).getOrElse(180.0)
+    }
     // isolated re-measure: `reps` runs back-to-back with nothing else in
     // flight; the MEDIAN of the re-measure medians is the recorded rerun
     // value (up to `maxRerunsPerQuery` re-measures across the whole run)
@@ -560,7 +670,7 @@ object Bench {
         var i = 0
         while (i < reps && !stopRequested &&
           (i == 0 || elapsed < budget * budgetFrac)) {
-          buf += runOnce(name, qmap(name)); i += 1
+          buf += runOnce(name, qmap(name), capFor(name)); i += 1
         }
         if (buf.nonEmpty && buf.forall(_._2)) {
           val m = medianOf(buf.map(_._1).toSeq)
@@ -585,13 +695,18 @@ object Bench {
       // adjudication backstop; pass 1 itself runs to the full budget —
       // coverage beats depth beats adjudication beats nothing
       val passCut = if (pass == 1) budget else budget * 0.85
-      // passes >= 2 go CHEAPEST-FIRST (by current best-known median):
+      // EVERY pass goes CHEAPEST-FIRST. Pass 1 orders by the COMMITTED
+      // band median (round-14 verdict item 2: catalog/alphabetical order
+      // let an 82 s tail row kill the r14 budget at position 72 of 204 —
+      // cheapest-first strands only the heavy tail when a slow box
+      // exhausts the budget, and the per-query cap bounds each tail
+      // row's damage); unbanded queries run last, alphabetically.
+      // Passes >= 2 go cheapest-first by current best-known median:
       // depth budget buys the most accuracy per second on sub-second
-      // rows, whose rep 1 is the most compile/startup-contaminated —
-      // alphabetical order left exactly the breach-prone small rows at
-      // one rep when the budget died mid-pass (observed: 82 of 204)
+      // rows, whose rep 1 is the most compile/startup-contaminated.
       val passOrder =
-        if (pass == 1) selected
+        if (pass == 1)
+          selected.sortBy { case (n, _) => (band.getOrElse(n, Double.MaxValue), n) }
         else {
           val known = Bench.synchronized {
             runsBy.map { case (k, r) => k -> medianFor(r) }.toMap
@@ -604,7 +719,7 @@ object Bench {
           if (stopRequested || elapsed >= passCut) {
             if (pass == 1) Bench.synchronized { skipped += name }
           } else {
-            val r = runOnce(name, fn)
+            val r = runOnce(name, fn, capFor(name))
             // a query that "failed" because the kill tore its executors
             // down mid-flight is noise, not signal — skipped, not failed
             if (stopRequested && !r._2) {
@@ -659,6 +774,11 @@ object Bench {
         // settle/noise spikes (measured up to 3x on this box) are
         // suppressed instead of tripping the BandSpec assert
         cpuSeconds = Some(math.max(cpuSeconds.getOrElse(0.0), cpuBaseline()))
+        // the wide kernel twin keeps the MIN of phases — it is the
+        // engine check's DENOMINATOR and must bias the same direction
+        // as the synthetic numerator (both suppress transient spikes)
+        val wide = cpuWide()
+        cpuWideSeconds = Some(cpuWideSeconds.fold(wide)(math.min(_, wide)))
         try {
           val syn = syntheticProbe(spark)
           synthSeconds = Some(synthSeconds.fold(syn)(math.min(_, syn)))

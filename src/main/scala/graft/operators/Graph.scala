@@ -309,14 +309,19 @@ object Graph {
     * the (y,z)-keyed closing join; only id/degree tuples move. Returns
     * (v, n_triangles), vertices in ≥ 1 triangle.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame,
+                     assumeSymmetric: Boolean = false): DataFrame = {
     // defensive dedup + symmetrize (round-10/11 ADVICE): duplicate
     // (src,dst) rows would silently inflate degrees and multiply
     // wedge/closing matches, and an asymmetric list would compute deg
     // from src occurrences only; one partial-aggregable exchange buys
-    // both preconditions instead of documenting them (a no-op on the
-    // already-symmetric call sites)
-    val e = symmetrized(edges).persist()
+    // both preconditions instead of documenting them. Callers whose
+    // edge list is symmetric + distinct BY CONSTRUCTION (lineGraphEdges:
+    // distinct a<b pairs unioned with their reversals) pass
+    // assumeSymmetric = true and skip that full-edge exchange — the
+    // defense stays the default for everyone else (round-15, guide §2.4).
+    val e = (if (assumeSymmetric) edges.select(col("src"), col("dst"))
+             else symmetrized(edges)).persist()
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
     // one row per undirected edge, oriented by (degree, id); src<dst
     // already, so the id tie-break keeps src first
@@ -349,7 +354,7 @@ object Graph {
 
   /** q173: triangle counts of the q104 shared-line dup graph. */
   def q173TriangleCount(spark: SparkSession, dir: String): DataFrame =
-    triangleCounts(lineGraphEdges(spark, dir))
+    triangleCounts(lineGraphEdges(spark, dir), assumeSymmetric = true)
       .select(col("v").as("doc_id"), col("n_triangles"))
       .orderBy("doc_id")
 
@@ -363,7 +368,8 @@ object Graph {
     */
   def q201TriangleStratum(spark: SparkSession, dir: String): DataFrame =
     triangleCounts(lineGraphEdgesOf(
-      Tables.documents(spark, dir).filter(col("doc_id") < Tables.ReplicaZeroBound)))
+      Tables.documents(spark, dir).filter(col("doc_id") < Tables.ReplicaZeroBound)),
+      assumeSymmetric = true)
       .select(col("v").as("doc_id"), col("n_triangles"))
       .orderBy("doc_id")
 
@@ -391,8 +397,14 @@ object Graph {
     * jumping. Rounds ≤ the peeling depth (≤ √m in theory, single
     * digits on real dup graphs); a loud `require` clamps runaways.
     */
-  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
-    var e = symmetrized(edges).localCheckpoint(true)
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50,
+            assumeSymmetric: Boolean = false): DataFrame = {
+    // same assumeSymmetric contract as triangleCounts: callers whose
+    // list is symmetric + distinct by construction skip the defensive
+    // symmetrize exchange (the checkpoint still materializes the list
+    // once for the peel loop)
+    var e = (if (assumeSymmetric) edges.select(col("src"), col("dst"))
+             else symmetrized(edges)).localCheckpoint(true)
     var nEdges = e.count()
     var converged = false
     var it = 0
@@ -415,7 +427,7 @@ object Graph {
 
   /** q180: 3-core of the q104 shared-line dup graph. */
   def q180KCore(spark: SparkSession, dir: String): DataFrame =
-    kCore(lineGraphEdges(spark, dir), 3)
+    kCore(lineGraphEdges(spark, dir), 3, assumeSymmetric = true)
       .select(col("v").as("doc_id"), col("core_deg"))
       .orderBy("doc_id")
 }

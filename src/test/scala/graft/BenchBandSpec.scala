@@ -44,8 +44,23 @@ class BenchBandSpec extends AnyFunSuite {
     val sf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(bench).map(_.group(1))
     assume(sf.exists(_.endsWith("sf0.1")), s"bench.json is at $sf, band is sf0.1")
     val fresh = section(bench, "queries").map(jsonNumberMap).getOrElse(Map.empty)
-    assume(fresh.size >= SparkEntry.queries.size,
-      s"bench.json holds ${fresh.size} queries — a dev-loop subset, not an official run")
+    // PARTIAL ARTIFACTS ARE VALIDATED, NOT SKIPPED (round-14 verdict
+    // item 5): the old full-catalog assume silently no-op'd on the
+    // driver's official-but-budget-killed artifacts (r14: 72/204 rows,
+    // including a 15.5x row, validated by nothing). Rows that exist get
+    // the band check; only a clearly-dev-loop subset (< 25% of the
+    // catalog) cancels. Coverage is reported either way.
+    val catalogSize = SparkEntry.queries.size
+    assume(fresh.size * 4 >= catalogSize,
+      s"bench.json holds ${fresh.size} of $catalogSize queries (<25%) — " +
+        "a dev-loop subset, not an official run")
+    if (fresh.size < catalogSize) {
+      val cov = f"partial artifact: validating ${fresh.size} of $catalogSize rows " +
+        f"(${fresh.size * 100.0 / catalogSize}%.0f%% coverage) — band verdict " +
+        "applies to present rows only"
+      info(cov)
+      System.err.println(s"[band] $cov")
+    }
 
     val bandJson = scala.io.Source.fromFile("BENCH_BAND.json", "UTF-8").mkString
     val medians = section(bandJson, "medians").map(jsonNumberMap).getOrElse(Map.empty)
@@ -107,28 +122,47 @@ class BenchBandSpec extends AnyFunSuite {
     // (induced-steal syn/cpu ratio reached ~1.9); the check bounds the
     // uniform-regression blind spot at ~2.5x rather than eliminating
     // it — tighter bounds false-fire on this VM's sampling noise.
+    // Round-15 repair: the 8-thread xorshift loop cannot see a box
+    // class's WIDE-parallel throughput (the probe runs 32-wide), so on a
+    // box whose 32-way crypto/memory throughput differs from the
+    // baseline box the syn/cpu ratio moved ~6x with zero engine change
+    // (measured: the committed syn floor 0.298 s was physically
+    // impossible on the round-15 box — its raw 32-thread sha2 kernel
+    // alone took 0.9 s). `cpu_wide_seconds` (Bench.cpuWide: the probe's
+    // own kernel on raw JVM threads at the probe's width) joins the
+    // denominator: its committed baseline was measured in the SAME run
+    // as the synthetic baseline, so synthetic-vs-wide is box-portable —
+    // hardware moves both, only the engine moves the probe alone.
     val cpuBase = numField(bandJson, "cpu_baseline_s")
     val cpuSec = numField(bench, "cpu_seconds")
+    val wideBase = numField(bandJson, "cpu_wide_baseline_s")
+    val wideSec = numField(bench, "cpu_wide_seconds")
     val synBase = numField(bandJson, "synthetic_baseline_s")
     val synSec = numField(bench, "synthetic_seconds")
     (cpuBase, cpuSec) match {
       case (Some(base), Some(sec)) if base > 0 =>
         val cpuFactor = math.max(1.0, sec / base)
+        val wideFactor = for { b <- wideBase; s <- wideSec if b > 0 }
+          yield math.max(1.0, s / b)
         val synFactor = for { b <- synBase; s <- synSec if b > 0 }
           yield math.max(1.0, s / b)
+        val hwFactor = math.max(cpuFactor, wideFactor.getOrElse(1.0))
         val line = f"yardsticks: catalog $boxFactor%.2fx, synthetic " +
           synFactor.map(f => f"$f%.2fx").getOrElse("n/a") +
-          f", cpu $cpuFactor%.2fx (catalog>>synthetic = IO weather; " +
-          "synthetic>>cpu = engine regression)"
+          f", cpu $cpuFactor%.2fx, cpu-wide " +
+          wideFactor.map(f => f"$f%.2fx").getOrElse("n/a") +
+          " (catalog>>synthetic = IO weather; " +
+          "synthetic>>max(cpu,wide) = engine regression)"
         info(line)
         System.err.println(s"[band] $line")
         synFactor.foreach { sf =>
-          assert(sf <= math.max(2.5, cpuFactor * 2.2),
-            f"the I/O-free synthetic engine probe slowed $sf%.2fx while the pure-CPU " +
-              f"yardstick moved only $cpuFactor%.2fx — neither I/O weather (the probe " +
-              f"reads no files) nor CPU steal (the loop would move too) explains this; " +
-              f"a uniform ENGINE regression is the likely cause, do not trust the " +
-              f"box-scaled band until this is explained")
+          assert(sf <= math.max(2.5, hwFactor * 2.2),
+            f"the I/O-free synthetic engine probe slowed $sf%.2fx while the hardware " +
+              f"yardsticks moved only $hwFactor%.2fx (cpu $cpuFactor%.2fx, wide " +
+              wideFactor.map(f => f"$f%.2fx").getOrElse("n/a") +
+              ") — neither I/O weather (the probe reads no files) nor the box's own " +
+              "speed explains this; a uniform ENGINE regression is the likely cause, " +
+              "do not trust the box-scaled band until this is explained")
         }
       case _ =>
         info("no engine-regression cross-check (cpu_baseline_s or cpu_seconds missing)")
@@ -163,8 +197,20 @@ class BenchBandSpec extends AnyFunSuite {
       }.getOrElse(Map.empty)
     val runsArrays = arraysOf("runs")
     val rerunArrays = arraysOf("rerun_runs")
+    // rows in the artifact's `failed` list get NO floor forgiveness
+    // (round-14 ADVICE, medium): Bench writes ok=false rep times into
+    // `runs` too, so a rep that failed fast (exception after
+    // milliseconds) would otherwise hand the row a tiny floor that
+    // clears the band and masks a genuine regression. A failed row's
+    // statistic is its reported median, nothing less.
+    val failedRows: Set[String] =
+      "\"failed\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(bench).map(_.group(1))
+        .map("\"([^\"]+)\"".r.findAllMatchIn(_).map(_.group(1)).toSet)
+        .getOrElse(Set.empty)
     def floorOf(q: String, reported: Double): Double =
-      (runsArrays.getOrElse(q, Seq.empty) ++ rerunArrays.getOrElse(q, Seq.empty) :+ reported).min
+      if (failedRows(q)) reported
+      else (runsArrays.getOrElse(q, Seq.empty) ++
+        rerunArrays.getOrElse(q, Seq.empty) :+ reported).min
 
     // variance ledger (round-13 verdict item 6): a row whose REPORTED
     // steady median breaches while its floor clears passed only because

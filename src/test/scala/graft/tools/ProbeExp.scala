@@ -24,8 +24,9 @@ object ProbeExp {
     graft.Bench.syntheticProbeOnce(spark) // codegen warm
     (1 to n).foreach { i =>
       val cpu = graft.Bench.cpuBaseline()
+      val wide = graft.Bench.cpuWide()
       val syn = graft.Bench.syntheticProbe(spark)
-      println(f"[probe] $i%2d cpu=$cpu%.3f syn=$syn%.3f")
+      println(f"[probe] $i%2d cpu=$cpu%.3f wide=$wide%.3f syn=$syn%.3f ratio=${syn / wide}%.3f")
     }
     spark.stop()
   }
