@@ -25,16 +25,28 @@ object Graph {
     * Returns (v, label) with label = min vertex id of v's component.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // co-partition the (static) edge list on the join key ONCE: every
-    // round's join then exchanges only the label side — at a billion
-    // edges that is the difference between shuffling the graph per
-    // round and shuffling per-vertex labels per round
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("dst")).persist()
+    val spark = edges.sparkSession
+    // materialize the (static) edge list once and SIZE the loop from it
+    // (round-16, guide §2): every exchange of every round is over frames
+    // no bigger than the edge list, so its measured row count — not the
+    // session's core count — decides the loop's shuffle partitioning.
+    val e0 = edges.select(col("src"), col("dst")).persist()
+    val m = e0.count()
+    val p = LoopConf.sizedPartitions(m, 2000000L) // ~16-byte pairs → ≲32 MB
+    val out = LoopConf.withLoopConf(spark, p) {
+    // co-partition the edge list on the join key ONCE: every round's
+    // join then exchanges only the label side — at a billion edges that
+    // is the difference between shuffling the graph per round and
+    // shuffling per-vertex labels per round
+    val e = e0.repartition(col("dst")).persist()
     // lazy checkpoints throughout the loop: the per-round convergence
     // count is the materializing action, so each round is ONE job, not
-    // a materialization pass plus the count
-    var labels = e.select(col("src").as("v")).distinct()
+    // a materialization pass plus the count.
+    // labels init reads DST, not src (round-15 verdict item 5): the list
+    // is symmetric, so the two endpoint sets are equal — keying the
+    // distinct by dst lets it REUSE e's hash(dst) partitioning instead
+    // of paying its own exchange over the endpoints.
+    var labels = e.select(col("dst").as("v")).distinct()
       .withColumn("label", col("v")).localCheckpoint(false)
     // convergence via the LABEL-SUM invariant (round-15, guide §1.2):
     // both steps below only ever LOWER a vertex's label (hop takes a min
@@ -90,6 +102,9 @@ object Graph {
       s"connectedComponents did not converge in $maxIter rounds " +
         s"(label sum still decreasing); raise maxIter for deep graphs")
     labels
+    }
+    e0.unpersist()
+    out
   }
 
   /** Boilerplate-cluster dedup groups: documents are linked when they
@@ -113,7 +128,13 @@ object Graph {
     */
   private[graft] def lineGraphEdgesOf(documents: DataFrame): DataFrame = {
     val maxDf = 5
-    val docLines = documents
+    // widen before the explode (round-16, guide §2.5 input skew): the
+    // grid-line explode + postings hash is the derivation's CPU, and an
+    // under-split source (the single-file fixture) ran ALL of it in one
+    // task — measured 1.24 s single-threaded at sf0.1, ~60% of every
+    // graph query's wall after the loop sizing. Data-derived decision
+    // (leaf file count), a no-op on any real many-file lake.
+    val docLines = graft.Tables.widen(documents)
       .select(col("doc_id"),
         explode(graft.text.Chunker.wordChunks(col("text"), 5)).as("line"))
     // ONE exchange builds the distinct df-capped postings (round-15,
@@ -180,8 +201,13 @@ object Graph {
     // the edge list is often itself an expensive derived plan (q125
     // feeds the df-capped inverted-index graph) — cache it ONCE so deg,
     // eDeg, and the final join all read the cache instead of each
-    // re-deriving the graph from scratch
+    // re-deriving the graph from scratch. Its measured count sizes the
+    // loop's shuffles (round-16, guide §2 — see LoopConf).
+    val spark = edges.sparkSession
     val e0 = edges.select(col("src"), col("dst")).persist()
+    val m = e0.count()
+    val p = LoopConf.sizedPartitions(m, 2000000L)
+    val (out, deg, eDeg) = LoopConf.withLoopConf(spark, p) {
     val deg = e0.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
       .persist()
     val n = deg.count()
@@ -211,8 +237,10 @@ object Graph {
     }
     // materialize the (one row per ranked vertex) result BEFORE
     // dropping the caches — a lazy return would silently re-derive the
-    // whole edge plan when the caller finally acts on it
-    val out = ranks.join(deg, "v").localCheckpoint()
+    // whole edge plan when the caller finally acts on it (and before the
+    // loop conf restores: the checkpoint is the loop's last sized job)
+    (ranks.join(deg, "v").localCheckpoint(), deg, eDeg)
+    }
     eDeg.unpersist(); deg.unpersist(); e0.unpersist()
     out
   }
@@ -322,6 +350,14 @@ object Graph {
     // defense stays the default for everyone else (round-15, guide §2.4).
     val e = (if (assumeSymmetric) edges.select(col("src"), col("dst"))
              else symmetrized(edges)).persist()
+    // size every downstream exchange from the measured edge count
+    // (round-16, guide §2 — see LoopConf): the wedge self-join AMPLIFIES
+    // rows (Σ outdeg² ≤ O(m^1.5)), so triangles divide by a 4× smaller
+    // rows-per-partition than the label loops. The count reads the cache
+    // the first action would have materialized anyway.
+    val spark = edges.sparkSession
+    val p = LoopConf.sizedPartitions(e.count(), 500000L)
+    LoopConf.withLoopConf(spark, p) {
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
     // one row per undirected edge, oriented by (degree, id); src<dst
     // already, so the id tie-break keeps src first
@@ -348,8 +384,14 @@ object Graph {
     val tri = wedges
       .join(od.select(col("u").as("y"), col("w").as("z")), Seq("y", "z"))
       .select(col("u").as("x"), col("y"), col("z"))
+    // EAGER checkpoint: the wedge + closing joins must execute under the
+    // sized loop conf (a lazy return would replan them at the session
+    // defaults when the caller finally acts); the materialized result is
+    // one small (v, count) row per triangle vertex
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(true)
+    }
   }
 
   /** q173: triangle counts of the q104 shared-line dup graph. */
@@ -403,9 +445,14 @@ object Graph {
     // list is symmetric + distinct by construction skip the defensive
     // symmetrize exchange (the checkpoint still materializes the list
     // once for the peel loop)
+    val spark = edges.sparkSession
     var e = (if (assumeSymmetric) edges.select(col("src"), col("dst"))
              else symmetrized(edges)).localCheckpoint(true)
     var nEdges = e.count()
+    // peel rounds only ever SHRINK the list, so the initial count sizes
+    // every round's exchanges (round-16, guide §2 — see LoopConf)
+    val p = LoopConf.sizedPartitions(nEdges, 2000000L)
+    LoopConf.withLoopConf(spark, p) {
     var converged = false
     var it = 0
     while (!converged) {
@@ -414,15 +461,24 @@ object Graph {
         s"kCore: no fixpoint after $maxIter peel rounds — raise maxIter")
       val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("v"))
+      // LAZY checkpoint (round-16): the convergence count materializes
+      // it, so each peel round is ONE job — the former eager form paid a
+      // materialization job AND a count job per round. Lineage is cut
+      // identically: after the count the plan roots at the cached RDD.
       val e2 = e.join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
-        .select("src", "dst").localCheckpoint(true)
+        .select("src", "dst").localCheckpoint(false)
       val n2 = e2.count()
       converged = n2 == nEdges
       e = e2
       nEdges = n2
     }
+    // the final per-vertex degree agg is sized by the loop conf too —
+    // EAGERLY materialized so the caller's action cannot replan it at
+    // the session's defaults against the checkpoint-backed core list
     e.groupBy(col("src").as("v")).agg(count(lit(1)).as("core_deg"))
+      .localCheckpoint(true)
+    }
   }
 
   /** q180: 3-core of the q104 shared-line dup graph. */

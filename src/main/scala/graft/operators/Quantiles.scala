@@ -63,6 +63,17 @@ object Quantiles {
       val sizes = base.groupBy("g").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       require(sizes.nonEmpty, "radixSelectKth on an empty frame")
+      // guarded bounded model (round-15 ADVICE): each 16-bit digit pass
+      // collects up to 65,536 counter Rows PER GROUP to the driver — fine
+      // for the typed-key group columns this operator exists for (q195/
+      // q198 group by event_type: 5 groups), a driver-OOM foot-gun on a
+      // corpus-grain group column. Fail loudly before the first collect
+      // instead of dying mid-walk — the MaxBroadcastAssignments
+      // discipline applied to driver-side counter state.
+      require(sizes.size <= 256,
+        s"radixSelectKth bounded-model cap: ${sizes.size} groups × 65,536 " +
+          "digit counters per pass exceeds what the driver walk may hold " +
+          "(cap 256 groups); group by a typed key, not a corpus-grain column")
       var remaining = sizes.map { case (g, n) =>
         val k = kFor(n)
         require(k >= 1 && k <= n, s"k=$k outside [1, $n] for group $g")

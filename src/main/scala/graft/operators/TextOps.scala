@@ -486,15 +486,26 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val splitChars = udf { w: String => w.map(_.toString).toArray }
-    var words = docs
+    val words0 = docs
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(splitChars(col("w")).as("syms"), col("n"))
-      // lazy: each round's argmax job materializes the pending
-      // checkpoint — one job per round instead of two (eager would pay
-      // a separate materialization pass before every argmax)
       .localCheckpoint(false)
+    // SIZE THE LOOP FROM THE VOCAB (round-16, guide §2 — see LoopConf):
+    // the iteration runs on the distinct-word table, so the corpus-grain
+    // session partitioning is pure per-round overhead — the count here
+    // materializes the pending checkpoint (work round 1 paid anyway) and
+    // every loop frame coalesces to vocab-sized partitions (~250k
+    // symbol-array rows ≈ tens of MB each). A 100 TB corpus's 10⁸-word
+    // vocab sizes to hundreds of partitions through the same arithmetic.
+    val nVocab = words0.count()
+    val p = LoopConf.sizedPartitions(nVocab, 250000L)
+    LoopConf.withLoopConf(spark, p) {
+    // coalesce is narrow — the lazy re-checkpoint lands at p partitions
+    // with the first argmax job, and every later round STAYS at p (the
+    // merge select is narrow, the pair groupBy exchanges at the loop conf)
+    var words = words0.coalesce(p).localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 0
     var done = false
@@ -527,6 +538,7 @@ object TextOps {
     }
     merges.toSeq.toDF("step", "left", "right", "pair_count")
       .orderBy("step")
+    }
   }
 
   def q112BpeTrain(spark: SparkSession, dir: String): DataFrame =

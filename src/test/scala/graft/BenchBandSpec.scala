@@ -235,7 +235,35 @@ class BenchBandSpec extends AnyFunSuite {
       System.err.println(s"[band] $msg")
     }
 
-    val breaches = fresh.toSeq.sortBy(_._1).flatMap { case (q, sec0) =>
+    // CAPPED ROWS ARE UNDERESTIMATES (round-15 ADVICE, medium): a rep cut
+    // off by Bench's per-query wall cap records the wall AT the cap \u2014 a
+    // known lower bound on the true time, not a measurement. A banded row
+    // in the artifact's `capped` list therefore cannot clear the band on
+    // the strength of its recorded values alone; it is a breach UNLESS an
+    // isolated re-measure (rerun_runs \u2014 runs with nothing else in flight)
+    // came back inside the band, which separates a one-off weather blip
+    // that tripped the cap from a genuine regression that caps every
+    // attempt.
+    val cappedRows: Set[String] =
+      "\"capped\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(bench).map(_.group(1))
+        .map("\"([^\"]+)\"".r.findAllMatchIn(_).map(_.group(1)).toSet)
+        .getOrElse(Set.empty)
+    val cappedBreaches = cappedRows.toSeq.sorted.flatMap { q =>
+      medians.get(q).map(_ * boxScale) match {
+        case Some(band) if !allow(q) =>
+          val rr = rerunArrays.getOrElse(q, Seq.empty)
+          val cleared = rr.nonEmpty &&
+            !(rr.min > band * factor && rr.min > band + slack)
+          if (cleared) None
+          else Some(f"$q: CAPPED mid-run (recorded time is a lower bound) " +
+            f"with no isolated re-measure inside banded $band%.2fs " +
+            f"(box-scaled \u00d7$boxScale%.2f)")
+        case _ => None
+      }
+    }
+
+    val breaches = cappedBreaches ++
+      fresh.toSeq.sortBy(_._1).flatMap { case (q, sec0) =>
       val sec = floorOf(q, sec0)
       medians.get(q).map(_ * boxScale) match {
         case Some(band) if !allow(q) &&
