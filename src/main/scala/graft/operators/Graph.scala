@@ -134,7 +134,7 @@ object Graph {
     // task — measured 1.24 s single-threaded at sf0.1, ~60% of every
     // graph query's wall after the loop sizing. Data-derived decision
     // (leaf file count), a no-op on any real many-file lake.
-    val docLines = graft.Tables.widen(documents)
+    val docLines = graft.Tables.widen(documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(graft.text.Chunker.wordChunks(col("text"), 5)).as("line"))
     // ONE exchange builds the distinct df-capped postings (round-15,

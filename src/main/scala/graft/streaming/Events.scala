@@ -1215,7 +1215,13 @@ object Events {
       spark.conf.set(probeKey, n.toString)
       n
     }
-    val parts = math.max(8L, math.min(
+    // floor 2, not 8 (round-16, measured 5.4 → 3.3 s at sf0.1): the floor
+    // only ever applies when the probe says < 16k join keys — a state
+    // that two partitions hold trivially — and each partition above it
+    // costs 4 state-store file commits per micro-batch. Any real corpus
+    // (100× rehearsal: 100× the users) sizes PAST the floor through the
+    // same formula, so production parallelism is untouched.
+    val parts = math.max(2L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nUsers / 2000L))
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     // an INNER stream-stream join emits every match in the batch the
@@ -1334,14 +1340,26 @@ object Events {
     // dominated the bench row ~3:1. A production incremental deployment
     // keeps its checkpoint durable; a per-rep throwaway one does not.
     val ckpt = graft.TempDirs.fastScratch("q197_cms_stream_ckpt")
-    val sq = sketch.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
+    // streaming-state partitions sized to the STATE, not the session
+    // (round-16; q70/q106's rule): the complete-mode aggregate holds
+    // exactly d·w = 1024 (j, b) rows, and every micro-batch commits one
+    // state file per partition — 32 partitions were pure commit overhead
+    // for a 1024-key state. 8 matches q106's bucket-state sizing; the
+    // memory sink has no durable checkpoint, so the setting is per-run.
+    // Input-side (md5 map) parallelism comes from file splits and is
+    // untouched.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val sq = sketch.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name).orderBy("j", "b")
   }
 }

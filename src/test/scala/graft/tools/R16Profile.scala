@@ -122,6 +122,11 @@ object R16Profile {
       }
       time("q70 full") { noop(graft.SparkEntry.queries("q70_stream_asof")(spark, sfDir)) }
     }
+    if (family == "q197") {
+      warm(null, "q197_cms_stream", "q186_cms_audit")
+      time("q197 full", 5) { noop(graft.SparkEntry.queries("q197_cms_stream")(spark, sfDir)) }
+      time("q186 batch twin") { noop(graft.SparkEntry.queries("q186_cms_audit")(spark, sfDir)) }
+    }
     if (family == "tail") {
       // the round-15 scaling block's sub-0.9 32c/8c tail (sketch/text
       // aggregations) PLUS the heavy-shuffle rows that an AQE-coalescing
